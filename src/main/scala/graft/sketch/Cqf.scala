@@ -1,0 +1,660 @@
+package graft.sketch
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Counting Quotient Filter — a from-scratch JVM implementation of the
+  * Pandey et al. (SIGMOD'17) counting quotient filter with the same
+  * observable semantics as the reference Rust crate:
+  *
+  *   - a 64-bit hash is split into quotient (high `quotientBits` bits) and
+  *     remainder (low `hashBits - quotientBits` bits)
+  *     (ref: /root/reference/src/cqf/u64_cqf.rs:346-355);
+  *   - slots are grouped in blocks of 64 with three metadata bitvectors
+  *     (occupieds / runends / counts) plus a per-block offset
+  *     (ref: /root/reference/src/blocks/u64_blocks.rs:9-16);
+  *   - a multiplicity > 1 is encoded by placing the count value in the slot
+  *     after the remainder and setting that slot's `counts` bit
+  *     (ref: /root/reference/src/blocks/u64_blocks.rs:43-62);
+  *   - runs are remainder-sorted and located by rank/select over the
+  *     metadata bitvectors (ref: /root/reference/src/blocks.rs:32-83);
+  *   - iteration yields (hash, count) in ascending hash order; with the
+  *     invertible Wang hash the original keys are recoverable
+  *     (ref: /root/reference/src/cqf/u64_cqf.rs:551-706);
+  *   - merge is an O(n+m) sorted two-pointer merge with counts summed on
+  *     equal hashes (ref: /root/reference/src/cqf.rs:218-334).
+  *
+  * Deliberate deviations from the reference (documented in SURVEY.md §7.1):
+  * counts are always 64-bit; the filter auto-grows (rebuilds at q+1) instead
+  * of surfacing a Filled error — required because a distributed aggregation
+  * cannot fail mid-merge; storage is a plain heap Array[Long] (no mmap).
+  *
+  * Layout: one flat Array[Long], 68 longs per block:
+  * [offset, occupieds, runends, counts, 64 remainder slots].
+  */
+final class Cqf private (
+    private var _quotientBits: Int,
+    val hashBits: Int,
+    val invertible: Boolean,
+    private var blocks: Array[Long],
+    private var _occupiedSlots: Long
+) extends Serializable {
+  import Cqf._
+
+  def quotientBits: Int = _quotientBits
+  def remainderBits: Int = hashBits - _quotientBits
+  def occupiedSlots: Long = _occupiedSlots
+  def numSlots: Long = 1L << _quotientBits
+  def numRealSlots: Long = realSlots(_quotientBits)
+  def numBlocks: Int = blocks.length / Stride
+  def maxOccupiedSlots: Long = (LoadFactor * numSlots).toLong
+  def sizeBytes: Long = 8L * (HeaderLongs + blocks.length)
+
+  // ---- block/bit primitives -------------------------------------------
+
+  @inline private def base(b: Int): Int = b * Stride
+  @inline private def offsetOf(b: Int): Long = blocks(base(b))
+  @inline private def setOffset(b: Int, v: Long): Unit = blocks(base(b)) = v
+  @inline private def occWord(b: Int): Long = blocks(base(b) + 1)
+  @inline private def runWord(b: Int): Long = blocks(base(b) + 2)
+  @inline private def cntWord(b: Int): Long = blocks(base(b) + 3)
+  @inline private def slotGet(i: Long): Long =
+    blocks(((i >>> 6) * Stride + 4 + (i & 63L)).toInt)
+  @inline private def slotSet(i: Long, v: Long): Unit =
+    blocks(((i >>> 6) * Stride + 4 + (i & 63L)).toInt) = v
+
+  @inline private def getBit(word: Int, i: Long): Boolean = {
+    val b = (i >>> 6).toInt
+    if (b >= numBlocks) false
+    else (blocks(base(b) + word) & (1L << (i & 63L))) != 0L
+  }
+  @inline private def setBit(word: Int, i: Long, bit: Boolean): Unit = {
+    val idx = base((i >>> 6).toInt) + word
+    if (bit) blocks(idx) |= (1L << (i & 63L))
+    else blocks(idx) &= ~(1L << (i & 63L))
+  }
+
+  @inline private def isOccupied(i: Long): Boolean = getBit(1, i)
+  @inline private def isRunend(i: Long): Boolean = getBit(2, i)
+  @inline private def isCountSlot(i: Long): Boolean = getBit(3, i)
+  @inline private def setOccupied(i: Long, v: Boolean): Unit = setBit(1, i, v)
+  @inline private def setRunend(i: Long, v: Boolean): Unit = setBit(2, i, v)
+  @inline private def setCountBit(i: Long, v: Boolean): Unit = setBit(3, i, v)
+  @inline private def anyMetaBits(i: Long): Boolean =
+    isOccupied(i) || isRunend(i) || isCountSlot(i)
+
+  // ---- rank/select ----------------------------------------------------
+
+  /** Position of the runend terminating quotient q's run (standard RSQF
+    * rank/select walk, semantics of /root/reference/src/blocks.rs:32-83). */
+  private def runEnd(quotient: Long): Long = {
+    val bi = (quotient >>> 6).toInt
+    val si = (quotient & 63L).toInt
+    val blockOffset = offsetOf(bi)
+    val intraRank = bitrank(occWord(bi), si)
+    if (intraRank == 0) {
+      if (blockOffset <= si) return quotient
+      else return (bi.toLong << 6) + blockOffset - 1
+    }
+    var rbi = bi + (blockOffset >>> 6).toInt
+    var ignore = (blockOffset & 63L).toInt
+    var rank = intraRank - 1
+    var pos = bitselectv(runWord(rbi), ignore, rank)
+    while (pos == 64) {
+      rank -= popcntv(runWord(rbi), ignore)
+      rbi += 1
+      ignore = 0
+      if (rbi >= numBlocks) return quotient // defensive; cushion prevents
+      pos = bitselectv(runWord(rbi), ignore, rank)
+    }
+    val runendIndex = (rbi.toLong << 6) + pos
+    if (runendIndex < quotient) quotient else runendIndex
+  }
+
+  @inline private def runStart(quotient: Long): Long =
+    if (quotient == 0L) 0L else runEnd(quotient - 1) + 1
+
+  /** Cheap lower bound on the displacement of quotient's slot
+    * (ref: /root/reference/src/blocks.rs:142-156). */
+  private def offsetLowerBound(quotient: Long): Long = {
+    val bi = (quotient >>> 6).toInt
+    val si = (quotient & 63L).toInt
+    val occ = occWord(bi) & bitmask(si + 1)
+    val off = offsetOf(bi)
+    if (off <= si) {
+      val run = (runWord(bi) & bitmask(si)) >>> off
+      java.lang.Long.bitCount(occ).toLong - java.lang.Long.bitCount(run)
+    } else off + java.lang.Long.bitCount(occ) - si
+  }
+
+  private def findFirstEmptySlot(from0: Long): Long = {
+    var from = from0
+    var jump = offsetLowerBound(from)
+    while (jump != 0L) {
+      from += jump
+      if (from >= numRealSlots) throw FullException
+      jump = offsetLowerBound(from)
+    }
+    from
+  }
+
+  // ---- decode ---------------------------------------------------------
+
+  /** Decode the counter at slot `pos` (which must hold a remainder).
+    * Returns the slot the entry ends at (== pos, or pos+1 when a count
+    * slot follows). Fills `dec` with (remainder, count).
+    * Semantics of /root/reference/src/blocks/u64_blocks.rs:43-62. */
+  @inline private def decodeEnd(pos: Long, dec: Dec): Long = {
+    dec.remainder = slotGet(pos)
+    if (isRunend(pos) || !isCountSlot(pos + 1)) { dec.count = 1L; pos }
+    else { dec.count = slotGet(pos + 1); pos + 1 }
+  }
+
+  // ---- insert ---------------------------------------------------------
+
+  /** Insert `count` occurrences of pre-hashed value `hash`. Auto-grows when
+    * the 95% load cap is reached (deviation from the reference's Filled
+    * error, see class doc). */
+  def insertHash(hash: Long, count: Long): Unit = {
+    if (count == 0L) return
+    if (_occupiedSlots + 2 > maxOccupiedSlots) grow()
+    var retry = true
+    while (retry) {
+      retry = false
+      try insertHashInternal(hash, count)
+      catch { case FullException => grow(); retry = true }
+    }
+  }
+
+  private def insertHashInternal(hash: Long, count: Long): Unit = {
+    val rBits = remainderBits
+    val quotient = (hash >>> rBits) & bitmask(_quotientBits)
+    val remainder = hash & bitmask(rBits)
+    var runstart = runStart(quotient)
+    if (!anyMetaBits(quotient) && runstart == quotient) {
+      if (count == 1L) {
+        // empty, unshifted home slot: place directly
+        setRunend(quotient, true)
+        slotSet(quotient, remainder)
+        setOccupied(quotient, true)
+        _occupiedSlots += 1
+      } else {
+        // new run with a count slot; insertAndShift pre-checks capacity
+        // before mutating, keeping insert transactional under grow-retry
+        insertAndShift(0, quotient, remainder, count, quotient, 0)
+        setOccupied(quotient, true)
+      }
+    } else {
+      if (!isOccupied(quotient)) {
+        insertAndShift(0, quotient, remainder, count, runstart, 0)
+      } else {
+        val dec = new Dec
+        var qend = decodeEnd(runstart, dec)
+        while (dec.remainder < remainder && !isRunend(qend)) {
+          runstart = qend + 1
+          qend = decodeEnd(runstart, dec)
+        }
+        if (dec.remainder < remainder) {
+          insertAndShift(1, quotient, remainder, count, qend + 1, 0)
+        } else if (dec.remainder == remainder) {
+          insertAndShift(
+            if (isRunend(qend)) 1 else 2,
+            quotient, remainder, dec.count + count,
+            runstart, qend - runstart + 1)
+        } else {
+          insertAndShift(2, quotient, remainder, count, runstart, 0)
+        }
+      }
+      setOccupied(quotient, true)
+    }
+  }
+
+  /** Open an empty slot at `insertIndex` by shifting [insertIndex, empty)
+    * right by one; maintains per-block offsets exactly
+    * (semantics of /root/reference/src/cqf/u64_cqf.rs:446-456).
+    * `empty` must be the first empty slot at or after insertIndex. */
+  private def makeGapAt(quotient: Long, insertIndex: Long, empty: Long): Unit = {
+    var i = empty - 1
+    while (i >= insertIndex) {
+      slotSet(i + 1, slotGet(i))
+      setRunend(i + 1, isRunend(i))
+      setCountBit(i + 1, isCountSlot(i))
+      i -= 1
+    }
+    var b = (quotient >>> 6) + 1
+    val lastB = empty >>> 6
+    while (b <= lastB) {
+      setOffset(b.toInt, offsetOf(b.toInt) + 1)
+      b += 1
+    }
+  }
+
+  /** Insert (remainder[, count]) at insertIndex inside quotient's run.
+    * operation: 0 = brand-new run, 1 = append/extend at run end,
+    * 2 = insert before an existing element (run continues after).
+    * noverwrites: existing slots of this entry being re-encoded in place.
+    * Mirrors /root/reference/src/cqf/u64_cqf.rs:433-527. */
+  private def insertAndShift(operation: Int, quotient: Long, remainder: Long,
+      count: Long, insertIndex: Long, noverwrites: Long): Unit = {
+    val ninserts = (if (count == 1L) 1L else 2L) - noverwrites
+    if (ninserts > 0) {
+      // Locate all needed empty slots BEFORE mutating, so a FullException
+      // (cushion exhausted) leaves the filter untouched and insertHash can
+      // grow and retry safely.
+      if (ninserts == 1) {
+        val e = findFirstEmptySlot(insertIndex)
+        makeGapAt(quotient, insertIndex, e)
+      } else if (ninserts == 2) {
+        val e1 = findFirstEmptySlot(insertIndex)
+        val e2 = findFirstEmptySlot(e1 + 1) // slots past e1 unchanged by gap 1
+        makeGapAt(quotient, insertIndex, e1)
+        makeGapAt(quotient, insertIndex + 1, e2)
+      } else throw new IllegalStateException(s"ninserts=$ninserts")
+      operation match {
+        case 0 =>
+          if (count == 1L) setRunend(insertIndex, true)
+          else { setRunend(insertIndex, false); setRunend(insertIndex + 1, true) }
+        case 1 =>
+          if (noverwrites == 0) setRunend(insertIndex - 1, false)
+          if (count == 1L) setRunend(insertIndex, true)
+          else { setRunend(insertIndex, false); setRunend(insertIndex + 1, true) }
+        case 2 =>
+          setRunend(insertIndex, false)
+          if (count != 1L) setRunend(insertIndex + 1, false)
+      }
+    }
+    slotSet(insertIndex, remainder)
+    if (count != 1L) {
+      setCountBit(insertIndex + 1, true)
+      slotSet(insertIndex + 1, count)
+    }
+    _occupiedSlots += math.max(ninserts, 0)
+  }
+
+  // ---- query ----------------------------------------------------------
+
+  /** Multiplicity of pre-hashed value `hash` (0 when absent; no false
+    * negatives; semantics of /root/reference/src/cqf/u64_cqf.rs:263-293). */
+  def queryHash(hash: Long): Long = {
+    val rBits = remainderBits
+    val quotient = (hash >>> rBits) & bitmask(_quotientBits)
+    val remainder = hash & bitmask(rBits)
+    if (!isOccupied(quotient)) return 0L
+    var pos = runStart(quotient)
+    if (pos < quotient) pos = quotient
+    val dec = new Dec
+    while (true) {
+      val qend = decodeEnd(pos, dec)
+      if (dec.remainder == remainder) return dec.count
+      if (isRunend(qend)) return 0L
+      pos = qend + 1
+    }
+    0L
+  }
+
+  /** Overwrite the multiplicity of `hash` to exactly `count`; inserts when
+    * absent (semantics of /root/reference/src/cqf.rs:129-139). */
+  def setCountHash(hash: Long, count: Long): Unit = {
+    val rBits = remainderBits
+    val quotient = (hash >>> rBits) & bitmask(_quotientBits)
+    val remainder = hash & bitmask(rBits)
+    if (!isOccupied(quotient)) { insertHash(hash, count); return }
+    var runstart = runStart(quotient)
+    if (runstart < quotient) runstart = quotient
+    val dec = new Dec
+    var qend = decodeEnd(runstart, dec)
+    while (dec.remainder < remainder && !isRunend(qend)) {
+      runstart = qend + 1
+      qend = decodeEnd(runstart, dec)
+    }
+    if (dec.remainder != remainder) { insertHash(hash, count); return }
+    if (dec.count == count) return
+    if (isCountSlot(runstart + 1)) {
+      slotSet(runstart + 1, count) // count slot exists: overwrite in place
+    } else {
+      // no count slot yet (current multiplicity 1): open one
+      insertAndShift(
+        if (isRunend(qend)) 1 else 2,
+        quotient, remainder, count, runstart, qend - runstart + 1)
+    }
+  }
+
+  // ---- convenience key API -------------------------------------------
+
+  @inline def keyHash(key: Long): Long = WangHash.hash(key, hashBits)
+  def insert(key: Long, count: Long = 1L): Unit = insertHash(keyHash(key), count)
+  def count(key: Long): Long = queryHash(keyHash(key))
+  def contains(key: Long): Boolean = count(key) > 0
+  def setCount(key: Long, c: Long): Unit = setCountHash(keyHash(key), c)
+
+  // ---- iteration ------------------------------------------------------
+
+  /** In-order scan yielding (hash, count) in ascending hash order
+    * (semantics of /root/reference/src/cqf/u64_cqf.rs:559-600). */
+  def iterator: Iterator[(Long, Long)] = new Iterator[(Long, Long)] {
+    private val dec = new Dec
+    private var curQ: Long = nextOccupiedQuotient(0L) // -1 if none
+    private var pos: Long = curQ
+    def hasNext: Boolean = curQ >= 0
+    def next(): (Long, Long) = {
+      val qend = decodeEnd(pos, dec)
+      val hash = (curQ << remainderBits) | dec.remainder
+      val cnt = dec.count
+      val end = isRunend(qend)
+      pos = qend + 1
+      if (end) {
+        curQ = nextOccupiedQuotient(curQ + 1)
+        if (curQ >= 0 && pos < curQ) pos = curQ
+      }
+      (hash, cnt)
+    }
+  }
+
+  /** Ascending iteration of (original key, count); requires `invertible`. */
+  def keyIterator: Iterator[(Long, Long)] = {
+    require(invertible, "keyIterator requires an invertible hash")
+    iterator.map { case (h, c) => (WangHash.unhash(h, hashBits), c) }
+  }
+
+  private def nextOccupiedQuotient(from: Long): Long = {
+    if (from >= numSlots) return -1L
+    var b = (from >>> 6).toInt
+    var w = occWord(b) & ~bitmask((from & 63L).toInt)
+    while (w == 0L) {
+      b += 1
+      if (b >= numBlocks) return -1L
+      w = occWord(b)
+    }
+    val q = (b.toLong << 6) + java.lang.Long.numberOfTrailingZeros(w)
+    if (q >= numSlots) -1L else q
+  }
+
+  /** Number of distinct stored hashes (O(#slots/64 + #entries)). */
+  def distinctCount: Long = {
+    var n = 0L
+    val it = iterator
+    while (it.hasNext) { it.next(); n += 1 }
+    n
+  }
+
+  /** Sum of all multiplicities. */
+  def totalCount: Long = {
+    var n = 0L
+    val it = iterator
+    while (it.hasNext) { n += it.next()._2 }
+    n
+  }
+
+  // ---- merge / grow ---------------------------------------------------
+
+  /** Append (hash, count) with strictly ascending hashes; `isLast` marks
+    * the final element of its quotient's run. Exact offset maintenance
+    * (cf. /root/reference/src/cqf/u64_cqf.rs:153-192, with the offset
+    * update tightened from += to a covered-slots max so post-merge inserts
+    * stay exact). */
+  private final class AppendCursor {
+    var cursor: Long = 0L
+    def append(q: Long, rem: Long, cnt: Long, isLast: Boolean): Unit = {
+      if (cnt == 0L) return
+      if (math.max(cursor, q) + (if (cnt != 1L) 2 else 1) > numRealSlots)
+        throw FullException
+      setOccupied(q, true)
+      if (cursor < q) cursor = q
+      val slots = if (cnt != 1L) 2 else 1
+      slotSet(cursor, rem)
+      if (cnt != 1L) { setCountBit(cursor + 1, true); slotSet(cursor + 1, cnt) }
+      cursor += slots
+      if (isLast) setRunend(cursor - 1, true)
+      _occupiedSlots += slots
+      var b = (q >>> 6) + 1
+      val lastB = (cursor - 1) >>> 6
+      while (b <= lastB) {
+        val covered = cursor - (b << 6)
+        if (covered > offsetOf(b.toInt)) setOffset(b.toInt, covered)
+        b += 1
+      }
+    }
+  }
+
+  /** Rebuild this filter at quotientBits+1 (same hashBits), re-appending
+    * all entries in order — adopted from the reference's dead auto-resizing
+    * merge (/root/reference/src/old/old_cqf.rs:1032-1062). */
+  private def grow(): Unit = {
+    var nq = _quotientBits + 1
+    var bigger: Cqf = null
+    while (bigger == null) {
+      if (nq > hashBits || nq > 62)
+        throw new IllegalStateException(
+          s"CQF cannot grow beyond quotientBits=${_quotientBits} (hashBits=$hashBits)")
+      try bigger = Cqf.fromSortedHashes(iterator, nq, hashBits, invertible)
+      catch { case FullException => nq += 1 }
+    }
+    _quotientBits = bigger._quotientBits
+    blocks = bigger.blocks
+    _occupiedSlots = bigger._occupiedSlots
+  }
+
+  /** Merge `other` into this filter (counts summed on equal hashes).
+    * O(n+m) sorted rebuild; grows as needed. Associative & commutative. */
+  def mergeInPlace(other: Cqf): Cqf = {
+    require(other.hashBits == hashBits,
+      s"cannot merge CQFs with hashBits $hashBits vs ${other.hashBits}")
+    if (other._occupiedSlots == 0) return this
+    if (_occupiedSlots == 0 && other._quotientBits >= _quotientBits) {
+      _quotientBits = other._quotientBits
+      blocks = other.blocks.clone()
+      _occupiedSlots = other._occupiedSlots
+      return this
+    }
+    var q = math.max(_quotientBits, other._quotientBits)
+    val needed = _occupiedSlots + other._occupiedSlots
+    while ((LoadFactor * (1L << q)).toLong < needed && q < hashBits) q += 1
+    var merged: Cqf = null
+    while (merged == null) {
+      try merged = Cqf.mergedFrom(this, other, q, hashBits, invertible)
+      catch { case FullException => q += 1 }
+    }
+    _quotientBits = merged._quotientBits
+    blocks = merged.blocks
+    _occupiedSlots = merged._occupiedSlots
+    this
+  }
+
+  // ---- set algebra over sorted enumeration ---------------------------
+
+  /** Intersection: min count on hashes present in both. */
+  def intersect(other: Cqf): Cqf =
+    Cqf.zipOp(this, other, (a, b) => if (a > 0 && b > 0) math.min(a, b) else 0L)
+
+  /** Difference: saturating subtract other's counts from this's. */
+  def diff(other: Cqf): Cqf =
+    Cqf.zipOp(this, other, (a, b) => math.max(a - b, 0L))
+
+  // ---- serialization --------------------------------------------------
+
+  def serialize(): Array[Byte] = {
+    val buf = ByteBuffer.allocate((8 * (HeaderLongs + blocks.length)))
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.putLong(Magic)
+    buf.putLong(_quotientBits.toLong | (hashBits.toLong << 8) |
+      ((if (invertible) 1L else 0L) << 16))
+    buf.putLong(_occupiedSlots)
+    buf.putLong(blocks.length.toLong)
+    buf.asLongBuffer().put(blocks)
+    buf.array()
+  }
+
+  override def equals(o: Any): Boolean = o match {
+    case c: Cqf =>
+      c.hashBits == hashBits && c._quotientBits == _quotientBits &&
+        c.invertible == invertible && c._occupiedSlots == _occupiedSlots &&
+        java.util.Arrays.equals(c.blocks, blocks)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Arrays.hashCode(blocks)
+  override def toString: String =
+    s"Cqf(q=${_quotientBits}, hashBits=$hashBits, occupied=${_occupiedSlots}/" +
+      s"$maxOccupiedSlots, invertible=$invertible)"
+}
+
+object Cqf {
+  /** Longs per block: offset, occupieds, runends, counts, 64 remainders. */
+  private final val Stride = 68
+  private final val HeaderLongs = 4
+  private final val Magic = 0x3146514354465247L // "GRFTCQF1"
+  /** 95% load cap, as the reference (/root/reference/src/cqf.rs:81). */
+  final val LoadFactor = 0.95
+
+  private object FullException extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  private final class Dec {
+    var remainder: Long = 0L
+    var count: Long = 0L
+  }
+
+  @inline private def bitmask(n: Int): Long =
+    if (n >= 64) -1L else (1L << n) - 1L
+  @inline private def bitrank(word: Long, pos: Int): Long =
+    java.lang.Long.bitCount(word & (if (pos >= 63) -1L else (2L << pos) - 1)).toLong
+  @inline private def popcntv(word: Long, ignore: Int): Long =
+    java.lang.Long.bitCount(word & ~bitmask(ignore)).toLong
+  /** Index of the rank-th set bit of `word` at or above bit `ignore`;
+    * 64 when absent. */
+  private def bitselectv(word: Long, ignore: Int, rank: Long): Long = {
+    var v = word & ~bitmask(ignore)
+    var r = rank
+    while (r > 0 && v != 0L) { v &= v - 1; r -= 1 }
+    if (v == 0L) 64L else java.lang.Long.numberOfTrailingZeros(v).toLong
+  }
+
+  /** num_real_slots = 2^q + 10·sqrt(2^q) overflow cushion, rounded up to a
+    * whole number of blocks (ref: /root/reference/src/cqf.rs:42-58). */
+  private def realSlots(q: Int): Long = {
+    val n = 1L << q
+    n + 10L * math.ceil(math.sqrt(n.toDouble)).toLong
+  }
+  private def numBlocksFor(q: Int): Int =
+    ((realSlots(q) + 63) / 64).toInt
+
+  /** New empty CQF. `quotientBits` in [4, 62]; `hashBits` in
+    * [quotientBits, 64]. `invertible` records that keys < 2^hashBits are
+    * recoverable from their hashes. */
+  def apply(quotientBits: Int, hashBits: Int = 64,
+      invertible: Boolean = true): Cqf = {
+    require(quotientBits >= 4 && quotientBits <= 62,
+      s"quotientBits must be in [4, 62], got $quotientBits")
+    require(hashBits >= quotientBits && hashBits <= 64,
+      s"hashBits must be in [$quotientBits, 64], got $hashBits")
+    new Cqf(quotientBits, hashBits, invertible,
+      new Array[Long](numBlocksFor(quotientBits) * Stride), 0L)
+  }
+
+  /** Build from an ascending (hash, count) stream. */
+  private[sketch] def fromSortedHashes(items: Iterator[(Long, Long)],
+      quotientBits: Int, hashBits: Int, invertible: Boolean): Cqf = {
+    val cqf = new Cqf(quotientBits, hashBits, invertible,
+      new Array[Long](numBlocksFor(quotientBits) * Stride), 0L)
+    val cur = new cqf.AppendCursor
+    val rBits = hashBits - quotientBits
+    var have = items.hasNext
+    var h = 0L; var c = 0L
+    if (have) { val t = items.next(); h = t._1; c = t._2 }
+    while (have) {
+      val q = h >>> rBits
+      val rem = h & bitmask(rBits)
+      have = items.hasNext
+      var nq = -1L
+      if (have) { val t = items.next(); val h2 = t._1
+        nq = h2 >>> rBits
+        cur.append(q, rem, c, isLast = nq != q)
+        h = h2; c = t._2
+      } else {
+        cur.append(q, rem, c, isLast = true)
+      }
+    }
+    cqf
+  }
+
+  private def mergedFrom(a: Cqf, b: Cqf, quotientBits: Int, hashBits: Int,
+      invertible: Boolean): Cqf =
+    fromSortedHashes(mergeSorted(a.iterator, b.iterator), quotientBits,
+      hashBits, invertible)
+
+  /** Sorted two-pointer merge of (hash, count) streams, summing counts on
+    * equal hashes (semantics of /root/reference/src/cqf.rs:218-334). */
+  private[sketch] def mergeSorted(ia: Iterator[(Long, Long)],
+      ib: Iterator[(Long, Long)]): Iterator[(Long, Long)] =
+    new Iterator[(Long, Long)] {
+      private val pa = ia.buffered
+      private val pb = ib.buffered
+      def hasNext: Boolean = pa.hasNext || pb.hasNext
+      def next(): (Long, Long) = {
+        if (!pa.hasNext) pb.next()
+        else if (!pb.hasNext) pa.next()
+        else {
+          val cmp = java.lang.Long.compareUnsigned(pa.head._1, pb.head._1)
+          if (cmp == 0) { val x = pa.next(); val y = pb.next(); (x._1, x._2 + y._2) }
+          else if (cmp < 0) pa.next()
+          else pb.next()
+        }
+      }
+    }
+
+  /** Merge two filters into a new one (inputs untouched). */
+  def merge(a: Cqf, b: Cqf): Cqf = {
+    val r = Cqf(math.max(a.quotientBits, b.quotientBits), a.hashBits, a.invertible)
+    r.mergeInPlace(a)
+    r.mergeInPlace(b)
+    r
+  }
+
+  /** Sort-merge full-outer zip of two filters with a per-hash combine
+    * (generalizes the reference's ZippedCqfIter, /root/reference/src/cqf.rs:499-549).
+    * Hashes where `op` yields 0 are dropped. */
+  def zipOp(a: Cqf, b: Cqf, op: (Long, Long) => Long): Cqf = {
+    require(a.hashBits == b.hashBits, "hashBits mismatch in zipOp")
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val pa = a.iterator.buffered
+    val pb = b.iterator.buffered
+    while (pa.hasNext || pb.hasNext) {
+      if (!pa.hasNext) { val y = pb.next(); val c = op(0L, y._2); if (c > 0) out += ((y._1, c)) }
+      else if (!pb.hasNext) { val x = pa.next(); val c = op(x._2, 0L); if (c > 0) out += ((x._1, c)) }
+      else {
+        val cmp = java.lang.Long.compareUnsigned(pa.head._1, pb.head._1)
+        if (cmp == 0) {
+          val x = pa.next(); val y = pb.next()
+          val c = op(x._2, y._2); if (c > 0) out += ((x._1, c))
+        } else if (cmp < 0) {
+          val x = pa.next(); val c = op(x._2, 0L); if (c > 0) out += ((x._1, c))
+        } else {
+          val y = pb.next(); val c = op(0L, y._2); if (c > 0) out += ((y._1, c))
+        }
+      }
+    }
+    var q = 6
+    while ((LoadFactor * (1L << q)).toLong < 2L * out.length + 2 && q < a.hashBits) q += 1
+    q = math.max(q, 4)
+    var res: Cqf = null
+    while (res == null) {
+      try res = fromSortedHashes(out.iterator, q, a.hashBits, a.invertible)
+      catch { case FullException => q += 1 }
+    }
+    res
+  }
+
+  def deserialize(bytes: Array[Byte]): Cqf = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val magic = buf.getLong()
+    require(magic == Magic, s"bad CQF magic: $magic")
+    val meta = buf.getLong()
+    val qBits = (meta & 0xff).toInt
+    val hashBits = ((meta >>> 8) & 0xff).toInt
+    val invertible = ((meta >>> 16) & 1L) == 1L
+    val occupied = buf.getLong()
+    val len = buf.getLong().toInt
+    val blocks = new Array[Long](len)
+    buf.asLongBuffer().get(blocks)
+    new Cqf(qBits, hashBits, invertible, blocks, occupied)
+  }
+}
