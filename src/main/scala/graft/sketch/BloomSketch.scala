@@ -1,0 +1,114 @@
+package graft.sketch
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Classic Bloom filter over an Array[Long] bitset with k double-hashed
+  * probes (Kirsch-Mitzenmacher). No false negatives; FPR ≈ (1-e^{-kn/m})^k.
+  * Mergeable by bitwise OR (same m, k).
+  */
+final class BloomSketch private (
+    val numBits: Long,
+    val numHashes: Int,
+    private val words: Array[Long]
+) extends Serializable {
+
+  @inline private def probe(h1: Long, h2: Long, i: Int): Long = {
+    val h = h1 + i.toLong * h2
+    ((h % numBits) + numBits) % numBits
+  }
+
+  def addHash(h1: Long, h2: Long): Unit = {
+    var i = 0
+    while (i < numHashes) {
+      val bit = probe(h1, h2, i)
+      words((bit >>> 6).toInt) |= (1L << (bit & 63L))
+      i += 1
+    }
+  }
+
+  def add(key: Long): Unit =
+    addHash(WangHash.mix64(key, BloomSketch.Seed1), WangHash.mix64(key, BloomSketch.Seed2))
+  def addString(s: String): Unit = {
+    val b = s.getBytes("UTF-8")
+    addHash(WangHash.mixBytes(b, BloomSketch.Seed1), WangHash.mixBytes(b, BloomSketch.Seed2))
+  }
+
+  def mightContainHash(h1: Long, h2: Long): Boolean = {
+    var i = 0
+    while (i < numHashes) {
+      val bit = probe(h1, h2, i)
+      if ((words((bit >>> 6).toInt) & (1L << (bit & 63L))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  def mightContain(key: Long): Boolean =
+    mightContainHash(WangHash.mix64(key, BloomSketch.Seed1), WangHash.mix64(key, BloomSketch.Seed2))
+  def mightContainString(s: String): Boolean = {
+    val b = s.getBytes("UTF-8")
+    mightContainHash(WangHash.mixBytes(b, BloomSketch.Seed1), WangHash.mixBytes(b, BloomSketch.Seed2))
+  }
+
+  /** Observed fill ratio → expected FPR for the current state. */
+  def expectedFpp: Double = {
+    var set = 0L
+    var i = 0
+    while (i < words.length) { set += java.lang.Long.bitCount(words(i)); i += 1 }
+    math.pow(set.toDouble / numBits.toDouble, numHashes.toDouble)
+  }
+
+  def mergeInPlace(other: BloomSketch): BloomSketch = {
+    require(other.numBits == numBits && other.numHashes == numHashes,
+      "Bloom shape mismatch")
+    var i = 0
+    while (i < words.length) { words(i) |= other.words(i); i += 1 }
+    this
+  }
+
+  def serialize(): Array[Byte] = {
+    val buf = ByteBuffer.allocate(24 + 8 * words.length).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putLong(BloomSketch.Magic)
+    buf.putLong(numBits)
+    buf.putLong(numHashes.toLong)
+    buf.asLongBuffer().put(words)
+    buf.array()
+  }
+
+  override def equals(o: Any): Boolean = o match {
+    case b: BloomSketch =>
+      b.numBits == numBits && b.numHashes == numHashes &&
+        java.util.Arrays.equals(b.words, words)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Arrays.hashCode(words)
+}
+
+object BloomSketch {
+  private final val Magic = 0x314d4c4254465247L // "GRFTBLM1"
+  private[sketch] final val Seed1 = 0x9747b28cL
+  private[sketch] final val Seed2 = 0x3c6ef372L
+
+  def apply(numBits: Long = 1 << 16, numHashes: Int = 5): BloomSketch = {
+    require(numBits >= 64 && numHashes >= 1 && numHashes <= 32)
+    val roundBits = (numBits + 63) / 64 * 64
+    new BloomSketch(roundBits, numHashes, new Array[Long]((roundBits / 64).toInt))
+  }
+
+  /** Sized for expected item count and target FPR (standard formulas). */
+  def fromExpected(n: Long, fpp: Double): BloomSketch = {
+    val m = math.ceil(-n.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val k = math.max(1, math.round(m.toDouble / n.toDouble * math.log(2)).toInt)
+    apply(math.max(64, m), math.min(k, 32))
+  }
+
+  def deserialize(bytes: Array[Byte]): BloomSketch = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(buf.getLong() == Magic, "bad Bloom magic")
+    val bits = buf.getLong()
+    val k = buf.getLong().toInt
+    val words = new Array[Long]((bits / 64).toInt)
+    buf.asLongBuffer().get(words)
+    new BloomSketch(bits, k, words)
+  }
+}

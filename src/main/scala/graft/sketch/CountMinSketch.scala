@@ -1,0 +1,115 @@
+package graft.sketch
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Count-min sketch (Cormode & Muthukrishnan 2005): depth x width Long
+  * matrix, overestimate-only point queries with error ≤ εN at
+  * width = ceil(e/ε) with probability 1-δ at depth = ceil(ln 1/δ).
+  * Mergeable by element-wise sum.
+  */
+final class CountMinSketch private (
+    val depth: Int,
+    val width: Int,
+    private val table: Array[Long],
+    private var _total: Long
+) extends Serializable {
+
+  def total: Long = _total
+
+  @inline private def bucket(row: Int, h1: Long, h2: Long): Int = {
+    val h = h1 + row.toLong * h2
+    (((h % width) + width) % width).toInt
+  }
+
+  def addHash(h1: Long, h2: Long, count: Long): Unit = {
+    var r = 0
+    while (r < depth) {
+      table(r * width + bucket(r, h1, h2)) += count
+      r += 1
+    }
+    _total += count
+  }
+
+  def add(key: Long, count: Long = 1L): Unit =
+    addHash(WangHash.mix64(key, CountMinSketch.Seed1),
+      WangHash.mix64(key, CountMinSketch.Seed2), count)
+  def addString(s: String, count: Long): Unit = {
+    val b = s.getBytes("UTF-8")
+    addHash(WangHash.mixBytes(b, CountMinSketch.Seed1),
+      WangHash.mixBytes(b, CountMinSketch.Seed2), count)
+  }
+
+  def estimateHash(h1: Long, h2: Long): Long = {
+    var min = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      val v = table(r * width + bucket(r, h1, h2))
+      if (v < min) min = v
+      r += 1
+    }
+    min
+  }
+
+  def estimate(key: Long): Long =
+    estimateHash(WangHash.mix64(key, CountMinSketch.Seed1),
+      WangHash.mix64(key, CountMinSketch.Seed2))
+  def estimateString(s: String): Long = {
+    val b = s.getBytes("UTF-8")
+    estimateHash(WangHash.mixBytes(b, CountMinSketch.Seed1),
+      WangHash.mixBytes(b, CountMinSketch.Seed2))
+  }
+
+  def mergeInPlace(other: CountMinSketch): CountMinSketch = {
+    require(other.depth == depth && other.width == width,
+      s"CMS shape mismatch: ${depth}x$width vs ${other.depth}x${other.width}")
+    var i = 0
+    while (i < table.length) { table(i) += other.table(i); i += 1 }
+    _total += other._total
+    this
+  }
+
+  def serialize(): Array[Byte] = {
+    val buf = ByteBuffer.allocate(32 + 8 * table.length).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putLong(CountMinSketch.Magic)
+    buf.putLong(depth.toLong)
+    buf.putLong(width.toLong)
+    buf.putLong(_total)
+    buf.asLongBuffer().put(table)
+    buf.array()
+  }
+
+  override def equals(o: Any): Boolean = o match {
+    case c: CountMinSketch =>
+      c.depth == depth && c.width == width && c._total == _total &&
+        java.util.Arrays.equals(c.table, table)
+    case _ => false
+  }
+  override def hashCode(): Int = java.util.Arrays.hashCode(table)
+}
+
+object CountMinSketch {
+  private final val Magic = 0x31534d4354465247L // "GRFTCMS1"
+  private[sketch] final val Seed1 = 0x1b873593L
+  private[sketch] final val Seed2 = 0x5bd1e995L
+
+  def apply(depth: Int = 5, width: Int = 2048): CountMinSketch = {
+    require(depth >= 1 && depth <= 32 && width >= 8)
+    new CountMinSketch(depth, width, new Array[Long](depth * width), 0L)
+  }
+
+  /** Sized from error targets: overestimate ≤ eps*N with prob 1-delta. */
+  def fromError(eps: Double, delta: Double): CountMinSketch =
+    apply(math.ceil(math.log(1.0 / delta)).toInt,
+      math.ceil(math.E / eps).toInt)
+
+  def deserialize(bytes: Array[Byte]): CountMinSketch = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(buf.getLong() == Magic, "bad CMS magic")
+    val d = buf.getLong().toInt
+    val w = buf.getLong().toInt
+    val total = buf.getLong()
+    val table = new Array[Long](d * w)
+    buf.asLongBuffer().get(table)
+    new CountMinSketch(d, w, table, total)
+  }
+}

@@ -1,0 +1,205 @@
+package graft.sketch
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.Arrays
+
+/** Merging t-digest (Dunning & Ertl, "Computing extremely accurate
+  * quantiles using t-digests"). Centroids sized by the k1 scale function
+  * k(q) = (c / 2π)·asin(2q-1), which bounds centroid weight near the tails
+  * so extreme quantiles stay accurate. Buffered inserts amortize the merge;
+  * digests merge by feeding centroids through the same compressor, so the
+  * structure is associative-mergeable (order affects centroids slightly but
+  * quantile error stays within the t-digest bound).
+  */
+final class TDigest private (
+    val compression: Double,
+    private var means: Array[Double],
+    private var weights: Array[Double],
+    private var nCentroids: Int,
+    private var bufMeans: Array[Double],
+    private var bufWeights: Array[Double],
+    private var nBuf: Int,
+    private var _totalWeight: Double,
+    private var _min: Double,
+    private var _max: Double
+) extends Serializable {
+
+  def totalWeight: Double = { compress(); _totalWeight }
+  def min: Double = _min
+  def max: Double = _max
+  def centroidCount: Int = { compress(); nCentroids }
+
+  def add(x: Double, w: Double = 1.0): Unit = {
+    require(!x.isNaN, "cannot add NaN to t-digest")
+    if (nBuf == bufMeans.length) compress()
+    bufMeans(nBuf) = x
+    bufWeights(nBuf) = w
+    nBuf += 1
+    if (x < _min) _min = x
+    if (x > _max) _max = x
+  }
+
+  def mergeInPlace(other: TDigest): TDigest = {
+    other.compress()
+    var i = 0
+    while (i < other.nCentroids) {
+      add(other.means(i), other.weights(i))
+      i += 1
+    }
+    if (other._min < _min) _min = other._min
+    if (other._max > _max) _max = other._max
+    this
+  }
+
+  /** k1 scale function. */
+  @inline private def kScale(q: Double): Double =
+    compression / (2.0 * math.Pi) * math.asin(2.0 * math.min(1.0, math.max(0.0, q)) - 1.0)
+
+  /** Merge buffer + centroids into a fresh centroid list. */
+  def compress(): Unit = {
+    if (nBuf == 0) return
+    val n = nCentroids + nBuf
+    val ms = new Array[Double](n)
+    val ws = new Array[Double](n)
+    System.arraycopy(means, 0, ms, 0, nCentroids)
+    System.arraycopy(weights, 0, ws, 0, nCentroids)
+    System.arraycopy(bufMeans, 0, ms, nCentroids, nBuf)
+    System.arraycopy(bufWeights, 0, ws, nCentroids, nBuf)
+    // sort (mean, weight) pairs by mean
+    val idx = (0 until n).sortBy(ms(_)).toArray
+    val sm = idx.map(ms(_))
+    val sw = idx.map(ws(_))
+    val total = sw.sum
+    val outM = new Array[Double](n)
+    val outW = new Array[Double](n)
+    var out = 0
+    var curM = sm(0)
+    var curW = sw(0)
+    var wSoFar = 0.0
+    var i = 1
+    while (i < n) {
+      val proposed = curW + sw(i)
+      val q0 = wSoFar / total
+      val q2 = (wSoFar + proposed) / total
+      if (kScale(q2) - kScale(q0) <= 1.0) {
+        // absorb into current centroid (weighted mean)
+        curM = curM + (sm(i) - curM) * sw(i) / proposed
+        curW = proposed
+      } else {
+        outM(out) = curM; outW(out) = curW; out += 1
+        wSoFar += curW
+        curM = sm(i); curW = sw(i)
+      }
+      i += 1
+    }
+    outM(out) = curM; outW(out) = curW; out += 1
+    means = Arrays.copyOf(outM, out)
+    weights = Arrays.copyOf(outW, out)
+    nCentroids = out
+    nBuf = 0
+    _totalWeight = total
+  }
+
+  /** Quantile estimate at q in [0,1] via midpoint interpolation. */
+  def quantile(q: Double): Double = {
+    compress()
+    if (nCentroids == 0) return Double.NaN
+    if (nCentroids == 1) return means(0)
+    val target = q * _totalWeight
+    if (target <= weights(0) / 2.0) {
+      // interpolate between min and first centroid midpoint
+      val m0 = weights(0) / 2.0
+      return _min + (means(0) - _min) * math.max(0.0, target) / math.max(m0, 1e-12)
+    }
+    var cum = 0.0
+    var i = 0
+    while (i < nCentroids) {
+      val mid = cum + weights(i) / 2.0
+      val nextMid =
+        if (i == nCentroids - 1) _totalWeight
+        else cum + weights(i) + weights(i + 1) / 2.0
+      if (target <= nextMid) {
+        if (i == nCentroids - 1) {
+          val span = _totalWeight - mid
+          val frac = if (span <= 0) 1.0 else (target - mid) / span
+          return means(i) + (_max - means(i)) * math.min(1.0, math.max(0.0, frac))
+        } else {
+          val span = nextMid - mid
+          val frac = if (span <= 0) 0.0 else (target - mid) / span
+          return means(i) + (means(i + 1) - means(i)) * math.min(1.0, math.max(0.0, frac))
+        }
+      }
+      cum += weights(i)
+      i += 1
+    }
+    _max
+  }
+
+  /** Approximate CDF: fraction of mass ≤ x. */
+  def cdf(x: Double): Double = {
+    compress()
+    if (nCentroids == 0) return Double.NaN
+    if (x <= _min) return 0.0
+    if (x >= _max) return 1.0
+    var cum = 0.0
+    var i = 0
+    while (i < nCentroids) {
+      val m = means(i)
+      if (x < m) {
+        val prevM = if (i == 0) _min else means(i - 1)
+        val prevCum = if (i == 0) 0.0 else cum - weights(i - 1) / 2.0
+        val thisCum = cum + weights(i) / 2.0
+        val frac = if (m - prevM <= 0) 1.0 else (x - prevM) / (m - prevM)
+        return math.min(1.0, math.max(0.0, (prevCum + (thisCum - prevCum) * frac) / _totalWeight))
+      }
+      cum += weights(i)
+      i += 1
+    }
+    1.0
+  }
+
+  def serialize(): Array[Byte] = {
+    compress()
+    val buf = ByteBuffer.allocate(8 * (5 + 2 * nCentroids)).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putLong(TDigest.Magic)
+    buf.putDouble(compression)
+    buf.putLong(nCentroids.toLong)
+    buf.putDouble(_min)
+    buf.putDouble(_max)
+    var i = 0
+    while (i < nCentroids) { buf.putDouble(means(i)); buf.putDouble(weights(i)); i += 1 }
+    buf.array()
+  }
+}
+
+object TDigest {
+  private final val Magic = 0x3147445454465247L // "GRFTTDG1"
+
+  def apply(compression: Double = 100.0): TDigest = {
+    require(compression >= 20 && compression <= 10000)
+    val bufCap = math.max(64, (4 * compression).toInt)
+    new TDigest(compression, new Array[Double](0), new Array[Double](0), 0,
+      new Array[Double](bufCap), new Array[Double](bufCap), 0, 0.0,
+      Double.PositiveInfinity, Double.NegativeInfinity)
+  }
+
+  def deserialize(bytes: Array[Byte]): TDigest = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(buf.getLong() == Magic, "bad TDigest magic")
+    val compression = buf.getDouble()
+    val n = buf.getLong().toInt
+    val mn = buf.getDouble()
+    val mx = buf.getDouble()
+    val means = new Array[Double](n)
+    val weights = new Array[Double](n)
+    var i = 0
+    var total = 0.0
+    while (i < n) {
+      means(i) = buf.getDouble(); weights(i) = buf.getDouble()
+      total += weights(i); i += 1
+    }
+    val bufCap = math.max(64, (4 * compression).toInt)
+    new TDigest(compression, means, weights, n,
+      new Array[Double](bufCap), new Array[Double](bufCap), 0, total, mn, mx)
+  }
+}
