@@ -1,0 +1,163 @@
+package graft
+
+import graft.agg._
+import graft.functions._
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types.{IntegerType, LongType, DoubleType}
+
+/** SQL + Column registration for every graft sketch aggregate and probe.
+  *
+  * Use either `GraftFunctions.registerAll(spark)` (imperative) or
+  * `--conf spark.sql.extensions=graft.GraftExtensions` (declarative).
+  * The `graft.api` Column facade requires the registration to have run for
+  * the active session.
+  */
+object GraftFunctions {
+
+  private def litInt(args: Seq[Expression], i: Int, default: Int): Int =
+    if (args.length <= i) default
+    else args(i) match {
+      case Literal(v: Int, IntegerType) => v
+      case Literal(v: Long, LongType) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"argument ${i + 1} must be an integer literal, got $other")
+    }
+
+  private def litLong(args: Seq[Expression], i: Int, default: Long): Long =
+    if (args.length <= i) default
+    else args(i) match {
+      case Literal(v: Int, IntegerType) => v.toLong
+      case Literal(v: Long, LongType) => v
+      case other => throw new IllegalArgumentException(
+        s"argument ${i + 1} must be an integer literal, got $other")
+    }
+
+  private def litDouble(args: Seq[Expression], i: Int, default: Double): Double =
+    if (args.length <= i) default
+    else args(i) match {
+      case Literal(v: Int, IntegerType) => v.toDouble
+      case Literal(v: Long, LongType) => v.toDouble
+      case Literal(v: Double, DoubleType) => v
+      case other => throw new IllegalArgumentException(
+        s"argument ${i + 1} must be a numeric literal, got $other")
+    }
+
+  /** name -> builder for every function this library provides. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    // aggregates (sketch builders)
+    "cqf_agg" -> (a => CqfAgg(a.head, litInt(a, 1, 10), litInt(a, 2, 64))),
+    "cqf_merge_agg" -> (a => CqfMergeAgg(a.head)),
+    "hll_agg" -> (a => HllAgg(a.head, litInt(a, 1, 12))),
+    "hll_merge_agg" -> (a => HllMergeAgg(a.head)),
+    "cms_agg" -> (a => CmsAgg(a.head, litInt(a, 1, 5), litInt(a, 2, 2048))),
+    "cms_merge_agg" -> (a => CmsMergeAgg(a.head)),
+    "bloom_agg" -> (a => BloomAgg(a.head, litLong(a, 1, 1L << 16), litInt(a, 2, 5))),
+    "bloom_merge_agg" -> (a => BloomMergeAgg(a.head)),
+    "td_agg" -> (a => TDigestAgg(a.head, litDouble(a, 1, 100.0))),
+    "td_merge_agg" -> (a => TDigestMergeAgg(a.head)),
+    "kll_agg" -> (a => KllAgg(a.head, litInt(a, 1, 200))),
+    "kll_merge_agg" -> (a => KllMergeAgg(a.head)),
+    // probes
+    "cqf_count" -> (a => CqfCount(a(0), a(1))),
+    "cqf_contains" -> (a => CqfContains(a(0), a(1))),
+    "cqf_distinct" -> (a => CqfDistinct(a.head)),
+    "cqf_total" -> (a => CqfTotal(a.head)),
+    "cqf_stats" -> (a => CqfStats(a.head)),
+    "cqf_union" -> (a => CqfUnion(a(0), a(1))),
+    "cqf_intersect" -> (a => CqfIntersect(a(0), a(1))),
+    "cqf_diff" -> (a => CqfDiff(a(0), a(1))),
+    "cqf_items" -> (a => CqfItems(a.head)),
+    "hll_estimate" -> (a => HllEstimate(a.head)),
+    "hll_union" -> (a => HllUnion(a(0), a(1))),
+    "cms_estimate" -> (a => CmsEstimate(a(0), a(1))),
+    "cms_total" -> (a => CmsTotal(a.head)),
+    "cms_union" -> (a => CmsUnion(a(0), a(1))),
+    "td_quantile" -> (a => TdQuantile(a(0), a(1))),
+    "td_cdf" -> (a => TdCdf(a(0), a(1))),
+    "td_union" -> (a => TdUnion(a(0), a(1))),
+    "kll_quantile" -> (a => KllQuantile(a(0), a(1))),
+    "kll_rank" -> (a => KllRank(a(0), a(1))),
+    "kll_n" -> (a => KllN(a.head)),
+    "kll_union" -> (a => KllUnion(a(0), a(1))),
+    "bloom_might_contain" -> (a => BloomMightContain(a(0), a(1))),
+    "bloom_fpp" -> (a => BloomFpp(a.head)),
+    "bloom_union" -> (a => BloomUnion(a(0), a(1))),
+    "wang_hash" -> (a => WangHashExpr(a(0), if (a.length > 1) a(1) else Literal(64))),
+    "wang_unhash" -> (a => WangUnhashExpr(a(0), if (a.length > 1) a(1) else Literal(64)))
+  )
+
+  def registerAll(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    builders.foreach { case (name, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+  }
+}
+
+/** `--conf spark.sql.extensions=graft.GraftExtensions` */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    GraftFunctions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[GraftExtensions].getName, name),
+        builder))
+    }
+  }
+}
+
+/** Column facade (requires GraftFunctions.registerAll on the session). */
+object api {
+  // aggregates
+  def cqf_agg(col: Column, quotientBits: Int = 10, hashBits: Int = 64): Column =
+    call_function("cqf_agg", col, lit(quotientBits), lit(hashBits))
+  def cqf_merge_agg(col: Column): Column = call_function("cqf_merge_agg", col)
+  def hll_agg(col: Column, p: Int = 12): Column =
+    call_function("hll_agg", col, lit(p))
+  def hll_merge_agg(col: Column): Column = call_function("hll_merge_agg", col)
+  def cms_agg(col: Column, depth: Int = 5, width: Int = 2048): Column =
+    call_function("cms_agg", col, lit(depth), lit(width))
+  def cms_merge_agg(col: Column): Column = call_function("cms_merge_agg", col)
+  def bloom_agg(col: Column, numBits: Long = 1L << 16, numHashes: Int = 5): Column =
+    call_function("bloom_agg", col, lit(numBits), lit(numHashes))
+  def bloom_merge_agg(col: Column): Column = call_function("bloom_merge_agg", col)
+  def td_agg(col: Column, compression: Double = 100.0): Column =
+    call_function("td_agg", col, lit(compression))
+  def td_merge_agg(col: Column): Column = call_function("td_merge_agg", col)
+  def kll_agg(col: Column, k: Int = 200): Column =
+    call_function("kll_agg", col, lit(k))
+  def kll_merge_agg(col: Column): Column = call_function("kll_merge_agg", col)
+  // probes
+  def cqf_count(sketch: Column, key: Column): Column = call_function("cqf_count", sketch, key)
+  def cqf_contains(sketch: Column, key: Column): Column = call_function("cqf_contains", sketch, key)
+  def cqf_distinct(sketch: Column): Column = call_function("cqf_distinct", sketch)
+  def cqf_total(sketch: Column): Column = call_function("cqf_total", sketch)
+  def cqf_stats(sketch: Column): Column = call_function("cqf_stats", sketch)
+  def cqf_union(a: Column, b: Column): Column = call_function("cqf_union", a, b)
+  def cqf_intersect(a: Column, b: Column): Column = call_function("cqf_intersect", a, b)
+  def cqf_diff(a: Column, b: Column): Column = call_function("cqf_diff", a, b)
+  def cqf_items(sketch: Column): Column = call_function("cqf_items", sketch)
+  def hll_estimate(sketch: Column): Column = call_function("hll_estimate", sketch)
+  def hll_union(a: Column, b: Column): Column = call_function("hll_union", a, b)
+  def cms_estimate(sketch: Column, key: Column): Column = call_function("cms_estimate", sketch, key)
+  def cms_total(sketch: Column): Column = call_function("cms_total", sketch)
+  def cms_union(a: Column, b: Column): Column = call_function("cms_union", a, b)
+  def td_quantile(sketch: Column, q: Column): Column = call_function("td_quantile", sketch, q)
+  def td_cdf(sketch: Column, x: Column): Column = call_function("td_cdf", sketch, x)
+  def td_union(a: Column, b: Column): Column = call_function("td_union", a, b)
+  def kll_quantile(sketch: Column, q: Column): Column = call_function("kll_quantile", sketch, q)
+  def kll_rank(sketch: Column, x: Column): Column = call_function("kll_rank", sketch, x)
+  def kll_n(sketch: Column): Column = call_function("kll_n", sketch)
+  def kll_union(a: Column, b: Column): Column = call_function("kll_union", a, b)
+  def bloom_might_contain(sketch: Column, key: Column): Column =
+    call_function("bloom_might_contain", sketch, key)
+  def bloom_fpp(sketch: Column): Column = call_function("bloom_fpp", sketch)
+  def bloom_union(a: Column, b: Column): Column = call_function("bloom_union", a, b)
+  def wang_hash(key: Column, bits: Int = 64): Column =
+    call_function("wang_hash", key, lit(bits))
+  def wang_unhash(hash: Column, bits: Int = 64): Column =
+    call_function("wang_unhash", hash, lit(bits))
+}

@@ -1,0 +1,432 @@
+package graft.agg
+
+import graft.sketch._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst TypedImperativeAggregate layer for the graft sketches.
+  *
+  * Design (SURVEY.md §3.4): each sketch kernel is the aggregation buffer —
+  * the partial-aggregation split Catalyst applies to ObjectHashAggregateExec
+  * gives per-partition kernels updated in place (the reference's insert hot
+  * path, /root/reference/src/cqf/u64_cqf.rs:194-261), serialized once at
+  * shuffle, then kernel-merged on the final side (the reference's sorted
+  * merge, /root/reference/src/cqf.rs:218-334). `tokens: array<int>` inputs
+  * are consumed element-wise from ArrayData — explode-free, single pass.
+  *
+  * Every aggregate outputs sketch BYTES (BinaryType) so states compose
+  * across queries; the probe expressions in graft.functions read them.
+  */
+abstract class SketchAggBase[S >: Null <: AnyRef]
+    extends TypedImperativeAggregate[S] {
+
+  def child: Expression
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  /** Built once from the child's data type: feeds one non-null input value
+    * (scalar or array) to the kernel without per-row type dispatch. */
+  @transient protected lazy val updater: (S, Any) => Unit = makeUpdater
+
+  protected def makeUpdater: (S, Any) => Unit
+
+  final override def update(buffer: S, input: InternalRow): S = {
+    val v = child.eval(input)
+    if (v != null) updater(buffer, v)
+    buffer
+  }
+
+  /** Helper for key-style sketches (CQF/HLL/CMS/Bloom): dispatch int-ish,
+    * string, and array-of-int-ish child types onto two kernel callbacks. */
+  protected final def keyedUpdater(
+      insertLong: (S, Long) => Unit,
+      insertBytes: (S, Array[Byte]) => Unit): (S, Any) => Unit =
+    child.dataType match {
+      case ByteType => (s, v) => insertLong(s, v.asInstanceOf[Byte].toLong)
+      case ShortType => (s, v) => insertLong(s, v.asInstanceOf[Short].toLong)
+      case IntegerType => (s, v) => insertLong(s, v.asInstanceOf[Int].toLong)
+      case LongType => (s, v) => insertLong(s, v.asInstanceOf[Long])
+      case StringType =>
+        (s, v) => insertBytes(s, v.asInstanceOf[UTF8String].getBytes)
+      case BinaryType =>
+        (s, v) => insertBytes(s, v.asInstanceOf[Array[Byte]])
+      case ArrayType(et, _) =>
+        val get: (ArrayData, Int) => Long = et match {
+          case ByteType => (a, i) => a.getByte(i).toLong
+          case ShortType => (a, i) => a.getShort(i).toLong
+          case IntegerType => (a, i) => a.getInt(i).toLong
+          case LongType => (a, i) => a.getLong(i)
+          case other => throw new IllegalStateException(
+            s"$prettyName: unsupported array element type $other")
+        }
+        (s, v) => {
+          val a = v.asInstanceOf[ArrayData]
+          val n = a.numElements()
+          var i = 0
+          while (i < n) {
+            if (!a.isNullAt(i)) insertLong(s, get(a, i))
+            i += 1
+          }
+        }
+      case other => throw new IllegalStateException(
+        s"$prettyName: unsupported input type $other")
+    }
+
+  /** Helper for value-style sketches (t-digest/KLL): numeric scalars or
+    * arrays of numerics. */
+  protected final def numericUpdater(add: (S, Double) => Unit): (S, Any) => Unit =
+    child.dataType match {
+      case ByteType => (s, v) => add(s, v.asInstanceOf[Byte].toDouble)
+      case ShortType => (s, v) => add(s, v.asInstanceOf[Short].toDouble)
+      case IntegerType => (s, v) => add(s, v.asInstanceOf[Int].toDouble)
+      case LongType => (s, v) => add(s, v.asInstanceOf[Long].toDouble)
+      case FloatType => (s, v) => add(s, v.asInstanceOf[Float].toDouble)
+      case DoubleType => (s, v) => add(s, v.asInstanceOf[Double])
+      case _: DecimalType => (s, v) => add(s, v.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble)
+      case ArrayType(et, _) =>
+        val get: (ArrayData, Int) => Double = et match {
+          case ByteType => (a, i) => a.getByte(i).toDouble
+          case ShortType => (a, i) => a.getShort(i).toDouble
+          case IntegerType => (a, i) => a.getInt(i).toDouble
+          case LongType => (a, i) => a.getLong(i).toDouble
+          case FloatType => (a, i) => a.getFloat(i).toDouble
+          case DoubleType => (a, i) => a.getDouble(i)
+          case other => throw new IllegalStateException(
+            s"$prettyName: unsupported array element type $other")
+        }
+        (s, v) => {
+          val a = v.asInstanceOf[ArrayData]
+          val n = a.numElements()
+          var i = 0
+          while (i < n) {
+            if (!a.isNullAt(i)) add(s, get(a, i))
+            i += 1
+          }
+        }
+      case other => throw new IllegalStateException(
+        s"$prettyName: unsupported input type $other")
+    }
+
+  protected final def checkKeyedInput: TypeCheckResult = child.dataType match {
+    case ByteType | ShortType | IntegerType | LongType | StringType | BinaryType =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(ByteType | ShortType | IntegerType | LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an integral/string column or array thereof, got $other")
+  }
+
+  protected final def checkNumericInput: TypeCheckResult = child.dataType match {
+    case _: NumericType => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(_: NumericType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a numeric column or array thereof, got $other")
+  }
+}
+
+/** Base for *_merge_agg: aggregates a BinaryType column of serialized
+  * sketches by kernel merge — the second stage of salted/two-level builds
+  * and of checkpoint resume. */
+abstract class SketchMergeAggBase[S >: Null <: AnyRef]
+    extends TypedImperativeAggregate[S] {
+  def child: Expression
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  protected def fromBytes(bytes: Array[Byte]): S
+  protected def mergeKernels(a: S, b: S): S
+
+  final override def update(buffer: S, input: InternalRow): S = {
+    val v = child.eval(input)
+    if (v == null) buffer
+    else mergeKernels(buffer, fromBytes(v.asInstanceOf[Array[Byte]]))
+  }
+  final override def merge(a: S, b: S): S = mergeKernels(a, b)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary sketch column, got $other")
+  }
+}
+
+// ---------------------------------------------------------------- CQF
+
+case class CqfAgg(
+    child: Expression,
+    quotientBits: Int = 10,
+    hashBits: Int = 64,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends SketchAggBase[Cqf] {
+  override def prettyName: String = "cqf_agg"
+  override def createAggregationBuffer(): Cqf = {
+    val invertible = child.dataType match {
+      case StringType | BinaryType => false
+      case _ => true
+    }
+    Cqf(quotientBits, hashBits, invertible)
+  }
+  protected def makeUpdater: (Cqf, Any) => Unit =
+    keyedUpdater((s, k) => s.insert(k), (s, b) => s.insertBytes(b))
+  override def merge(a: Cqf, b: Cqf): Cqf = a.mergeInPlace(b)
+  override def eval(buffer: Cqf): Any = buffer.serialize()
+  override def serialize(buffer: Cqf): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): Cqf = Cqf.deserialize(bytes)
+  override def checkInputDataTypes(): TypeCheckResult = checkKeyedInput
+  override def withNewMutableAggBufferOffset(o: Int): CqfAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CqfAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): CqfAgg =
+    copy(child = c.head)
+}
+
+case class CqfMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends SketchMergeAggBase[Cqf] {
+  override def prettyName: String = "cqf_merge_agg"
+  override def createAggregationBuffer(): Cqf = null
+  protected def fromBytes(bytes: Array[Byte]): Cqf = Cqf.deserialize(bytes)
+  protected def mergeKernels(a: Cqf, b: Cqf): Cqf =
+    if (a == null) b else if (b == null) a else a.mergeInPlace(b)
+  override def eval(buffer: Cqf): Any =
+    (if (buffer == null) Cqf(4, 64) else buffer).serialize()
+  override def serialize(buffer: Cqf): Array[Byte] =
+    (if (buffer == null) Cqf(4, 64) else buffer).serialize()
+  override def deserialize(bytes: Array[Byte]): Cqf = Cqf.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): CqfMergeAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CqfMergeAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): CqfMergeAgg =
+    copy(child = c.head)
+}
+
+// ---------------------------------------------------------------- HLL
+
+case class HllAgg(
+    child: Expression,
+    p: Int = 12,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends SketchAggBase[HllSketch] {
+  override def prettyName: String = "hll_agg"
+  override def createAggregationBuffer(): HllSketch = HllSketch(p)
+  protected def makeUpdater: (HllSketch, Any) => Unit =
+    keyedUpdater((s, k) => s.add(k),
+      (s, b) => s.addHash(WangHash.mixBytes(b, HllSketch.Seed)))
+  override def merge(a: HllSketch, b: HllSketch): HllSketch = a.mergeInPlace(b)
+  override def eval(buffer: HllSketch): Any = buffer.serialize()
+  override def serialize(buffer: HllSketch): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): HllSketch = HllSketch.deserialize(bytes)
+  override def checkInputDataTypes(): TypeCheckResult = checkKeyedInput
+  override def withNewMutableAggBufferOffset(o: Int): HllAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): HllAgg =
+    copy(child = c.head)
+}
+
+case class HllMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends SketchMergeAggBase[HllSketch] {
+  override def prettyName: String = "hll_merge_agg"
+  override def createAggregationBuffer(): HllSketch = null
+  protected def fromBytes(bytes: Array[Byte]): HllSketch = HllSketch.deserialize(bytes)
+  protected def mergeKernels(a: HllSketch, b: HllSketch): HllSketch =
+    if (a == null) b else if (b == null) a else a.mergeInPlace(b)
+  override def eval(buffer: HllSketch): Any =
+    (if (buffer == null) HllSketch() else buffer).serialize()
+  override def serialize(buffer: HllSketch): Array[Byte] =
+    (if (buffer == null) HllSketch() else buffer).serialize()
+  override def deserialize(bytes: Array[Byte]): HllSketch = HllSketch.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): HllMergeAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllMergeAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): HllMergeAgg =
+    copy(child = c.head)
+}
+
+// ---------------------------------------------------------------- CMS
+
+case class CmsAgg(
+    child: Expression,
+    depth: Int = 5,
+    width: Int = 2048,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends SketchAggBase[CountMinSketch] {
+  override def prettyName: String = "cms_agg"
+  override def createAggregationBuffer(): CountMinSketch = CountMinSketch(depth, width)
+  protected def makeUpdater: (CountMinSketch, Any) => Unit =
+    keyedUpdater((s, k) => s.add(k),
+      (s, b) => s.addHash(WangHash.mixBytes(b, CountMinSketch.Seed1),
+        WangHash.mixBytes(b, CountMinSketch.Seed2), 1L))
+  override def merge(a: CountMinSketch, b: CountMinSketch): CountMinSketch = a.mergeInPlace(b)
+  override def eval(buffer: CountMinSketch): Any = buffer.serialize()
+  override def serialize(buffer: CountMinSketch): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): CountMinSketch = CountMinSketch.deserialize(bytes)
+  override def checkInputDataTypes(): TypeCheckResult = checkKeyedInput
+  override def withNewMutableAggBufferOffset(o: Int): CmsAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CmsAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): CmsAgg =
+    copy(child = c.head)
+}
+
+case class CmsMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends SketchMergeAggBase[CountMinSketch] {
+  override def prettyName: String = "cms_merge_agg"
+  override def createAggregationBuffer(): CountMinSketch = null
+  protected def fromBytes(bytes: Array[Byte]): CountMinSketch = CountMinSketch.deserialize(bytes)
+  protected def mergeKernels(a: CountMinSketch, b: CountMinSketch): CountMinSketch =
+    if (a == null) b else if (b == null) a else a.mergeInPlace(b)
+  override def eval(buffer: CountMinSketch): Any =
+    (if (buffer == null) CountMinSketch() else buffer).serialize()
+  override def serialize(buffer: CountMinSketch): Array[Byte] =
+    (if (buffer == null) CountMinSketch() else buffer).serialize()
+  override def deserialize(bytes: Array[Byte]): CountMinSketch = CountMinSketch.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): CmsMergeAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CmsMergeAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): CmsMergeAgg =
+    copy(child = c.head)
+}
+
+// ---------------------------------------------------------------- Bloom
+
+case class BloomAgg(
+    child: Expression,
+    numBits: Long = 1L << 16,
+    numHashes: Int = 5,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends SketchAggBase[BloomSketch] {
+  override def prettyName: String = "bloom_agg"
+  override def createAggregationBuffer(): BloomSketch = BloomSketch(numBits, numHashes)
+  protected def makeUpdater: (BloomSketch, Any) => Unit =
+    keyedUpdater((s, k) => s.add(k),
+      (s, b) => s.addHash(WangHash.mixBytes(b, BloomSketch.Seed1),
+        WangHash.mixBytes(b, BloomSketch.Seed2)))
+  override def merge(a: BloomSketch, b: BloomSketch): BloomSketch = a.mergeInPlace(b)
+  override def eval(buffer: BloomSketch): Any = buffer.serialize()
+  override def serialize(buffer: BloomSketch): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): BloomSketch = BloomSketch.deserialize(bytes)
+  override def checkInputDataTypes(): TypeCheckResult = checkKeyedInput
+  override def withNewMutableAggBufferOffset(o: Int): BloomAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BloomAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): BloomAgg =
+    copy(child = c.head)
+}
+
+case class BloomMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends SketchMergeAggBase[BloomSketch] {
+  override def prettyName: String = "bloom_merge_agg"
+  override def createAggregationBuffer(): BloomSketch = null
+  protected def fromBytes(bytes: Array[Byte]): BloomSketch = BloomSketch.deserialize(bytes)
+  protected def mergeKernels(a: BloomSketch, b: BloomSketch): BloomSketch =
+    if (a == null) b else if (b == null) a else a.mergeInPlace(b)
+  override def eval(buffer: BloomSketch): Any =
+    (if (buffer == null) BloomSketch() else buffer).serialize()
+  override def serialize(buffer: BloomSketch): Array[Byte] =
+    (if (buffer == null) BloomSketch() else buffer).serialize()
+  override def deserialize(bytes: Array[Byte]): BloomSketch = BloomSketch.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): BloomMergeAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BloomMergeAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): BloomMergeAgg =
+    copy(child = c.head)
+}
+
+// ---------------------------------------------------------------- t-digest
+
+case class TDigestAgg(
+    child: Expression,
+    compression: Double = 100.0,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends SketchAggBase[TDigest] {
+  override def prettyName: String = "td_agg"
+  override def createAggregationBuffer(): TDigest = TDigest(compression)
+  protected def makeUpdater: (TDigest, Any) => Unit = numericUpdater((s, x) => s.add(x))
+  override def merge(a: TDigest, b: TDigest): TDigest = a.mergeInPlace(b)
+  override def eval(buffer: TDigest): Any = buffer.serialize()
+  override def serialize(buffer: TDigest): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): TDigest = TDigest.deserialize(bytes)
+  override def checkInputDataTypes(): TypeCheckResult = checkNumericInput
+  override def withNewMutableAggBufferOffset(o: Int): TDigestAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TDigestAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): TDigestAgg =
+    copy(child = c.head)
+}
+
+case class TDigestMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends SketchMergeAggBase[TDigest] {
+  override def prettyName: String = "td_merge_agg"
+  override def createAggregationBuffer(): TDigest = null
+  protected def fromBytes(bytes: Array[Byte]): TDigest = TDigest.deserialize(bytes)
+  protected def mergeKernels(a: TDigest, b: TDigest): TDigest =
+    if (a == null) b else if (b == null) a else a.mergeInPlace(b)
+  override def eval(buffer: TDigest): Any =
+    (if (buffer == null) TDigest() else buffer).serialize()
+  override def serialize(buffer: TDigest): Array[Byte] =
+    (if (buffer == null) TDigest() else buffer).serialize()
+  override def deserialize(bytes: Array[Byte]): TDigest = TDigest.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): TDigestMergeAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TDigestMergeAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): TDigestMergeAgg =
+    copy(child = c.head)
+}
+
+// ---------------------------------------------------------------- KLL
+
+case class KllAgg(
+    child: Expression,
+    k: Int = 200,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends SketchAggBase[KllSketch] {
+  override def prettyName: String = "kll_agg"
+  override def createAggregationBuffer(): KllSketch = KllSketch(k)
+  protected def makeUpdater: (KllSketch, Any) => Unit = numericUpdater((s, x) => s.add(x))
+  override def merge(a: KllSketch, b: KllSketch): KllSketch = a.mergeInPlace(b)
+  override def eval(buffer: KllSketch): Any = buffer.serialize()
+  override def serialize(buffer: KllSketch): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): KllSketch = KllSketch.deserialize(bytes)
+  override def checkInputDataTypes(): TypeCheckResult = checkNumericInput
+  override def withNewMutableAggBufferOffset(o: Int): KllAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): KllAgg =
+    copy(child = c.head)
+}
+
+case class KllMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends SketchMergeAggBase[KllSketch] {
+  override def prettyName: String = "kll_merge_agg"
+  override def createAggregationBuffer(): KllSketch = null
+  protected def fromBytes(bytes: Array[Byte]): KllSketch = KllSketch.deserialize(bytes)
+  protected def mergeKernels(a: KllSketch, b: KllSketch): KllSketch =
+    if (a == null) b else if (b == null) a else a.mergeInPlace(b)
+  override def eval(buffer: KllSketch): Any =
+    (if (buffer == null) KllSketch() else buffer).serialize()
+  override def serialize(buffer: KllSketch): Array[Byte] =
+    (if (buffer == null) KllSketch() else buffer).serialize()
+  override def deserialize(bytes: Array[Byte]): KllSketch = KllSketch.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): KllMergeAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllMergeAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): KllMergeAgg =
+    copy(child = c.head)
+}

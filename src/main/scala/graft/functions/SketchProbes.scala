@@ -1,0 +1,401 @@
+package graft.functions
+
+import graft.sketch._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Scalar probe expressions over serialized sketch bytes — the Spark
+  * counterparts of the reference's query/stat entry points
+  * (query: /root/reference/src/cqf/u64_cqf.rs:263-293, stats getters
+  * :330-359, set ops over the zipped iterator /root/reference/src/cqf.rs:499-549).
+  *
+  * Each expression memoizes the last deserialized sketch by byte-array
+  * identity: the dominant pattern probes one (or a few) sketch rows with
+  * many keys, so the parse cost amortizes to zero.
+  */
+private[functions] trait SketchCache[S <: AnyRef] {
+  @transient private var lastBytes: Array[Byte] = _
+  @transient private var lastSketch: S = _
+  protected def parse(bytes: Array[Byte]): S
+  protected final def cached(bytes: Array[Byte]): S = {
+    if (!(bytes eq lastBytes)) {
+      lastSketch = parse(bytes)
+      lastBytes = bytes
+    }
+    lastSketch
+  }
+}
+
+private[functions] object KeyConv {
+  /** Build a converter from a key expression's type to the canonical Long
+    * key, or null-marker for byte-keys. */
+  def toLong(dt: DataType): Any => Long = dt match {
+    case ByteType => v => v.asInstanceOf[Byte].toLong
+    case ShortType => v => v.asInstanceOf[Short].toLong
+    case IntegerType => v => v.asInstanceOf[Int].toLong
+    case LongType => v => v.asInstanceOf[Long]
+    case other => throw new IllegalArgumentException(s"unsupported key type $other")
+  }
+  def isBytesKey(dt: DataType): Boolean = dt == StringType || dt == BinaryType
+  def toBytes(v: Any, dt: DataType): Array[Byte] = dt match {
+    case StringType => v.asInstanceOf[UTF8String].getBytes
+    case BinaryType => v.asInstanceOf[Array[Byte]]
+    case other => throw new IllegalArgumentException(s"unsupported key type $other")
+  }
+  def checkKey(dt: DataType, fn: String): Unit = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType | BinaryType => ()
+    case other => throw new IllegalArgumentException(
+      s"$fn: key must be integral or string, got $other")
+  }
+}
+
+// ------------------------------------------------------------------ CQF
+
+case class CqfCount(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with SketchCache[Cqf] {
+  override def prettyName: String = "cqf_count"
+  override def dataType: DataType = LongType
+  protected def parse(bytes: Array[Byte]): Cqf = Cqf.deserialize(bytes)
+  override def nullSafeEval(sk: Any, key: Any): Any = {
+    val cqf = cached(sk.asInstanceOf[Array[Byte]])
+    if (KeyConv.isBytesKey(right.dataType))
+      cqf.countBytes(KeyConv.toBytes(key, right.dataType))
+    else cqf.count(KeyConv.toLong(right.dataType)(key))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CqfCount =
+    copy(left = l, right = r)
+}
+
+case class CqfContains(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with SketchCache[Cqf] {
+  override def prettyName: String = "cqf_contains"
+  override def dataType: DataType = BooleanType
+  protected def parse(bytes: Array[Byte]): Cqf = Cqf.deserialize(bytes)
+  override def nullSafeEval(sk: Any, key: Any): Any = {
+    val cqf = cached(sk.asInstanceOf[Array[Byte]])
+    val c =
+      if (KeyConv.isBytesKey(right.dataType))
+        cqf.countBytes(KeyConv.toBytes(key, right.dataType))
+      else cqf.count(KeyConv.toLong(right.dataType)(key))
+    c > 0
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CqfContains =
+    copy(left = l, right = r)
+}
+
+case class CqfDistinct(child: Expression)
+    extends UnaryExpression with CodegenFallback with SketchCache[Cqf] {
+  override def prettyName: String = "cqf_distinct"
+  override def dataType: DataType = LongType
+  protected def parse(bytes: Array[Byte]): Cqf = Cqf.deserialize(bytes)
+  override def nullSafeEval(sk: Any): Any =
+    cached(sk.asInstanceOf[Array[Byte]]).distinctCount
+  override protected def withNewChildInternal(c: Expression): CqfDistinct = copy(child = c)
+}
+
+case class CqfTotal(child: Expression)
+    extends UnaryExpression with CodegenFallback with SketchCache[Cqf] {
+  override def prettyName: String = "cqf_total"
+  override def dataType: DataType = LongType
+  protected def parse(bytes: Array[Byte]): Cqf = Cqf.deserialize(bytes)
+  override def nullSafeEval(sk: Any): Any =
+    cached(sk.asInstanceOf[Array[Byte]]).totalCount
+  override protected def withNewChildInternal(c: Expression): CqfTotal = copy(child = c)
+}
+
+case class CqfStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "cqf_stats"
+  override def dataType: DataType = CqfStats.schema
+  override def nullSafeEval(sk: Any): Any = {
+    val c = Cqf.deserialize(sk.asInstanceOf[Array[Byte]])
+    InternalRow(c.quotientBits, c.hashBits, c.occupiedSlots, c.numSlots,
+      c.maxOccupiedSlots, c.sizeBytes, c.distinctCount, c.totalCount, c.invertible)
+  }
+  override protected def withNewChildInternal(c: Expression): CqfStats = copy(child = c)
+}
+object CqfStats {
+  val schema: StructType = new StructType()
+    .add("quotient_bits", IntegerType).add("hash_bits", IntegerType)
+    .add("occupied_slots", LongType).add("num_slots", LongType)
+    .add("max_occupied_slots", LongType).add("size_bytes", LongType)
+    .add("distinct_keys", LongType).add("total_count", LongType)
+    .add("invertible", BooleanType)
+}
+
+case class CqfUnion(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "cqf_union"
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Cqf.deserialize(a.asInstanceOf[Array[Byte]])
+      .mergeInPlace(Cqf.deserialize(b.asInstanceOf[Array[Byte]]))
+      .serialize()
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CqfUnion =
+    copy(left = l, right = r)
+}
+
+case class CqfIntersect(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "cqf_intersect"
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Cqf.deserialize(a.asInstanceOf[Array[Byte]])
+      .intersect(Cqf.deserialize(b.asInstanceOf[Array[Byte]]))
+      .serialize()
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CqfIntersect =
+    copy(left = l, right = r)
+}
+
+case class CqfDiff(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "cqf_diff"
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Cqf.deserialize(a.asInstanceOf[Array[Byte]])
+      .diff(Cqf.deserialize(b.asInstanceOf[Array[Byte]]))
+      .serialize()
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CqfDiff =
+    copy(left = l, right = r)
+}
+
+/** UDTF enumerating a CQF: rows (hash, key, count) in ascending hash order;
+  * `key` is recovered through the inverse Wang hash when the sketch was
+  * built invertibly, else null (the reference's consuming iterator + key
+  * recovery, /root/reference/src/cqf/u64_cqf.rs:559-600 +
+  * /root/reference/src/reversible_hasher.rs:16-51).
+  */
+case class CqfItems(child: Expression)
+    extends UnaryExpression with Generator with CodegenFallback {
+  override def prettyName: String = "cqf_items"
+  override def elementSchema: StructType = new StructType()
+    .add("hash", LongType, nullable = false)
+    .add("key", LongType, nullable = true)
+    .add("count", LongType, nullable = false)
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Nil
+    else {
+      val cqf = Cqf.deserialize(v.asInstanceOf[Array[Byte]])
+      val inv = cqf.invertible
+      val bits = cqf.hashBits
+      cqf.iterator.map { case (h, c) =>
+        InternalRow(h, if (inv) WangHash.unhash(h, bits) else null, c)
+      }
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): CqfItems = copy(child = c)
+}
+
+// ------------------------------------------------------------------ HLL
+
+case class HllEstimate(child: Expression)
+    extends UnaryExpression with CodegenFallback with SketchCache[HllSketch] {
+  override def prettyName: String = "hll_estimate"
+  override def dataType: DataType = LongType
+  protected def parse(bytes: Array[Byte]): HllSketch = HllSketch.deserialize(bytes)
+  override def nullSafeEval(sk: Any): Any =
+    cached(sk.asInstanceOf[Array[Byte]]).cardinality
+  override protected def withNewChildInternal(c: Expression): HllEstimate = copy(child = c)
+}
+
+case class HllUnion(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "hll_union"
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HllSketch.deserialize(a.asInstanceOf[Array[Byte]])
+      .mergeInPlace(HllSketch.deserialize(b.asInstanceOf[Array[Byte]]))
+      .serialize()
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HllUnion =
+    copy(left = l, right = r)
+}
+
+// ------------------------------------------------------------------ CMS
+
+case class CmsEstimate(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with SketchCache[CountMinSketch] {
+  override def prettyName: String = "cms_estimate"
+  override def dataType: DataType = LongType
+  protected def parse(bytes: Array[Byte]): CountMinSketch = CountMinSketch.deserialize(bytes)
+  override def nullSafeEval(sk: Any, key: Any): Any = {
+    val cms = cached(sk.asInstanceOf[Array[Byte]])
+    if (KeyConv.isBytesKey(right.dataType)) {
+      val b = KeyConv.toBytes(key, right.dataType)
+      cms.estimateHash(WangHash.mixBytes(b, CountMinSketch.Seed1),
+        WangHash.mixBytes(b, CountMinSketch.Seed2))
+    } else cms.estimate(KeyConv.toLong(right.dataType)(key))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CmsEstimate =
+    copy(left = l, right = r)
+}
+
+case class CmsTotal(child: Expression)
+    extends UnaryExpression with CodegenFallback with SketchCache[CountMinSketch] {
+  override def prettyName: String = "cms_total"
+  override def dataType: DataType = LongType
+  protected def parse(bytes: Array[Byte]): CountMinSketch = CountMinSketch.deserialize(bytes)
+  override def nullSafeEval(sk: Any): Any =
+    cached(sk.asInstanceOf[Array[Byte]]).total
+  override protected def withNewChildInternal(c: Expression): CmsTotal = copy(child = c)
+}
+
+case class CmsUnion(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "cms_union"
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CountMinSketch.deserialize(a.asInstanceOf[Array[Byte]])
+      .mergeInPlace(CountMinSketch.deserialize(b.asInstanceOf[Array[Byte]]))
+      .serialize()
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CmsUnion =
+    copy(left = l, right = r)
+}
+
+// ------------------------------------------------------------------ t-digest
+
+case class TdQuantile(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with SketchCache[TDigest] {
+  override def prettyName: String = "td_quantile"
+  override def dataType: DataType = DoubleType
+  protected def parse(bytes: Array[Byte]): TDigest = TDigest.deserialize(bytes)
+  override def nullSafeEval(sk: Any, q: Any): Any =
+    cached(sk.asInstanceOf[Array[Byte]]).quantile(q.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TdQuantile =
+    copy(left = l, right = r)
+}
+
+case class TdCdf(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with SketchCache[TDigest] {
+  override def prettyName: String = "td_cdf"
+  override def dataType: DataType = DoubleType
+  protected def parse(bytes: Array[Byte]): TDigest = TDigest.deserialize(bytes)
+  override def nullSafeEval(sk: Any, x: Any): Any =
+    cached(sk.asInstanceOf[Array[Byte]]).cdf(x.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TdCdf =
+    copy(left = l, right = r)
+}
+
+case class TdUnion(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "td_union"
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TDigest.deserialize(a.asInstanceOf[Array[Byte]])
+      .mergeInPlace(TDigest.deserialize(b.asInstanceOf[Array[Byte]]))
+      .serialize()
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): TdUnion =
+    copy(left = l, right = r)
+}
+
+// ------------------------------------------------------------------ KLL
+
+case class KllQuantile(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with SketchCache[KllSketch] {
+  override def prettyName: String = "kll_quantile"
+  override def dataType: DataType = DoubleType
+  protected def parse(bytes: Array[Byte]): KllSketch = KllSketch.deserialize(bytes)
+  override def nullSafeEval(sk: Any, q: Any): Any =
+    cached(sk.asInstanceOf[Array[Byte]]).quantile(q.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): KllQuantile =
+    copy(left = l, right = r)
+}
+
+case class KllRank(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with SketchCache[KllSketch] {
+  override def prettyName: String = "kll_rank"
+  override def dataType: DataType = LongType
+  protected def parse(bytes: Array[Byte]): KllSketch = KllSketch.deserialize(bytes)
+  override def nullSafeEval(sk: Any, x: Any): Any =
+    cached(sk.asInstanceOf[Array[Byte]]).rank(x.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): KllRank =
+    copy(left = l, right = r)
+}
+
+case class KllN(child: Expression)
+    extends UnaryExpression with CodegenFallback with SketchCache[KllSketch] {
+  override def prettyName: String = "kll_n"
+  override def dataType: DataType = LongType
+  protected def parse(bytes: Array[Byte]): KllSketch = KllSketch.deserialize(bytes)
+  override def nullSafeEval(sk: Any): Any = cached(sk.asInstanceOf[Array[Byte]]).n
+  override protected def withNewChildInternal(c: Expression): KllN = copy(child = c)
+}
+
+case class KllUnion(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "kll_union"
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    KllSketch.deserialize(a.asInstanceOf[Array[Byte]])
+      .mergeInPlace(KllSketch.deserialize(b.asInstanceOf[Array[Byte]]))
+      .serialize()
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): KllUnion =
+    copy(left = l, right = r)
+}
+
+// ------------------------------------------------------------------ Bloom
+
+case class BloomMightContain(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with SketchCache[BloomSketch] {
+  override def prettyName: String = "bloom_might_contain"
+  override def dataType: DataType = BooleanType
+  protected def parse(bytes: Array[Byte]): BloomSketch = BloomSketch.deserialize(bytes)
+  override def nullSafeEval(sk: Any, key: Any): Any = {
+    val bloom = cached(sk.asInstanceOf[Array[Byte]])
+    if (KeyConv.isBytesKey(right.dataType)) {
+      val b = KeyConv.toBytes(key, right.dataType)
+      bloom.mightContainHash(WangHash.mixBytes(b, BloomSketch.Seed1),
+        WangHash.mixBytes(b, BloomSketch.Seed2))
+    } else bloom.mightContain(KeyConv.toLong(right.dataType)(key))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomMightContain =
+    copy(left = l, right = r)
+}
+
+case class BloomFpp(child: Expression)
+    extends UnaryExpression with CodegenFallback with SketchCache[BloomSketch] {
+  override def prettyName: String = "bloom_fpp"
+  override def dataType: DataType = DoubleType
+  protected def parse(bytes: Array[Byte]): BloomSketch = BloomSketch.deserialize(bytes)
+  override def nullSafeEval(sk: Any): Any =
+    cached(sk.asInstanceOf[Array[Byte]]).expectedFpp
+  override protected def withNewChildInternal(c: Expression): BloomFpp = copy(child = c)
+}
+
+case class BloomUnion(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "bloom_union"
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    BloomSketch.deserialize(a.asInstanceOf[Array[Byte]])
+      .mergeInPlace(BloomSketch.deserialize(b.asInstanceOf[Array[Byte]]))
+      .serialize()
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomUnion =
+    copy(left = l, right = r)
+}
+
+// ------------------------------------------------------------------ hash
+
+case class WangHashExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "wang_hash"
+  override def dataType: DataType = LongType
+  override def nullSafeEval(k: Any, bits: Any): Any =
+    WangHash.hash(KeyConv.toLong(left.dataType)(k), bits.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): WangHashExpr =
+    copy(left = l, right = r)
+}
+
+case class WangUnhashExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "wang_unhash"
+  override def dataType: DataType = LongType
+  override def nullSafeEval(h: Any, bits: Any): Any =
+    WangHash.unhash(KeyConv.toLong(left.dataType)(h), bits.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): WangUnhashExpr =
+    copy(left = l, right = r)
+}

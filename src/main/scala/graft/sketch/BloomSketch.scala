@@ -86,8 +86,8 @@ final class BloomSketch private (
 
 object BloomSketch {
   private final val Magic = 0x314d4c4254465247L // "GRFTBLM1"
-  private[sketch] final val Seed1 = 0x9747b28cL
-  private[sketch] final val Seed2 = 0x3c6ef372L
+  private[graft] final val Seed1 = 0x9747b28cL
+  private[graft] final val Seed2 = 0x3c6ef372L
 
   def apply(numBits: Long = 1 << 16, numHashes: Int = 5): BloomSketch = {
     require(numBits >= 64 && numHashes >= 1 && numHashes <= 32)

@@ -89,8 +89,8 @@ final class CountMinSketch private (
 
 object CountMinSketch {
   private final val Magic = 0x31534d4354465247L // "GRFTCMS1"
-  private[sketch] final val Seed1 = 0x1b873593L
-  private[sketch] final val Seed2 = 0x5bd1e995L
+  private[graft] final val Seed1 = 0x1b873593L
+  private[graft] final val Seed2 = 0x5bd1e995L
 
   def apply(depth: Int = 5, width: Int = 2048): CountMinSketch = {
     require(depth >= 1 && depth <= 32 && width >= 8)

@@ -326,6 +326,13 @@ final class Cqf private (
   def contains(key: Long): Boolean = count(key) > 0
   def setCount(key: Long, c: Long): Unit = setCountHash(keyHash(key), c)
 
+  /** Non-invertible byte-key path (string keys): keys are folded through
+    * mix64 and masked to hashBits; enumeration cannot recover them. */
+  @inline def bytesHash(bytes: Array[Byte]): Long = Cqf.bytesKeyHash(bytes, hashBits)
+  def insertBytes(bytes: Array[Byte], count: Long = 1L): Unit =
+    insertHash(bytesHash(bytes), count)
+  def countBytes(bytes: Array[Byte]): Long = queryHash(bytesHash(bytes))
+
   // ---- iteration ------------------------------------------------------
 
   /** In-order scan yielding (hash, count) in ascending hash order
@@ -503,6 +510,11 @@ object Cqf {
   private final val Magic = 0x3146514354465247L // "GRFTCQF1"
   /** 95% load cap, as the reference (/root/reference/src/cqf.rs:81). */
   final val LoadFactor = 0.95
+
+  /** Canonical byte-key (string) hash shared by the aggregate and the
+    * probe expressions so lookups match inserts. */
+  def bytesKeyHash(bytes: Array[Byte], hashBits: Int): Long =
+    WangHash.mixBytes(bytes, 0x517cc1b727220a95L) & bitmask(hashBits)
 
   private object FullException extends RuntimeException {
     override def fillInStackTrace(): Throwable = this

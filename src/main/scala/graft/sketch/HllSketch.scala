@@ -76,7 +76,7 @@ final class HllSketch private (val p: Int, private val registers: Array[Byte])
 
 object HllSketch {
   private final val Magic = 0x314c4c4854465247L // "GRFTHLL1"
-  private[sketch] final val Seed = 0x48c4b06aL
+  private[graft] final val Seed = 0x48c4b06aL
 
   def apply(p: Int = 12): HllSketch = new HllSketch(p, new Array[Byte](1 << p))
 
