@@ -85,7 +85,15 @@ object GraftFunctions {
     "bloom_fpp" -> (a => BloomFpp(a.head)),
     "bloom_union" -> (a => BloomUnion(a(0), a(1))),
     "wang_hash" -> (a => WangHashExpr(a(0), if (a.length > 1) a(1) else Literal(64))),
-    "wang_unhash" -> (a => WangUnhashExpr(a(0), if (a.length > 1) a(1) else Literal(64)))
+    "wang_unhash" -> (a => WangUnhashExpr(a(0), if (a.length > 1) a(1) else Literal(64))),
+    // vector / text pipeline expressions
+    "cosine_sim" -> (a => CosineSim(a(0), a(1))),
+    "vec_lsh_bucket" -> (a => VecLshBucket(a(0), a(1), litLong(a, 2, 42L))),
+    "simhash64" -> (a => SimHash64(a.head)),
+    "minhash_sig" -> (a => MinHashSig(a(0), a(1))),
+    "fake_media_decode" -> (a => FakeMediaDecode(a.head)),
+    "lang_id" -> (a => graft.ops.LangIdExpr(a.head)),
+    "rolling_fingerprint" -> (a => graft.ops.RollingFingerprint(a.head))
   )
 
   def registerAll(spark: SparkSession): Unit = {
@@ -160,4 +168,14 @@ object api {
     call_function("wang_hash", key, lit(bits))
   def wang_unhash(hash: Column, bits: Int = 64): Column =
     call_function("wang_unhash", hash, lit(bits))
+  // vector / text pipeline expressions
+  def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+  def vec_lsh_bucket(vec: Column, nPlanes: Column, seed: Long = 42L): Column =
+    call_function("vec_lsh_bucket", vec, nPlanes, lit(seed))
+  def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
+  def minhash_sig(tokens: Column, nHashes: Column): Column =
+    call_function("minhash_sig", tokens, nHashes)
+  def fake_media_decode(blob: Column): Column = call_function("fake_media_decode", blob)
+  def lang_id(text: Column): Column = call_function("lang_id", text)
+  def rolling_fingerprint(text: Column): Column = call_function("rolling_fingerprint", text)
 }

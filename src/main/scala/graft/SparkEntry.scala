@@ -1,13 +1,401 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.ops.{AnnOps, DedupOps, TextOps}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator family from SURVEY.md §2 has at least one query here;
+  * exact-mode queries (CQF lookups/enumeration/set-ops, heavy hitters with
+  * exact recheck, dedup, text metrics, joins, windows) carry a DuckDB
+  * oracle in [[oracleSql]]; approximate estimators (HLL, CMS raw
+  * estimates, t-digest/KLL quantiles, LSH candidates) are bound-tested in
+  * the ScalaTest suites instead and get rows-only checks.
+  */
 object SparkEntry {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    GraftFunctions.registerAll(spark)
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("cqf_count_by_flag")(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------------
+  // Queries
+  // ------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- CQF family (exact mode: invertible Wang hash, 64 hash bits) ----
+    "cqf_count_by_flag" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val sk = li.groupBy(col("l_returnflag"))
+        .agg(api.cqf_agg(col("l_suppkey"), 12, 64).as("sk"))
+      sk.crossJoin(broadcast(s.range(0, 10).select(col("id").as("suppkey"))))
+        .select(col("l_returnflag"), col("suppkey"),
+          api.cqf_count(col("sk"), col("suppkey")).as("cnt"))
+        .where(col("cnt") > 0)
+    }),
+
+    "cqf_items_by_flag" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(api.cqf_agg(col("l_suppkey"), 12, 64).as("sk"))
+        .select(col("l_returnflag"), api.cqf_items(col("sk")).as(Seq("hash", "key", "count")))
+        .select(col("l_returnflag"), col("key").as("suppkey"), col("count").as("cnt"))
+    }),
+
+    "cqf_merge_two_stage" -> ((s, dir) => {
+      // two-level build: per-(flag, salt) partials, kernel-merged per flag —
+      // the skew pattern for hot groups at cluster scale
+      val li = t(s, dir, "lineitem")
+      li.withColumn("salt", pmod(hash(col("l_orderkey")), lit(16)))
+        .groupBy(col("l_returnflag"), col("salt"))
+        .agg(api.cqf_agg(col("l_suppkey"), 10, 64).as("partial"))
+        .groupBy(col("l_returnflag"))
+        .agg(api.cqf_merge_agg(col("partial")).as("sk"))
+        .select(col("l_returnflag"),
+          api.cqf_total(col("sk")).as("total_items"),
+          api.cqf_distinct(col("sk")).as("distinct_suppkeys"))
+    }),
+
+    "cqf_setops" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def skFor(flag: String) = li.where(col("l_returnflag") === flag)
+        .agg(api.cqf_agg(col("l_partkey"), 12, 64).as(s"sk_$flag"))
+      skFor("R").crossJoin(skFor("A"))
+        .select(
+          api.cqf_distinct(api.cqf_union(col("sk_R"), col("sk_A"))).as("union_distinct"),
+          api.cqf_total(api.cqf_union(col("sk_R"), col("sk_A"))).as("union_total"),
+          api.cqf_distinct(api.cqf_intersect(col("sk_R"), col("sk_A"))).as("inter_distinct"),
+          api.cqf_total(api.cqf_intersect(col("sk_R"), col("sk_A"))).as("inter_total"),
+          api.cqf_distinct(api.cqf_diff(col("sk_R"), col("sk_A"))).as("diff_distinct"),
+          api.cqf_total(api.cqf_diff(col("sk_R"), col("sk_A"))).as("diff_total"))
+    }),
+
+    "cqf_string_probe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val words = Seq("data", "table", "the", "spark")
+      val sk = docs.groupBy(col("lang"))
+        .agg(api.cqf_agg(TextOps.tokens(col("text")), 8, 64).as("sk"))
+      val probes = words.asDf(s)("word")
+      sk.crossJoin(broadcast(probes))
+        .select(col("lang"), col("word"),
+          api.cqf_count(col("sk"), col("word")).as("cnt"))
+        .where(col("cnt") > 0)
+    }),
+
+    "cqf_stats_by_flag" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(api.cqf_agg(col("l_suppkey"), 10, 64).as("sk"))
+        .select(col("l_returnflag"), api.cqf_stats(col("sk")).as("st"))
+        .select(col("l_returnflag"), col("st.quotient_bits"), col("st.occupied_slots"),
+          col("st.distinct_keys"), col("st.total_count"), col("st.invertible"))
+    }),
+
+    // ---- count-min: heavy hitters with exact recheck (end-to-end exact) ----
+    "cms_heavy_hitters" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val skN = li.agg(api.cms_agg(col("l_partkey"), 5, 8192).as("cms"),
+        count(lit(1)).as("n"))
+      val candidates = li.select(col("l_partkey")).distinct()
+        .crossJoin(broadcast(skN))
+        .where(api.cms_estimate(col("cms"), col("l_partkey")) >= expr("n div 1333"))
+        .select(col("l_partkey"), expr("n div 1333").as("thresh"))
+      li.join(broadcast(candidates), Seq("l_partkey"))
+        .groupBy(col("l_partkey").as("partkey"), col("thresh"))
+        .agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= col("thresh"))
+        .select(col("partkey"), col("cnt"))
+    }),
+
+    "cms_topk_estimates" -> ((s, dir) => {
+      // raw CMS overestimates for the top keys (approximate; no oracle)
+      val li = t(s, dir, "lineitem")
+      val sk = li.agg(api.cms_agg(col("l_suppkey"), 5, 4096).as("cms"))
+      li.select(col("l_suppkey")).distinct().crossJoin(broadcast(sk))
+        .select(col("l_suppkey"), api.cms_estimate(col("cms"), col("l_suppkey")).as("est"))
+        .orderBy(col("est").desc, col("l_suppkey"))
+        .limit(10)
+    }),
+
+    // ---- Bloom as prefilter + exact recheck (end-to-end exact) ----
+    "bloom_membership" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val r = li.where(col("l_returnflag") === "R")
+      val bloom = r.agg(api.bloom_agg(col("l_suppkey"), 1L << 17, 5).as("b"))
+      val sup = t(s, dir, "supplier")
+      val candidates = sup.crossJoin(broadcast(bloom))
+        .where(api.bloom_might_contain(col("b"), col("s_suppkey")))
+        .select(col("s_suppkey"))
+      val rKeys = r.select(col("l_suppkey")).distinct()
+      candidates.join(rKeys, candidates("s_suppkey") === rKeys("l_suppkey"), "left_semi")
+        .select(col("s_suppkey").as("suppkey"))
+    }),
+
+    // ---- HLL (approximate; bound-tested in specs) ----
+    "hll_distinct_by_source" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.groupBy(col("source"))
+        .agg(api.hll_agg(col("doc_id"), 14).as("sk"))
+        .select(col("source"), api.hll_estimate(col("sk")).as("approx_docs"))
+    }),
+
+    // ---- quantile sketches (approximate; bound-tested in specs) ----
+    "td_quantiles_by_event_type" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.groupBy(col("event_type"))
+        .agg(api.td_agg(col("value"), 200.0).as("td"))
+        .select(col("event_type"),
+          api.td_quantile(col("td"), lit(0.5)).as("p50"),
+          api.td_quantile(col("td"), lit(0.9)).as("p90"),
+          api.td_quantile(col("td"), lit(0.99)).as("p99"))
+    }),
+
+    "kll_quantiles_by_flag" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(api.kll_agg(col("l_extendedprice"), 256).as("kll"))
+        .select(col("l_returnflag"),
+          api.kll_n(col("kll")).as("n"),
+          api.kll_quantile(col("kll"), lit(0.5)).as("p50"),
+          api.kll_quantile(col("kll"), lit(0.95)).as("p95"))
+    }),
+
+    // ---- dedup family ----
+    "dedup_exact_props" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.groupBy(col("props"))
+        .agg(min(col("event_id")).as("kept_event_id"), count(lit(1)).as("n_dups"))
+    }),
+
+    "dedup_exact_fingerprint" -> ((s, dir) => {
+      // 64-bit rolling fingerprint as the shuffle key (8 bytes vs full text)
+      val docs = t(s, dir, "documents")
+      DedupOps.exactDedup(docs, col("text"), col("doc_id"))
+        .select(col("kept_id"), col("n_dups"))
+    }),
+
+    "ngram_jaccard_hist" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = DedupOps.ngramJaccardPairs(docs, col("text"), col("doc_id"),
+        Seq(col("lang"), expr("n_chars div 32")), k = 3)
+      pairs.where(col("uni") > 0)
+        .select(expr("(inter * 10) div uni").as("jaccard_decile"))
+        .groupBy(col("jaccard_decile"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    "minhash_lsh_candidates" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cands = DedupOps.minhashCandidates(docs,
+        TextOps.wordShingles(col("text"), 3), col("doc_id"),
+        bands = 8, rowsPerBand = 4, threshold = 0.0)
+      cands.select(floor(col("est_jaccard") * 10).cast("long").as("decile"))
+        .groupBy(col("decile")).agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    "simhash_near_dups" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      DedupOps.simhashPairs(docs, TextOps.tokens(col("text")), col("doc_id"), maxDist = 16)
+        .groupBy(col("dist")).agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    "embedding_near_dups" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      DedupOps.embeddingNearDups(emb, col("embedding"), col("vec_id"),
+          minCos = 0.8, nPlanes = 8)
+        .groupBy().agg(count(lit(1)).as("n_pairs"),
+          coalesce(min(col("cos")), lit(0.0)).as("min_cos"))
+    }),
+
+    // ---- similarity search ----
+    "ann_brute_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      AnnOps.bruteForceTopK(emb, col("vec_id"), col("embedding"),
+          emb.where(col("vec_id") < 10), col("vec_id"), col("embedding"), k = 3)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+    }),
+
+    "ann_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      AnnOps.lshTopK(emb, col("vec_id"), col("embedding"),
+          emb.where(col("vec_id") < 10), col("vec_id"), col("embedding"),
+          k = 3, nPlanes = 6)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+    }),
+
+    // ---- text analysis ----
+    "quality_metrics" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val metrics = TextOps.qualityMetrics(col("text"))
+      docs.select((col("doc_id") +: metrics.map { case (n, c) => c.cast("long").as(n) }): _*)
+    }),
+
+    "token_counts" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.groupBy(col("source"))
+        .agg(sum(TextOps.tokenCount(col("text")).cast("long")).as("total_tokens"),
+          sum(octet_length(col("text")).cast("long")).as("total_bytes"))
+    }),
+
+    "lang_id_confusion" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(col("lang"), TextOps.langId(col("text")).as("guessed"))
+        .groupBy(col("lang"), col("guessed"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // ---- join / window composition over sketch outputs ----
+    "join_enrich_topsupp" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      val items = li.groupBy(col("l_returnflag"))
+        .agg(api.cqf_agg(col("l_suppkey"), 12, 64).as("sk"))
+        .select(col("l_returnflag"), api.cqf_items(col("sk")).as(Seq("hash", "key", "count")))
+      items.join(broadcast(sup), items("key") === sup("s_suppkey"))
+        .select(col("l_returnflag"), col("s_name"), col("count").as("cnt"))
+    }),
+
+    "window_top_events" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").desc, col("event_id").asc)
+      ev.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("event_type"), col("rn").cast("long").as("rn"), col("event_id"))
+    }),
+
+    // ---- multimodal plumbing (decode stub; metadata is real) ----
+    "multimodal_meta" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val decoded = docs
+        .withColumn("blob", col("text").cast("binary"))
+        .withColumn("meta", api.fake_media_decode(col("blob")))
+      decoded.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_blobs"),
+          sum(col("meta.num_bytes")).as("total_bytes"))
+    })
+  )
+
+  // ------------------------------------------------------------------
+  // DuckDB oracles (exact-mode queries only)
+  // ------------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "cqf_count_by_flag" ->
+      """SELECT l_returnflag, l_suppkey AS suppkey, count(*) AS cnt
+        |FROM lineitem WHERE l_suppkey < 10 GROUP BY 1, 2""".stripMargin,
+
+    "cqf_items_by_flag" ->
+      """SELECT l_returnflag, l_suppkey AS suppkey, count(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "cqf_merge_two_stage" ->
+      """SELECT l_returnflag, count(*) AS total_items,
+        |count(DISTINCT l_suppkey) AS distinct_suppkeys
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "cqf_setops" ->
+      """WITH a AS (SELECT l_partkey k, count(*) c FROM lineitem WHERE l_returnflag='R' GROUP BY 1),
+        |b AS (SELECT l_partkey k, count(*) c FROM lineitem WHERE l_returnflag='A' GROUP BY 1)
+        |SELECT
+        |(SELECT count(*) FROM (SELECT k FROM a UNION SELECT k FROM b)) AS union_distinct,
+        |(SELECT CAST(coalesce(sum(c),0) AS BIGINT) FROM (SELECT c FROM a UNION ALL SELECT c FROM b)) AS union_total,
+        |(SELECT count(*) FROM a JOIN b USING (k)) AS inter_distinct,
+        |(SELECT CAST(coalesce(sum(least(a.c, b.c)),0) AS BIGINT) FROM a JOIN b USING (k)) AS inter_total,
+        |(SELECT count(*) FROM a LEFT JOIN b USING (k) WHERE a.c > coalesce(b.c, 0)) AS diff_distinct,
+        |(SELECT CAST(coalesce(sum(greatest(a.c - coalesce(b.c, 0), 0)),0) AS BIGINT) FROM a LEFT JOIN b USING (k)) AS diff_total""".stripMargin,
+
+    "cqf_string_probe" ->
+      """SELECT lang, w AS word, count(*) AS cnt
+        |FROM (SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents)
+        |WHERE w IN ('data', 'table', 'the', 'spark') GROUP BY 1, 2""".stripMargin,
+
+    "cms_heavy_hitters" ->
+      """SELECT l_partkey AS partkey, count(*) AS cnt FROM lineitem GROUP BY 1
+        |HAVING count(*) >= (SELECT count(*) // 1333 FROM lineitem)""".stripMargin,
+
+    "bloom_membership" ->
+      """SELECT DISTINCT l_suppkey AS suppkey FROM lineitem
+        |WHERE l_returnflag = 'R'
+        |AND l_suppkey IN (SELECT s_suppkey FROM supplier)""".stripMargin,
+
+    "dedup_exact_props" ->
+      """SELECT props, min(event_id) AS kept_event_id, count(*) AS n_dups
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "dedup_exact_fingerprint" ->
+      """SELECT min(doc_id) AS kept_id, count(*) AS n_dups
+        |FROM documents GROUP BY text""".stripMargin,
+
+    "ngram_jaccard_hist" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang, n_chars // 32 AS bucket,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 1, 1)),
+        |      i -> array_to_string((regexp_split_to_array(trim(text), '\s+'))[i:i+2], ' '))) AS grams
+        |  FROM documents),
+        |p AS (
+        |  SELECT len(list_intersect(a.grams, b.grams)) AS inter,
+        |    len(list_distinct(list_concat(a.grams, b.grams))) AS uni
+        |  FROM g a JOIN g b ON a.lang = b.lang AND a.bucket = b.bucket
+        |    AND a.doc_id < b.doc_id)
+        |SELECT (inter * 10) // uni AS jaccard_decile, count(*) AS n_pairs
+        |FROM p WHERE uni > 0 GROUP BY 1""".stripMargin,
+
+    "quality_metrics" ->
+      """SELECT doc_id,
+        |CAST(len(toks) AS BIGINT) AS n_words,
+        |CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_words,
+        |CAST(CASE WHEN len(toks)=0 THEN 0 ELSE (len(list_filter(toks, t -> t IN ('the','a','an','of','to','and','in','is','it','that'))) * 1000) // len(toks) END AS BIGINT) AS stopword_permille,
+        |CAST(CASE WHEN len(toks)=0 THEN 0 ELSE (len(list_distinct(toks)) * 1000) // len(toks) END AS BIGINT) AS distinct_permille,
+        |CAST(CASE WHEN len(toks)=0 THEN 0 ELSE (CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS BIGINT) * 1000) // len(toks) END AS BIGINT) AS mean_word_len_permille
+        |FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)""".stripMargin,
+
+    "token_counts" ->
+      """SELECT source,
+        |CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+        |CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "ann_brute_topk" ->
+      """WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+        |      list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos
+        |      FROM q, embeddings c WHERE c.vec_id != q.qid)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+        |WHERE rank <= 3""".stripMargin,
+
+    "join_enrich_topsupp" ->
+      """SELECT l_returnflag, s_name, count(*) AS cnt
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "window_top_events" ->
+      """SELECT event_type, CAST(rn AS BIGINT) AS rn, event_id FROM (
+        |  SELECT event_type, event_id,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rn
+        |  FROM events)
+        |WHERE rn <= 3""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT source, count(*) AS n_blobs, CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
+        |FROM documents GROUP BY 1""".stripMargin
+  )
+
+  private implicit class SeqToDf(val words: Seq[String]) extends AnyVal {
+    def asDf(s: SparkSession)(name: String): DataFrame = {
+      val session = s
+      import session.implicits._
+      words.toDF(name)
+    }
+  }
 }

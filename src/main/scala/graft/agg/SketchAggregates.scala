@@ -56,6 +56,16 @@ abstract class SketchAggBase[S >: Null <: AnyRef]
         (s, v) => insertBytes(s, v.asInstanceOf[UTF8String].getBytes)
       case BinaryType =>
         (s, v) => insertBytes(s, v.asInstanceOf[Array[Byte]])
+      case ArrayType(StringType, _) =>
+        (s, v) => {
+          val a = v.asInstanceOf[ArrayData]
+          val n = a.numElements()
+          var i = 0
+          while (i < n) {
+            if (!a.isNullAt(i)) insertBytes(s, a.getUTF8String(i).getBytes)
+            i += 1
+          }
+        }
       case ArrayType(et, _) =>
         val get: (ArrayData, Int) => Long = et match {
           case ByteType => (a, i) => a.getByte(i).toLong
@@ -116,7 +126,7 @@ abstract class SketchAggBase[S >: Null <: AnyRef]
   protected final def checkKeyedInput: TypeCheckResult = child.dataType match {
     case ByteType | ShortType | IntegerType | LongType | StringType | BinaryType =>
       TypeCheckResult.TypeCheckSuccess
-    case ArrayType(ByteType | ShortType | IntegerType | LongType, _) =>
+    case ArrayType(ByteType | ShortType | IntegerType | LongType | StringType, _) =>
       TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires an integral/string column or array thereof, got $other")
@@ -167,7 +177,7 @@ case class CqfAgg(
   override def prettyName: String = "cqf_agg"
   override def createAggregationBuffer(): Cqf = {
     val invertible = child.dataType match {
-      case StringType | BinaryType => false
+      case StringType | BinaryType | ArrayType(StringType, _) => false
       case _ => true
     }
     Cqf(quotientBits, hashBits, invertible)

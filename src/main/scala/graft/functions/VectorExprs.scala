@@ -1,0 +1,175 @@
+package graft.functions
+
+import graft.sketch.WangHash
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Vector / signature expressions for similarity search and near-dup
+  * detection. Single-pass over ArrayData (no boxing, no explode), so each
+  * is one tight loop per row — the mapPartitions-free path for 100 TB.
+  */
+
+/** Cosine similarity of two float/double arrays (one fused pass). */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "cosine_sim"
+  override def dataType: DataType = DoubleType
+  @transient private lazy val getL = CosineSim.getter(left.dataType)
+  @transient private lazy val getR = CosineSim.getter(right.dataType)
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = getL(x, i); val yi = getR(y, i)
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / math.sqrt(nx * ny)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+object CosineSim {
+  private[functions] def getter(dt: DataType): (ArrayData, Int) => Double = dt match {
+    case ArrayType(FloatType, _) => (a, i) => a.getFloat(i).toDouble
+    case ArrayType(DoubleType, _) => (a, i) => a.getDouble(i)
+    case ArrayType(IntegerType, _) => (a, i) => a.getInt(i).toDouble
+    case ArrayType(LongType, _) => (a, i) => a.getLong(i).toDouble
+    case other => throw new IllegalArgumentException(s"cosine_sim: bad type $other")
+  }
+}
+
+/** Random-hyperplane LSH signature: `nPlanes` sign bits packed into a Long.
+  * Plane j's component i is a deterministic pseudo-gaussian derived from
+  * mix64(seed, j, i) (sum of two uniforms, good enough for sign-LSH).
+  * Vectors with high cosine land in equal buckets with prob (1 - θ/π)^n. */
+case class VecLshBucket(left: Expression, right: Expression, seed: Long)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "vec_lsh_bucket"
+  override def dataType: DataType = LongType
+  @transient private lazy val get = CosineSim.getter(left.dataType)
+  override def nullSafeEval(vec: Any, planes: Any): Any = {
+    val x = vec.asInstanceOf[ArrayData]
+    val nPlanes = planes.asInstanceOf[Int]
+    val n = x.numElements()
+    var sig = 0L
+    var j = 0
+    while (j < nPlanes) {
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        val h = WangHash.mix64(j.toLong << 32 | i.toLong, seed)
+        // two 21-bit uniforms in [-1,1), summed: zero-mean, symmetric
+        val u1 = ((h & 0x1fffffL).toDouble / 0x100000L.toDouble) - 1.0
+        val u2 = (((h >>> 21) & 0x1fffffL).toDouble / 0x100000L.toDouble) - 1.0
+        dot += get(x, i) * (u1 + u2)
+        i += 1
+      }
+      if (dot >= 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecLshBucket =
+    copy(left = l, right = r)
+}
+
+/** 64-bit SimHash over an array of strings (tokens or shingles): bit b of
+  * the output is the sign of sum over tokens of (+1/-1 by bit b of the
+  * token's hash). Near-identical documents differ in few bits. One pass:
+  * per token one mix, then 64 counter updates. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "simhash64"
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = WangHash.mixBytes(arr.getUTF8String(i).getBytes, 0x5f3759dfL)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
+/** MinHash signature: `nHashes` 64-bit minima over the token/shingle set,
+  * hash j = mix64(tokenHash, seed_j). Returns array<long>. */
+case class MinHashSig(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "minhash_sig"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any, nh: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val nHashes = nh.asInstanceOf[Int]
+    val mins = Array.fill(nHashes)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val base = WangHash.mixBytes(arr.getUTF8String(i).getBytes, 0x2545f491L)
+        var j = 0
+        while (j < nHashes) {
+          val h = WangHash.mix64(base, 0x9e3779b97f4a7c15L * (j + 1))
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MinHashSig =
+    copy(left = l, right = r)
+}
+
+/** CLEARLY-MARKED STUB (multimodal): "decode" an opaque binary blob into
+  * media metadata. Real deployments replace this with an actual codec
+  * behind the same schema; here the decode is a deterministic fake derived
+  * from the bytes (image/audio libraries are unavailable in this
+  * environment). The Spark-side plumbing — BinaryType column in, typed
+  * struct out, one pass per blob — is the real, tested part. */
+case class FakeMediaDecode(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "fake_media_decode"
+  override def dataType: DataType = FakeMediaDecode.schema
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[Array[Byte]]
+    val h = WangHash.mixBytes(bytes, 0x6d656469L) // STUB: metadata from hash
+    val width = 64 + ((h & 0x3ffL) % 960L).toInt
+    val height = 64 + (((h >>> 10) & 0x3ffL) % 960L).toInt
+    val channels = 1 + (((h >>> 20) & 3L) % 3L).toInt
+    org.apache.spark.sql.catalyst.InternalRow(
+      width, height, channels, bytes.length.toLong, h)
+  }
+  override protected def withNewChildInternal(c: Expression): FakeMediaDecode =
+    copy(child = c)
+}
+object FakeMediaDecode {
+  val schema: StructType = new StructType()
+    .add("width", IntegerType).add("height", IntegerType)
+    .add("channels", IntegerType).add("num_bytes", LongType)
+    .add("checksum", LongType)
+}
