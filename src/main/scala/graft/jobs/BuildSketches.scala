@@ -1,0 +1,116 @@
+package graft.jobs
+
+import graft.api
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Checkpoint-resumable distributed sketch build (SURVEY.md §7.2 M3,
+  * north_rule: "resumable from checkpoint with per-partition lineage +
+  * metrics").
+  *
+  * Stage 1 salts each (skewed) source into `salts` shards and builds one
+  * sketch partial per (source, salt) — the unit of work AND of resume.
+  * Partials land in the checkpoint dir as parquet partitioned by salt with
+  * full lineage (rows, tokens, order-insensitive input hash). Stage 2
+  * kernel-merges partials per source with *_merge_agg.
+  *
+  * Resume: shards already present in the checkpoint are anti-joined away
+  * from the input, so a killed stage-1 job re-processes only missing
+  * shards; stage 2 always recomputes from the (cheap, tiny) partials.
+  * Because sketches are merge-order-invariant, a resumed build yields
+  * byte-identical per-source CQF contents to an uninterrupted one
+  * (asserted in BuildSketchesSpec).
+  */
+object BuildSketches {
+
+  /** kind: cqf | hll | cms | tdigest | kll | bloom */
+  final case class Config(
+      kind: String = "cqf",
+      salts: Int = 16,
+      quotientBits: Int = 12,
+      hashBits: Int = 64,
+      hllP: Int = 12,
+      cmsDepth: Int = 5,
+      cmsWidth: Int = 8192,
+      bloomBits: Long = 1L << 20,
+      bloomHashes: Int = 5,
+      tdCompression: Double = 100.0,
+      kllK: Int = 200)
+
+  private def buildAgg(cfg: Config, tokens: Column): Column = cfg.kind match {
+    case "cqf" => api.cqf_agg(tokens, cfg.quotientBits, cfg.hashBits)
+    case "hll" => api.hll_agg(tokens, cfg.hllP)
+    case "cms" => api.cms_agg(tokens, cfg.cmsDepth, cfg.cmsWidth)
+    case "bloom" => api.bloom_agg(tokens, cfg.bloomBits, cfg.bloomHashes)
+    case "tdigest" => api.td_agg(tokens, cfg.tdCompression)
+    case "kll" => api.kll_agg(tokens, cfg.kllK)
+    case other => throw new IllegalArgumentException(s"unknown sketch kind $other")
+  }
+
+  private def mergeAgg(cfg: Config, sketch: Column): Column = cfg.kind match {
+    case "cqf" => api.cqf_merge_agg(sketch)
+    case "hll" => api.hll_merge_agg(sketch)
+    case "cms" => api.cms_merge_agg(sketch)
+    case "bloom" => api.bloom_merge_agg(sketch)
+    case "tdigest" => api.td_merge_agg(sketch)
+    case "kll" => api.kll_merge_agg(sketch)
+    case other => throw new IllegalArgumentException(s"unknown sketch kind $other")
+  }
+
+  /** Stage 1: per-(source, salt) sketch partials with lineage columns
+    * (F4 fixture schema). */
+  def buildPartials(df: DataFrame, cfg: Config): DataFrame =
+    df.withColumn("salt", pmod(xxhash64(col("doc_id")), lit(cfg.salts)).cast("int"))
+      .groupBy(col("source"), col("salt"))
+      .agg(
+        buildAgg(cfg, col("tokens")).as("sketch_bytes"),
+        count(lit(1)).as("n_rows"),
+        sum(col("n_tok").cast("long")).as("n_tokens"),
+        // order-insensitive input hash (xor of row hashes) — idempotence
+        // check for resume (same rows ⇒ same hash); xor cannot overflow
+        // under ANSI mode, unlike sum
+        expr("bit_xor(xxhash64(doc_id, n_tok))").as("input_hash"))
+      .withColumn("sketch_kind", lit(cfg.kind))
+
+  /** Run (or resume) the build. Returns the per-source final sketches:
+    * (source, sketch_bytes, n_rows, n_tokens). */
+  def run(spark: SparkSession, input: DataFrame, checkpointDir: String,
+      cfg: Config = Config()): DataFrame = {
+    graft.GraftFunctions.registerAll(spark)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(checkpointDir),
+      spark.sparkContext.hadoopConfiguration)
+    val path = new org.apache.hadoop.fs.Path(checkpointDir)
+    val existing: Option[DataFrame] =
+      if (fs.exists(path) && fs.listStatus(path).nonEmpty)
+        Some(spark.read.parquet(checkpointDir))
+      else None
+
+    // observe() metrics on the input actually consumed this run
+    val observed = input.observe("graft_build",
+      count(lit(1)).as("rows_in"),
+      sum(col("n_tok").cast("long")).as("tokens_in"))
+
+    val remaining = existing match {
+      case None => observed
+      case Some(ck) =>
+        val done = ck.select(col("source"), col("salt")).distinct()
+        observed
+          .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(cfg.salts)).cast("int"))
+          .join(broadcast(done), Seq("source", "salt"), "left_anti")
+          .drop("salt")
+    }
+
+    if (remaining.take(1).nonEmpty) {
+      buildPartials(remaining, cfg)
+        .write.mode(SaveMode.Append).partitionBy("salt").parquet(checkpointDir)
+    }
+
+    val partials = spark.read.parquet(checkpointDir)
+    partials.groupBy(col("source"))
+      .agg(
+        mergeAgg(cfg, col("sketch_bytes")).as("sketch_bytes"),
+        sum(col("n_rows")).as("n_rows"),
+        sum(col("n_tokens")).as("n_tokens"))
+  }
+}

@@ -1,0 +1,49 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, fully-distributed synthesis of the input_hint table
+  * (BASELINE.json): (doc_id string, tokens array<int>, n_tok int,
+  * source string). No driver-side data, no RNG state — every value is a
+  * pure function of (row id, seed) through xxhash64, so any executor
+  * count/partitioning produces the identical table (the property the
+  * two-parallelism scaling evidence relies on).
+  *
+  * Token ids are drawn heavy-tailed (u^zipfPow * vocab — zipf-ish head)
+  * mirroring the reference binary's forced duplicates
+  * (/root/reference/src/main.rs:96-105); one source holds ~half the rows
+  * (FIXTURES.md F1's deliberate skew).
+  */
+object TokenGen {
+
+  val Sources: Seq[String] =
+    Seq("web", "books", "code", "wiki", "forums", "news", "papers", "social")
+
+  def generate(spark: SparkSession, nDocs: Long, vocab: Int = 50000,
+      minTok: Int = 16, maxTok: Int = 256, seed: Long = 42L,
+      numPartitions: Int = 0): DataFrame = {
+    val base = if (numPartitions > 0) spark.range(0, nDocs, 1, numPartitions)
+      else spark.range(nDocs)
+    val u = (shiftrightunsigned(xxhash64(col("id"), lit(seed)), 11).cast("double")
+      / lit(9007199254740992.0)) // 2^53
+    val span = (maxTok - minTok).max(1)
+    val nTok = (lit(minTok) + pmod(xxhash64(col("id"), lit(seed + 1)), lit(span))).cast("int")
+    val srcPick = pmod(xxhash64(col("id"), lit(seed + 2)), lit(100))
+    val source = when(srcPick < 50, lit(Sources.head))
+      .otherwise(element_at(
+        array(Sources.tail.map(lit(_)): _*),
+        (pmod(xxhash64(col("id"), lit(seed + 3)), lit(Sources.size - 1)) + 1).cast("int")))
+    val tokens = transform(sequence(lit(1), nTok), i => {
+      val ui = shiftrightunsigned(xxhash64(col("id"), i, lit(seed + 4)), 11)
+        .cast("double") / lit(9007199254740992.0)
+      // zipf-ish: u^2.5 concentrates mass near token 0 (heavy head)
+      (pow(ui, lit(2.5)) * lit(vocab)).cast("int")
+    })
+    base.select(
+      format_string("doc_%012d", col("id")).as("doc_id"),
+      tokens.as("tokens"),
+      nTok.as("n_tok"),
+      source.as("source"))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.jobs
+
+import graft.GraftFunctions
+import graft.api
+import graft.sketch.Cqf
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** M3 checkpoint/resume/lineage tests (FIXTURES.md F4) plus TokenGen
+  * determinism (the property the scaling evidence relies on). */
+class BuildSketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-jobs-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    GraftFunctions.registerAll(s)
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("TokenGen is deterministic across partitioning") {
+    val a = TokenGen.generate(spark, 500, vocab = 1000, numPartitions = 1)
+      .orderBy("doc_id").collect()
+    val b = TokenGen.generate(spark, 500, vocab = 1000, numPartitions = 7)
+      .orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq)
+    // skew: the head source holds roughly half the rows
+    val bySource = a.groupBy(_.getString(3)).view.mapValues(_.length).toMap
+    assert(bySource(TokenGen.Sources.head) > 200 && bySource(TokenGen.Sources.head) < 300)
+  }
+
+  private def itemsOf(bytes: Array[Byte]): List[(Long, Long)] =
+    Cqf.deserialize(bytes).iterator.toList
+
+  test("resume from truncated checkpoint == uninterrupted build") {
+    val input = TokenGen.generate(spark, 1500, vocab = 2000).cache()
+    val cfg = BuildSketches.Config(kind = "cqf", salts = 8, quotientBits = 10)
+
+    // uninterrupted run
+    val dirA = Files.createTempDirectory("graft_ckpt_a").toString
+    val fullRun = BuildSketches.run(spark, input, dirA, cfg)
+      .collect().map(r => r.getString(0) ->
+        ((itemsOf(r.getAs[Array[Byte]](1)), r.getLong(2), r.getLong(3)))).toMap
+
+    // interrupted run: only salts 0-2 got checkpointed before the "crash"
+    val dirB = Files.createTempDirectory("graft_ckpt_b").toString
+    val prefix = input
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(cfg.salts)).cast("int"))
+      .where(col("salt") < 3)
+      .drop("salt")
+    BuildSketches.buildPartials(prefix, cfg)
+      .write.mode("append").partitionBy("salt").parquet(dirB)
+    // resume processes only the missing shards
+    val resumed = BuildSketches.run(spark, input, dirB, cfg)
+      .collect().map(r => r.getString(0) ->
+        ((itemsOf(r.getAs[Array[Byte]](1)), r.getLong(2), r.getLong(3)))).toMap
+
+    assert(resumed == fullRun, "resumed build differs from uninterrupted build")
+
+    // re-running a complete build is a no-op (idempotent) with same result
+    val again = BuildSketches.run(spark, input, dirB, cfg)
+      .collect().map(r => r.getString(0) ->
+        ((itemsOf(r.getAs[Array[Byte]](1)), r.getLong(2), r.getLong(3)))).toMap
+    assert(again == fullRun)
+  }
+
+  test("lineage rows carry exact per-shard counts and input hashes") {
+    val input = TokenGen.generate(spark, 800, vocab = 500)
+    val cfg = BuildSketches.Config(kind = "cqf", salts = 4, quotientBits = 10)
+    val partials = BuildSketches.buildPartials(input, cfg).collect()
+    assert(partials.map(_.getAs[Long]("n_rows")).sum == 800)
+    val totalTokens = input.agg(sum(col("n_tok"))).head().getLong(0)
+    assert(partials.map(_.getAs[Long]("n_tokens")).sum == totalTokens)
+    assert(partials.forall(_.getAs[String]("sketch_kind") == "cqf"))
+    // shard input hashes are distinct and deterministic
+    val hashes = partials.map(r => (r.getAs[String]("source"), r.getAs[Int]("salt")) ->
+      r.getAs[Long]("input_hash")).toMap
+    val partials2 = BuildSketches.buildPartials(input, cfg).collect()
+    partials2.foreach { r =>
+      assert(hashes((r.getAs[String]("source"), r.getAs[Int]("salt"))) ==
+        r.getAs[Long]("input_hash"))
+    }
+  }
+
+  test("build works for every sketch kind") {
+    val input = TokenGen.generate(spark, 300, vocab = 500).cache()
+    for (kind <- Seq("cqf", "hll", "cms", "bloom", "tdigest", "kll")) {
+      val dir = Files.createTempDirectory(s"graft_ckpt_$kind").toString
+      val out = BuildSketches.run(spark, input, dir,
+        BuildSketches.Config(kind = kind, salts = 4))
+      assert(out.count() == TokenGen.Sources.size.toLong, s"kind=$kind")
+      assert(out.where(col("sketch_bytes").isNull).count() == 0, s"kind=$kind")
+    }
+  }
+}
