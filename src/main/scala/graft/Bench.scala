@@ -1,24 +1,83 @@
 package graft
+
+import graft.jobs.{BuildSketches, TokenGen}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Driver-run benchmark: times every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR plus the headline sketch-build workload (the
+  * BASELINE.json metric: CQF insert+merge tokens/sec). Prints ONE JSON
+  * line: {"metric","value","unit","queries","sf", extras}. */
 object Bench {
+
+  def jsonNum(d: Double): String =
+    if (d.isNaN || d.isInfinite) "0" else f"$d%.4f"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftFunctions.registerAll(spark)
+
+    // --- headline: distributed CQF build over the synthetic token table ---
+    // (~10^8 tokens at the default; scaled down via SPARK_GRAFT_BENCH_DOCS)
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "750000").toLong
+    // materialize the pre-tokenized table once (untimed) — the north-rule
+    // metric is insert+merge throughput OVER a stored token table, not
+    // synthesis speed
+    val tokenDir = s"/tmp/graft_bench_tokens_$nDocs"
+    if (!new java.io.File(s"$tokenDir/_SUCCESS").exists()) {
+      TokenGen.generate(spark, nDocs, vocab = 50000,
+        numPartitions = cpus.toInt * 2)
+        .write.mode("overwrite").parquet(tokenDir)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def buildJob(src: org.apache.spark.sql.DataFrame): Long =
+      src
+        .withColumn("salt", when(col("source") === "web",
+          pmod(xxhash64(col("doc_id")), lit(32)))
+          .otherwise(pmod(xxhash64(col("doc_id")), lit(4))).cast("int"))
+        .groupBy(col("source"), col("salt"))
+        .agg(api.cqf_agg(col("tokens"), 8, 64).as("partial"))
+        .groupBy(col("source"))
+        .agg(api.cqf_merge_agg(col("partial")).as("sk"))
+        .select(col("source"), api.cqf_total(col("sk")).as("total"))
+        .collect().map(_.getLong(1)).sum
+    // size read splits so scan parallelism matches the core count —
+    // small-file bin-packing (128MB maxPartitionBytes + 4MB openCost)
+    // would otherwise cap the whole build at ~4 tasks
+    val inputBytes = new java.io.File(tokenDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    spark.conf.set("spark.sql.files.maxPartitionBytes",
+      math.max(inputBytes / (cpus.toInt * 3), 2L * 1024 * 1024).toString)
+    spark.conf.set("spark.sql.files.openCostInBytes", "262144")
+    val stored = spark.read.parquet(tokenDir)
+    val nTokens = stored.agg(sum(col("n_tok"))).head().getLong(0)
+    buildJob(stored.sample(0.05)) // untimed warm-up: JIT kernel + codegen
+    val t0 = System.nanoTime()
+    val builtTokens = buildJob(stored)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    require(builtTokens == nTokens, "lost tokens in build!")
+    val tokensPerSec = nTokens / buildSec
+
+    // --- per-query timings over the sf dir ---
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val q0 = System.nanoTime()
+      try { fn(spark, sfDir).collect() } catch { case _: Throwable => () }
+      name -> (System.nanoTime() - q0) / 1e9
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + jsonNum(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum + buildSec
+    println(s"""{"metric":"total","value":${jsonNum(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","headline_build_sec":${jsonNum(buildSec)},"headline_tokens":$nTokens,"headline_mtokens_per_sec":${jsonNum(tokensPerSec / 1e6)},"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -441,7 +441,8 @@ final class Cqf private (
   }
 
   /** Merge `other` into this filter (counts summed on equal hashes).
-    * O(n+m) sorted rebuild; grows as needed. Associative & commutative. */
+    * Small-into-large merges insert in place; otherwise an O(n+m) sorted
+    * rebuild. Grows as needed. Associative & commutative in content. */
   def mergeInPlace(other: Cqf): Cqf = {
     require(other.hashBits == hashBits,
       s"cannot merge CQFs with hashBits $hashBits vs ${other.hashBits}")
@@ -450,6 +451,18 @@ final class Cqf private (
       _quotientBits = other._quotientBits
       blocks = other.blocks.clone()
       _occupiedSlots = other._occupiedSlots
+      return this
+    }
+    // fast path: a small delta inserted into a large accumulator avoids
+    // rebuilding the accumulator per partial (k-way sequential merges of
+    // map-side partials would otherwise cost O(k*n))
+    if (other._occupiedSlots * 8 <= _occupiedSlots &&
+        _quotientBits >= other._quotientBits) {
+      val it = other.iterator
+      while (it.hasNext) {
+        val (h, c) = it.next()
+        insertHash(h, c)
+      }
       return this
     }
     var q = math.max(_quotientBits, other._quotientBits)

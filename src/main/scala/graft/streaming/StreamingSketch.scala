@@ -1,0 +1,46 @@
+package graft.streaming
+
+import graft.sketch.Cqf
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface for the sketches.
+  *
+  * The TypedImperativeAggregates are streaming-compatible by construction
+  * (mergeable state), so the primary path is just `readStream -> groupBy ->
+  * agg(cqf_agg(...))` in update/complete mode, or watermarked windows for
+  * append mode. For custom state lifecycles (e.g. emit-on-change,
+  * TTL-expired sketches), [[cqfStateFn]] maintains a serialized CQF per key
+  * through mapGroupsWithState.
+  */
+object StreamingSketch {
+
+  /** Watermarked sliding-window sketch aggregation (append-capable). */
+  def windowedAgg(df: DataFrame, ts: Column, watermarkDelay: String,
+      windowDur: String, groupCols: Seq[Column], agg: Column): DataFrame =
+    df.withWatermark(ts.toString, watermarkDelay)
+      .groupBy((window(ts, windowDur) +: groupCols): _*)
+      .agg(agg.as("sketch"))
+
+  /** Per-key CQF maintained as explicit group state: input rows are
+    * (key, tokens); emits (key, distinct, total) after each update.
+    * State is the serialized kernel — exactly the checkpoint format. */
+  def cqfStateFn(quotientBits: Int = 10)
+      : (String, Iterator[(String, Array[Int])], GroupState[Array[Byte]]) => (String, Long, Long) =
+    (key, rows, state) => {
+      val cqf =
+        if (state.exists) Cqf.deserialize(state.get)
+        else Cqf(quotientBits, 64)
+      rows.foreach { case (_, tokens) =>
+        var i = 0
+        while (i < tokens.length) { cqf.insert(tokens(i).toLong); i += 1 }
+      }
+      state.update(cqf.serialize())
+      (key, cqf.distinctCount, cqf.totalCount)
+    }
+
+  /** Convenience: run a per-group streaming sketch agg in update mode. */
+  def perGroupUpdate(df: DataFrame, group: Column, agg: Column): DataFrame =
+    df.groupBy(group).agg(agg.as("sketch"))
+}

@@ -1,0 +1,169 @@
+package graft.ops
+
+import graft.GraftFunctions
+import graft.api
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pipeline-operator behavior tests: dedup families find planted
+  * duplicates, ANN finds planted neighbors, text ops are exact. */
+class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ops-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    GraftFunctions.registerAll(s)
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  import spark.implicits._
+
+  private val vocab = Array("alpha", "bravo", "charlie", "delta", "echo",
+    "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima")
+
+  private def doc(seed: Int, words: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(words)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+  }
+
+  test("exact dedup groups identical texts only") {
+    val texts = Seq.tabulate(50)(i => (i.toLong, doc(i % 20, 30))) // 20 distinct
+    val df = texts.toDF("id", "text")
+    val out = DedupOps.exactDedup(df, $"text", $"id").collect()
+    assert(out.length == 20)
+    assert(out.map(_.getAs[Long]("n_dups")).sum == 50)
+    // representative is the min id of its text group
+    val byText = texts.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val kept = out.map(_.getAs[Long]("kept_id")).toSet
+    assert(kept == byText.values.toSet)
+  }
+
+  test("minhash LSH finds planted near-duplicates") {
+    val base = doc(1, 200)
+    val nearDup = base.split(" ").updated(5, "zulu").updated(100, "yankee").mkString(" ")
+    val others = Seq.tabulate(40)(i => doc(100 + i, 200))
+    val df = ((0L, base) +: (1L, nearDup) +: others.zipWithIndex.map {
+      case (t, i) => ((i + 2).toLong, t)
+    }).toDF("id", "text")
+    val cands = DedupOps.minhashCandidates(df,
+      TextOps.wordShingles($"text", 3), $"id",
+      bands = 16, rowsPerBand = 2, threshold = 0.5).collect()
+    val pairs = cands.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"missed planted near-dup; got ${pairs.take(5)}")
+  }
+
+  test("simhash distance small for near-dups, large for unrelated") {
+    val base = doc(2, 300)
+    val nearDup = base.split(" ").updated(7, "zulu").mkString(" ")
+    val unrelated = doc(999, 300)
+    val df = Seq((0L, base), (1L, nearDup), (2L, unrelated)).toDF("id", "text")
+    val prints = df.select($"id", DedupOps.simhash(TextOps.tokens($"text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(dist(prints(0L), prints(1L)) <= 8,
+      s"near-dup simhash distance ${dist(prints(0L), prints(1L))}")
+    // identical inputs → identical prints
+    assert(dist(prints(0L), prints(0L)) == 0)
+  }
+
+  test("ngram jaccard: identical docs score 10/10, disjoint 0") {
+    val a = doc(3, 100)
+    val df = Seq((0L, a, "x"), (1L, a, "x"), (2L, doc(4, 100), "x")).toDF("id", "text", "blk")
+    val pairs = DedupOps.ngramJaccardPairs(df, $"text", $"id", Seq($"blk"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getInt(2), r.getInt(3))).toMap
+    val (i01, u01) = pairs((0L, 1L))
+    assert(i01 == u01 && i01 > 0, "identical docs must have jaccard 1")
+  }
+
+  test("brute-force ANN returns the planted nearest neighbor first") {
+    val rnd = new scala.util.Random(5)
+    def vec(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val base = vec()
+    val close = base.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+    val rows = (0L, base) +: (1L, close) +: Seq.tabulate(30)(i => ((i + 2).toLong, vec()))
+    val df = rows.toDF("vec_id", "embedding")
+    val top = AnnOps.bruteForceTopK(df, $"vec_id", $"embedding",
+      df.where($"vec_id" === 0), $"vec_id", $"embedding", k = 1).collect()
+    assert(top.length == 1)
+    assert(top.head.getAs[Long]("neighbor_id") == 1L)
+    assert(top.head.getAs[Double]("cos") > 0.99)
+  }
+
+  test("LSH ANN achieves reasonable recall vs brute force") {
+    val rnd = new scala.util.Random(7)
+    // clustered corpus: near neighbors share high cosine, so sign-LSH
+    // buckets them together (random isotropic vectors would have ~0 cosine
+    // and no meaningful "nearest" structure)
+    val centers = Array.fill(10)(Array.fill(32)(rnd.nextGaussian()))
+    def vec(i: Int): Array[Float] = {
+      val c = centers(i % 10)
+      c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat)
+    }
+    val rows = Seq.tabulate(300)(i => (i.toLong, vec(i)))
+    val df = rows.toDF("vec_id", "embedding").cache()
+    val queries = df.where($"vec_id" < 20)
+    val exact = AnnOps.bruteForceTopK(df, $"vec_id", $"embedding",
+        queries, $"vec_id", $"embedding", k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = AnnOps.lshTopK(df, $"vec_id", $"embedding",
+        queries, $"vec_id", $"embedding", k = 5, nPlanes = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall $recall too low for clustered data")
+    assert(approx.size <= exact.size)
+  }
+
+  test("text ops: tokens, counts, quality metrics, langid, fingerprint") {
+    val df = Seq(
+      (0L, "the cat and the hat"),
+      (1L, ""),
+      (2L, "  spaced   out  words "),
+      (3L, "el que la de los por"),
+      (4L, "qqq zzz xxx")
+    ).toDF("id", "text")
+    val rows = df.select($"id",
+        TextOps.tokenCount($"text").as("n"),
+        TextOps.langId($"text").as("lang"),
+        TextOps.fingerprint($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2), r.getLong(3)))).toMap
+    assert(rows(0L)._1 == 5)
+    assert(rows(1L)._1 == 0)
+    assert(rows(2L)._1 == 3)
+    assert(rows(0L)._2 == "en")
+    assert(rows(3L)._2 == "es")
+    assert(rows(4L)._2 == "und")
+    // fingerprint: deterministic, order-sensitive
+    val fpAgain = df.where($"id" === 0)
+      .select(TextOps.fingerprint($"text")).head().getLong(0)
+    assert(fpAgain == rows(0L)._3)
+    val fpReordered = Seq((0L, "hat the and cat the")).toDF("id", "text")
+      .select(TextOps.fingerprint($"text")).head().getLong(0)
+    assert(fpReordered != rows(0L)._3)
+  }
+
+  test("multimodal decode stub: deterministic metadata, real plumbing") {
+    val df = Seq((1L, "some binary payload"), (2L, "x")).toDF("id", "text")
+      .withColumn("blob", $"text".cast("binary"))
+    val rows = df.select($"id", api.fake_media_decode($"blob").as("m"))
+      .select($"id", $"m.width", $"m.height", $"m.channels", $"m.num_bytes")
+      .collect()
+    val byId = rows.map(r => r.getLong(0) ->
+      ((r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))).toMap
+    assert(byId(1L)._4 == "some binary payload".length.toLong)
+    assert(byId(1L)._1 >= 64 && byId(1L)._2 >= 64)
+    assert(byId(1L)._3 >= 1 && byId(1L)._3 <= 3)
+    // determinism
+    val again = df.select(api.fake_media_decode($"blob").as("m"))
+      .select($"m.width").collect().map(_.getInt(0)).toSeq
+    assert(again == rows.map(_.getInt(1)).toSeq)
+  }
+}
