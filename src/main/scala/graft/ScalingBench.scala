@@ -55,25 +55,28 @@ object ScalingBench {
         .withColumn("salt", when(col("source") === "web",
           pmod(xxhash64(col("doc_id")), lit(32)))
           .otherwise(pmod(xxhash64(col("doc_id")), lit(4))).cast("int"))
+        .repartition(60, col("source"), col("salt"))
         .groupBy(col("source"), col("salt"))
         .agg(api.cqf_agg(col("tokens"), 8, 64).as("partial"))
         .groupBy(col("source"))
         .agg(api.cqf_merge_agg(col("partial")).as("sk"))
         .select(col("source"), api.cqf_total(col("sk")).as("total")).collect()
     }
-    val t0 = System.nanoTime()
-    val built = tokens
+    def build(): Long = tokens
       .withColumn("salt", when(col("source") === "web",
           pmod(xxhash64(col("doc_id")), lit(32)))
           .otherwise(pmod(xxhash64(col("doc_id")), lit(4))).cast("int"))
+      .repartition(60, col("source"), col("salt"))
       .groupBy(col("source"), col("salt"))
       .agg(api.cqf_agg(col("tokens"), 8, 64).as("partial"))
       .groupBy(col("source"))
       .agg(api.cqf_merge_agg(col("partial")).as("sk"))
       .select(col("source"), api.cqf_total(col("sk")).as("total"))
-      .collect()
+      .collect().map(_.getLong(1)).sum
+    val t0 = System.nanoTime()
+    val builtTokens = build()
     val sec = (System.nanoTime() - t0) / 1e9
-    require(built.map(_.getLong(1)).sum == nTokens)
+    require(builtTokens == nTokens)
     spark.stop()
     (sec, nTokens)
   }
@@ -83,9 +86,20 @@ object ScalingBench {
     val hi = sys.env.getOrElse("SPARK_GRAFT_SCALE_HI", (lo * 4).toString).toInt
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "750000").toLong
     val dir = materialize(nDocs)
-    val (secLo, tok) = runOnce(lo, dir, warmup = true)
-    val (secHi, tokHi) = runOnce(hi, dir, warmup = true)
-    require(tok == tokHi)
+    // the sandbox host is shared: interleave repetitions and take the MIN
+    // per level so ambient contention doesn't masquerade as (anti-)scaling
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+    var tok = 0L
+    val (losecs, hisecs) = (Array.fill(reps)(0.0), Array.fill(reps)(0.0))
+    for (r <- 0 until reps) {
+      val (sl, t1) = runOnce(lo, dir, warmup = r == 0)
+      val (sh, t2) = runOnce(hi, dir, warmup = r == 0)
+      require(t1 == t2); tok = t1
+      losecs(r) = sl; hisecs(r) = sh
+      System.err.println(f"rep $r: lo=${sl}%.2f s hi=${sh}%.2f s")
+    }
+    val secLo = losecs.min
+    val secHi = hisecs.min
     val thLo = tok / secLo / 1e6
     val thHi = tok / secHi / 1e6
     val eff = (thHi / thLo) / (hi.toDouble / lo.toDouble)

@@ -11,16 +11,17 @@ import org.apache.spark.sql.types._
   * is one tight loop per row — the mapPartitions-free path for 100 TB.
   */
 
-/** Cosine similarity of two float/double arrays (one fused pass). */
+/** Cosine similarity of two float/double arrays (one fused pass).
+  * Codegen-capable (not CodegenFallback): this is the inner loop of
+  * brute-force ANN scoring (|corpus| x |queries| evaluations), so the
+  * generated code calls [[compute]] directly on unboxed ArrayData. */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def prettyName: String = "cosine_sim"
   override def dataType: DataType = DoubleType
   @transient private lazy val getL = CosineSim.getter(left.dataType)
   @transient private lazy val getR = CosineSim.getter(right.dataType)
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  def compute(x: ArrayData, y: ArrayData): Double = {
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
@@ -30,6 +31,15 @@ case class CosineSim(left: Expression, right: Expression)
       i += 1
     }
     if (nx == 0.0 || ny == 0.0) 0.0 else dot / math.sqrt(nx * ny)
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("cosineSim", this, classOf[CosineSim].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
     copy(left = l, right = r)

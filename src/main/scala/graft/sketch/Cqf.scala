@@ -455,9 +455,12 @@ final class Cqf private (
     }
     // fast path: a small delta inserted into a large accumulator avoids
     // rebuilding the accumulator per partial (k-way sequential merges of
-    // map-side partials would otherwise cost O(k*n))
+    // map-side partials would otherwise cost O(k*n)). Only below ~70%
+    // occupancy: Robin-Hood cluster lengths blow up as load -> 95%, so
+    // high-load merges are cheaper as sorted rebuilds.
     if (other._occupiedSlots * 8 <= _occupiedSlots &&
-        _quotientBits >= other._quotientBits) {
+        _quotientBits >= other._quotientBits &&
+        (_occupiedSlots + other._occupiedSlots) * 10 <= numSlots * 7) {
       val it = other.iterator
       while (it.hasNext) {
         val (h, c) = it.next()
