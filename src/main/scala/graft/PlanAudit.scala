@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Captures formatted physical plans for the representative queries into
+  * EXPLAIN.md — the audit trail that filters are pushed down, small sides
+  * broadcast, aggregates split partial/final, and codegen spans are wide.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val out = if (args.length > 1) args(1) else "EXPLAIN.md"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftFunctions.registerAll(spark)
+    val picks = Seq(
+      "cqf_count_by_flag", "cqf_merge_two_stage", "cms_heavy_hitters",
+      "bloom_membership", "ann_brute_topk", "ngram_jaccard_hist",
+      "dedup_exact_fingerprint", "window_top_events")
+    val sb = new StringBuilder
+    sb.append("# EXPLAIN — formatted physical plans (sf=" + sfDir + ")\n\n")
+    sb.append("Audit notes per plan: parquet scans must show pruned ")
+    sb.append("ReadSchema/PushedFilters; dimension joins must be ")
+    sb.append("BroadcastHashJoin; sketch aggregates appear as ")
+    sb.append("ObjectHashAggregate with partial/final split; row-level ")
+    sb.append("expressions sit inside WholeStageCodegen spans.\n")
+    picks.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      sb.append(s"\n## $name\n\n```\n")
+      sb.append(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      sb.append("```\n")
+    }
+    Files.writeString(Paths.get(out), sb.toString)
+    println(s"wrote $out")
+    spark.stop()
+  }
+}
