@@ -68,6 +68,7 @@ object GraftFunctions {
     "cqf_union" -> (a => CqfUnion(a(0), a(1))),
     "cqf_intersect" -> (a => CqfIntersect(a(0), a(1))),
     "cqf_diff" -> (a => CqfDiff(a(0), a(1))),
+    "cqf_set_count" -> (a => CqfSetCount(a(0), a(1), a(2))),
     "cqf_items" -> (a => CqfItems(a.head)),
     "hll_estimate" -> (a => HllEstimate(a.head)),
     "hll_union" -> (a => HllUnion(a(0), a(1))),
@@ -91,6 +92,8 @@ object GraftFunctions {
     "vec_lsh_bucket" -> (a => VecLshBucket(a(0), a(1), litLong(a, 2, 42L))),
     "simhash64" -> (a => SimHash64(a.head)),
     "minhash_sig" -> (a => MinHashSig(a(0), a(1))),
+    "shingle_minhash" -> (a => ShingleMinHash(a(0), a(1), a(2))),
+    "set_overlap" -> (a => SetOverlap(a(0), a(1))),
     "fake_media_decode" -> (a => FakeMediaDecode(a.head)),
     "lang_id" -> (a => graft.ops.LangIdExpr(a.head)),
     "rolling_fingerprint" -> (a => graft.ops.RollingFingerprint(a.head))
@@ -147,6 +150,8 @@ object api {
   def cqf_union(a: Column, b: Column): Column = call_function("cqf_union", a, b)
   def cqf_intersect(a: Column, b: Column): Column = call_function("cqf_intersect", a, b)
   def cqf_diff(a: Column, b: Column): Column = call_function("cqf_diff", a, b)
+  def cqf_set_count(sketch: Column, key: Column, count: Column): Column =
+    call_function("cqf_set_count", sketch, key, count)
   def cqf_items(sketch: Column): Column = call_function("cqf_items", sketch)
   def hll_estimate(sketch: Column): Column = call_function("hll_estimate", sketch)
   def hll_union(a: Column, b: Column): Column = call_function("hll_union", a, b)

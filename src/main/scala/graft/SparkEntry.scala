@@ -193,9 +193,9 @@ object SparkEntry {
 
     "minhash_lsh_candidates" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val cands = DedupOps.minhashCandidates(docs,
-        TextOps.wordShingles(col("text"), 3), col("doc_id"),
-        bands = 8, rowsPerBand = 4, threshold = 0.0)
+      val cands = DedupOps.minhashShingleCandidates(docs,
+        TextOps.tokens(col("text")), col("doc_id"),
+        k = 3, bands = 8, rowsPerBand = 4, threshold = 0.0)
       cands.select(floor(col("est_jaccard") * 10).cast("long").as("decile"))
         .groupBy(col("decile")).agg(count(lit(1)).as("n_pairs"))
     }),

@@ -163,6 +163,29 @@ case class CqfDiff(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Returns a copy of the sketch with the key's multiplicity overwritten to
+  * `count` (inserted when absent) — the reference's set_count
+  * (/root/reference/src/cqf.rs:129-139) as a pure expression. */
+case class CqfSetCount(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def prettyName: String = "cqf_set_count"
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(sk: Any, key: Any, count: Any): Any = {
+    val cqf = Cqf.deserialize(sk.asInstanceOf[Array[Byte]])
+    val c = count match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case other => throw new IllegalArgumentException(s"bad count $other")
+    }
+    if (KeyConv.isBytesKey(second.dataType))
+      cqf.setCountHash(cqf.bytesHash(KeyConv.toBytes(key, second.dataType)), c)
+    else cqf.setCount(KeyConv.toLong(second.dataType)(key), c)
+    cqf.serialize()
+  }
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression): CqfSetCount = copy(first = a, second = b, third = c)
+}
+
 /** UDTF enumerating a CQF: rows (hash, key, count) in ascending hash order;
   * `key` is recovered through the inverse Wang hash when the sketch was
   * built invertibly, else null (the reference's consuming iterator + key

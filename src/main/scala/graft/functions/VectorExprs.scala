@@ -1,7 +1,7 @@
 package graft.functions
 
 import graft.sketch.WangHash
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -153,6 +153,94 @@ case class MinHashSig(left: Expression, right: Expression)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): MinHashSig =
     copy(left = l, right = r)
+}
+
+/** Distinct-set overlap of two string arrays in one pass:
+  * struct(inter, uni). Replaces size(array_intersect) +
+  * size(array_union), which materialize both result arrays — this is the
+  * inner loop of blocked n-gram Jaccard over candidate pairs. */
+case class SetOverlap(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "set_overlap"
+  override def dataType: DataType = SetOverlap.schema
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val sa = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var i = 0
+    val nx = x.numElements()
+    while (i < nx) {
+      if (!x.isNullAt(i)) sa.add(x.getUTF8String(i))
+      i += 1
+    }
+    val seenB = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var inter = 0
+    var onlyB = 0
+    i = 0
+    val ny = y.numElements()
+    while (i < ny) {
+      if (!y.isNullAt(i)) {
+        val v = y.getUTF8String(i)
+        if (seenB.add(v)) {
+          if (sa.contains(v)) inter += 1 else onlyB += 1
+        }
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(inter, sa.size() + onlyB)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SetOverlap =
+    copy(left = l, right = r)
+}
+object SetOverlap {
+  val schema: StructType = new StructType()
+    .add("inter", IntegerType, nullable = false)
+    .add("uni", IntegerType, nullable = false)
+}
+
+/** Fused string-free MinHash over word k-shingles: one pass hashes each
+  * token once, combines rolling k-windows polynomially, and keeps
+  * `nHashes` minima — no shingle strings are ever materialized (the
+  * naive pipeline builds O(n·k) characters per document). */
+case class ShingleMinHash(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def prettyName: String = "shingle_minhash"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(tokens: Any, kAny: Any, nhAny: Any): Any = {
+    val arr = tokens.asInstanceOf[ArrayData]
+    val k = kAny.asInstanceOf[Int]
+    val nHashes = nhAny.asInstanceOf[Int]
+    val n = arr.numElements()
+    val mins = Array.fill(nHashes)(Long.MaxValue)
+    if (n >= k) {
+      val th = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        th(i) =
+          if (arr.isNullAt(i)) 0L
+          else WangHash.mixBytes(arr.getUTF8String(i).getBytes, 0x2545f491L)
+        i += 1
+      }
+      i = 0
+      while (i + k <= n) {
+        var sh = 0xcbf29ce484222325L
+        var j = 0
+        while (j < k) { sh = sh * 0x100000001b3L + th(i + j); j += 1 }
+        val base = WangHash.mix64(sh, 0x1f83d9abL)
+        var h = base
+        var m = 0
+        while (m < nHashes) {
+          h = WangHash.mix64(base, 0x9e3779b97f4a7c15L * (m + 1))
+          if (h < mins(m)) mins(m) = h
+          m += 1
+        }
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+  override protected def withNewChildrenInternal(a: Expression, b: Expression,
+      c: Expression): ShingleMinHash = copy(first = a, second = b, third = c)
 }
 
 /** CLEARLY-MARKED STUB (multimodal): "decode" an opaque binary blob into

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.functions.{MinHashSig, SimHash64}
+import graft.functions.{MinHashSig, SetOverlap, ShingleMinHash, SimHash64}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -24,6 +24,11 @@ object DedupOps {
     TextOps.toColumn(MinHashSig(TextOps.expression(tokens),
       TextOps.expression(lit(nHashes))))
 
+  /** Fused string-free MinHash over word k-shingles (see ShingleMinHash). */
+  def shingleMinhashSig(tokens: Column, k: Int, nHashes: Int): Column =
+    TextOps.toColumn(ShingleMinHash(TextOps.expression(tokens),
+      TextOps.expression(lit(k)), TextOps.expression(lit(nHashes))))
+
   /** Exact dedup: one row per distinct content, keeping the smallest id.
     * Output columns: fingerprint, kept_id, n_dups. */
   def exactDedup(df: DataFrame, text: Column, id: Column): DataFrame =
@@ -35,9 +40,24 @@ object DedupOps {
     * filtered by estimated Jaccard (signature agreement) >= threshold.
     * Output: id_a, id_b, est_jaccard (ids ordered, distinct pairs). */
   def minhashCandidates(df: DataFrame, tokens: Column, id: Column,
-      bands: Int = 8, rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
+      bands: Int = 8, rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame =
+    minhashCandidatesFromSig(
+      df.select(id.as("id"), minhashSig(tokens, bands * rowsPerBand).as("sig")),
+      bands, rowsPerBand, threshold)
+
+  /** Like [[minhashCandidates]] but fused over word k-shingles without
+    * materializing shingle strings. */
+  def minhashShingleCandidates(df: DataFrame, tokens: Column, id: Column,
+      k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame =
+    minhashCandidatesFromSig(
+      df.select(id.as("id"),
+        shingleMinhashSig(tokens, k, bands * rowsPerBand).as("sig")),
+      bands, rowsPerBand, threshold)
+
+  private def minhashCandidatesFromSig(sigged: DataFrame,
+      bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     val nHashes = bands * rowsPerBand
-    val sigged = df.select(id.as("id"), minhashSig(tokens, nHashes).as("sig"))
     // band key = hash of the band's slice of the signature
     val banded = sigged.select(
       col("id"), col("sig"),
@@ -87,7 +107,7 @@ object DedupOps {
     * Output: id_a, id_b, inter, uni (set sizes; jaccard = inter/uni). */
   def ngramJaccardPairs(df: DataFrame, text: Column, id: Column,
       blockKeys: Seq[Column], k: Int = 3): DataFrame = {
-    val grams = array_distinct(TextOps.wordShingles(text, k))
+    val grams = TextOps.wordShingles(text, k) // SetOverlap dedups internally
     val base = df.select((blockKeys.zipWithIndex.map { case (c, i) => c.as(s"bk$i") } :+
       id.as("id") :+ grams.as("grams")): _*)
     val bk = blockKeys.indices.map(i => s"bk$i")
@@ -95,9 +115,10 @@ object DedupOps {
     val b = base.select((bk.map(col) :+ col("id").as("id_b") :+ col("grams").as("g_b")): _*)
     a.join(b, bk)
       .where(col("id_a") < col("id_b"))
+      .withColumn("ov", TextOps.toColumn(SetOverlap(
+        TextOps.expression(col("g_a")), TextOps.expression(col("g_b")))))
       .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("g_a"), col("g_b"))).as("inter"),
-        size(array_union(col("g_a"), col("g_b"))).as("uni"))
+        col("ov.inter").as("inter"), col("ov.uni").as("uni"))
   }
 
   /** Embedding near-dup pairs: LSH-bucketed cosine (exact re-check inside

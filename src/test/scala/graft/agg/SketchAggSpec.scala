@@ -4,6 +4,7 @@ import graft.GraftFunctions
 import graft.api
 import graft.sketch._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
@@ -205,6 +206,30 @@ class SketchAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getLong(0) == 200)
     assert(r.getLong(1) == 50)
     assert(r.getLong(2) == 50)
+  }
+
+  test("cqf_set_count overwrites / inserts through the SQL surface") {
+    val sk = (1 to 10).map(_.toLong).toDF("k").agg(api.cqf_agg(col("k"), 8).as("s"))
+    val r = sk.select(
+      api.cqf_count(api.cqf_set_count($"s", lit(5L), lit(42)), lit(5L)),
+      api.cqf_count(api.cqf_set_count($"s", lit(999L), lit(7)), lit(999L)),
+      api.cqf_total(api.cqf_set_count($"s", lit(5L), lit(42)))).head()
+    assert(r.getLong(0) == 42L)
+    assert(r.getLong(1) == 7L)
+    assert(r.getLong(2) == 9 + 42L)
+  }
+
+  test("sketch aggregates work as window functions") {
+    val df = tokenDf(300)
+    val w = Window.partitionBy($"source")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rows = df.select($"source", $"doc_id",
+        api.hll_estimate(api.hll_agg(col("tokens"), 12).over(w)).as("d"))
+      .collect()
+    val bySource = rows.groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    // every row in a source sees the same whole-partition estimate
+    bySource.foreach { case (src, ds) => assert(ds.size == 1, s"source $src") }
   }
 
   test("grouping sets / rollup compose with sketch aggregates") {
