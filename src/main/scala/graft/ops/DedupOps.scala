@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.functions.{MinHashSig, SetOverlap, ShingleMinHash, SimHash64}
+import graft.functions.{MinHashSig, SetOverlap, ShingleHashSet, ShingleMinHash, SimHash64, SortedLongOverlap}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -107,7 +107,11 @@ object DedupOps {
     * Output: id_a, id_b, inter, uni (set sizes; jaccard = inter/uni). */
   def ngramJaccardPairs(df: DataFrame, text: Column, id: Column,
       blockKeys: Seq[Column], k: Int = 3): DataFrame = {
-    val grams = TextOps.wordShingles(text, k) // SetOverlap dedups internally
+    // hash each document's shingles ONCE into a sorted distinct long set;
+    // pairs then overlap by a zero-allocation two-pointer walk (exact:
+    // 64-bit shingle-hash collisions are ~1e-15 per pair at these sizes)
+    val grams = TextOps.toColumn(ShingleHashSet(
+      TextOps.expression(TextOps.tokens(text)), TextOps.expression(lit(k))))
     val base = df.select((blockKeys.zipWithIndex.map { case (c, i) => c.as(s"bk$i") } :+
       id.as("id") :+ grams.as("grams")): _*)
     val bk = blockKeys.indices.map(i => s"bk$i")
@@ -115,7 +119,7 @@ object DedupOps {
     val b = base.select((bk.map(col) :+ col("id").as("id_b") :+ col("grams").as("g_b")): _*)
     a.join(b, bk)
       .where(col("id_a") < col("id_b"))
-      .withColumn("ov", TextOps.toColumn(SetOverlap(
+      .withColumn("ov", TextOps.toColumn(SortedLongOverlap(
         TextOps.expression(col("g_a")), TextOps.expression(col("g_b")))))
       .select(col("id_a"), col("id_b"),
         col("ov.inter").as("inter"), col("ov.uni").as("uni"))
