@@ -47,7 +47,7 @@ object GraftFunctions {
   /** name -> builder for every function this library provides. */
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     // aggregates (sketch builders)
-    "cqf_agg" -> (a => CqfAgg(a.head, litInt(a, 1, 10), litInt(a, 2, 64))),
+    "cqf_agg" -> (a => CqfAgg(a.head, litInt(a, 1, 10), litInt(a, 2, 64), litInt(a, 3, 0) == 1)),
     "cqf_merge_agg" -> (a => CqfMergeAgg(a.head)),
     "hll_agg" -> (a => HllAgg(a.head, litInt(a, 1, 12))),
     "hll_merge_agg" -> (a => HllMergeAgg(a.head)),
@@ -125,8 +125,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 /** Column facade (requires GraftFunctions.registerAll on the session). */
 object api {
   // aggregates
-  def cqf_agg(col: Column, quotientBits: Int = 10, hashBits: Int = 64): Column =
-    call_function("cqf_agg", col, lit(quotientBits), lit(hashBits))
+  def cqf_agg(col: Column, quotientBits: Int = 10, hashBits: Int = 64,
+      compact: Boolean = false): Column =
+    call_function("cqf_agg", col, lit(quotientBits), lit(hashBits),
+      lit(if (compact) 1 else 0))
   def cqf_merge_agg(col: Column): Column = call_function("cqf_merge_agg", col)
   def hll_agg(col: Column, p: Int = 12): Column =
     call_function("hll_agg", col, lit(p))

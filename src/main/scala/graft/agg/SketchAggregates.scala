@@ -171,6 +171,7 @@ case class CqfAgg(
     child: Expression,
     quotientBits: Int = 10,
     hashBits: Int = 64,
+    compact: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0
 ) extends SketchAggBase[Cqf] {
@@ -180,7 +181,7 @@ case class CqfAgg(
       case StringType | BinaryType | ArrayType(StringType, _) => false
       case _ => true
     }
-    Cqf(quotientBits, hashBits, invertible)
+    Cqf(quotientBits, hashBits, invertible, compact)
   }
   protected def makeUpdater: (Cqf, Any) => Unit =
     keyedUpdater((s, k) => s.insert(k), (s, b) => s.insertBytes(b))

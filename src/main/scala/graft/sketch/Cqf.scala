@@ -24,21 +24,29 @@ import java.nio.{ByteBuffer, ByteOrder}
   *     equal hashes (ref: /root/reference/src/cqf.rs:218-334).
   *
   * Deliberate deviations from the reference (documented in SURVEY.md §7.1):
-  * counts are always 64-bit; the filter auto-grows (rebuilds at q+1) instead
-  * of surfacing a Filled error — required because a distributed aggregation
-  * cannot fail mid-merge; storage is a plain heap Array[Long] (no mmap).
+  * counts are 64-bit in the default wide mode (the `compact` mode mirrors
+  * the reference's U32Cqf half-width slots, with counts saturating at
+  * 2^32-1 instead of silently truncating); the filter auto-grows (rebuilds
+  * at q+1) instead of surfacing a Filled error — required because a
+  * distributed aggregation cannot fail mid-merge; storage is a plain heap
+  * Array[Long] (no mmap).
   *
-  * Layout: one flat Array[Long], 68 longs per block:
-  * [offset, occupieds, runends, counts, 64 remainder slots].
+  * Layout: one flat Array[Long]; per block [offset, occupieds, runends,
+  * counts] metadata words followed by the 64 remainder slots (64 longs
+  * wide mode, 32 longs compact mode).
   */
 final class Cqf private (
     private var _quotientBits: Int,
     val hashBits: Int,
     val invertible: Boolean,
+    val compact: Boolean,
     private var blocks: Array[Long],
     private var _occupiedSlots: Long
 ) extends Serializable {
   import Cqf._
+
+  /** Longs per block: metadata (offset/occupieds/runends/counts) + slots. */
+  @inline private def Stride: Int = if (compact) 36 else 68
 
   def quotientBits: Int = _quotientBits
   def remainderBits: Int = hashBits - _quotientBits
@@ -58,9 +66,27 @@ final class Cqf private (
   @inline private def runWord(b: Int): Long = blocks(base(b) + 2)
   @inline private def cntWord(b: Int): Long = blocks(base(b) + 3)
   @inline private def slotGet(i: Long): Long =
-    blocks(((i >>> 6) * Stride + 4 + (i & 63L)).toInt)
-  @inline private def slotSet(i: Long, v: Long): Unit =
-    blocks(((i >>> 6) * Stride + 4 + (i & 63L)).toInt) = v
+    if (!compact) blocks(((i >>> 6) * Stride + 4 + (i & 63L)).toInt)
+    else {
+      val slot = (i & 63L).toInt
+      val w = blocks(((i >>> 6) * Stride + 4 + (slot >> 1)).toInt)
+      if ((slot & 1) == 0) w & 0xffffffffL else w >>> 32
+    }
+  @inline private def slotSet(i: Long, v0: Long): Unit =
+    if (!compact) blocks(((i >>> 6) * Stride + 4 + (i & 63L)).toInt) = v0
+    else {
+      // compact slots are 32-bit; remainders always fit (remainderBits <=
+      // 32 enforced at construction), counts SATURATE at 2^32-1 — the
+      // reference's U32Cqf truncates instead (/root/reference/src/cqf/
+      // u32_cqf.rs:160); saturation is the safer analog
+      val v = if (v0 > 0xffffffffL || v0 < 0) 0xffffffffL else v0
+      val slot = (i & 63L).toInt
+      val idx = ((i >>> 6) * Stride + 4 + (slot >> 1)).toInt
+      val w = blocks(idx)
+      blocks(idx) =
+        if ((slot & 1) == 0) (w & 0xffffffff00000000L) | v
+        else (w & 0x00000000ffffffffL) | (v << 32)
+    }
 
   @inline private def getBit(word: Int, i: Long): Boolean = {
     val b = (i >>> 6).toInt
@@ -432,7 +458,7 @@ final class Cqf private (
       if (nq > hashBits || nq > 62)
         throw new IllegalStateException(
           s"CQF cannot grow beyond quotientBits=${_quotientBits} (hashBits=$hashBits)")
-      try bigger = Cqf.fromSortedHashes(iterator, nq, hashBits, invertible)
+      try bigger = Cqf.fromSortedHashes(iterator, nq, hashBits, invertible, compact)
       catch { case FullException => nq += 1 }
     }
     _quotientBits = bigger._quotientBits
@@ -447,7 +473,8 @@ final class Cqf private (
     require(other.hashBits == hashBits,
       s"cannot merge CQFs with hashBits $hashBits vs ${other.hashBits}")
     if (other._occupiedSlots == 0) return this
-    if (_occupiedSlots == 0 && other._quotientBits >= _quotientBits) {
+    if (_occupiedSlots == 0 && other._quotientBits >= _quotientBits &&
+        other.compact == compact) {
       _quotientBits = other._quotientBits
       blocks = other.blocks.clone()
       _occupiedSlots = other._occupiedSlots
@@ -499,7 +526,8 @@ final class Cqf private (
       .order(ByteOrder.LITTLE_ENDIAN)
     buf.putLong(Magic)
     buf.putLong(_quotientBits.toLong | (hashBits.toLong << 8) |
-      ((if (invertible) 1L else 0L) << 16))
+      ((if (invertible) 1L else 0L) << 16) |
+      ((if (compact) 1L else 0L) << 17))
     buf.putLong(_occupiedSlots)
     buf.putLong(blocks.length.toLong)
     buf.asLongBuffer().put(blocks)
@@ -509,7 +537,8 @@ final class Cqf private (
   override def equals(o: Any): Boolean = o match {
     case c: Cqf =>
       c.hashBits == hashBits && c._quotientBits == _quotientBits &&
-        c.invertible == invertible && c._occupiedSlots == _occupiedSlots &&
+        c.invertible == invertible && c.compact == compact &&
+        c._occupiedSlots == _occupiedSlots &&
         java.util.Arrays.equals(c.blocks, blocks)
     case _ => false
   }
@@ -520,8 +549,6 @@ final class Cqf private (
 }
 
 object Cqf {
-  /** Longs per block: offset, occupieds, runends, counts, 64 remainders. */
-  private final val Stride = 68
   private final val HeaderLongs = 4
   private final val Magic = 0x3146514354465247L // "GRFTCQF1"
   /** 95% load cap, as the reference (/root/reference/src/cqf.rs:81). */
@@ -564,25 +591,31 @@ object Cqf {
   }
   private def numBlocksFor(q: Int): Int =
     ((realSlots(q) + 63) / 64).toInt
+  private def strideOf(compact: Boolean): Int = if (compact) 36 else 68
 
   /** New empty CQF. `quotientBits` in [4, 62]; `hashBits` in
     * [quotientBits, 64]. `invertible` records that keys < 2^hashBits are
-    * recoverable from their hashes. */
+    * recoverable from their hashes. `compact` stores 32-bit slots (half
+    * the memory; requires hashBits - quotientBits <= 32; counts saturate
+    * at 2^32-1 — cf. the reference's U32Cqf). */
   def apply(quotientBits: Int, hashBits: Int = 64,
-      invertible: Boolean = true): Cqf = {
+      invertible: Boolean = true, compact: Boolean = false): Cqf = {
     require(quotientBits >= 4 && quotientBits <= 62,
       s"quotientBits must be in [4, 62], got $quotientBits")
     require(hashBits >= quotientBits && hashBits <= 64,
       s"hashBits must be in [$quotientBits, 64], got $hashBits")
-    new Cqf(quotientBits, hashBits, invertible,
-      new Array[Long](numBlocksFor(quotientBits) * Stride), 0L)
+    require(!compact || hashBits - quotientBits <= 32,
+      s"compact slots need remainderBits <= 32, got ${hashBits - quotientBits}")
+    new Cqf(quotientBits, hashBits, invertible, compact,
+      new Array[Long](numBlocksFor(quotientBits) * strideOf(compact)), 0L)
   }
 
   /** Build from an ascending (hash, count) stream. */
   private[sketch] def fromSortedHashes(items: Iterator[(Long, Long)],
-      quotientBits: Int, hashBits: Int, invertible: Boolean): Cqf = {
-    val cqf = new Cqf(quotientBits, hashBits, invertible,
-      new Array[Long](numBlocksFor(quotientBits) * Stride), 0L)
+      quotientBits: Int, hashBits: Int, invertible: Boolean,
+      compact: Boolean = false): Cqf = {
+    val cqf = new Cqf(quotientBits, hashBits, invertible, compact,
+      new Array[Long](numBlocksFor(quotientBits) * strideOf(compact)), 0L)
     val cur = new cqf.AppendCursor
     val rBits = hashBits - quotientBits
     var have = items.hasNext
@@ -607,7 +640,7 @@ object Cqf {
   private def mergedFrom(a: Cqf, b: Cqf, quotientBits: Int, hashBits: Int,
       invertible: Boolean): Cqf =
     fromSortedHashes(mergeSorted(a.iterator, b.iterator), quotientBits,
-      hashBits, invertible)
+      hashBits, invertible, a.compact)
 
   /** Sorted two-pointer merge of (hash, count) streams, summing counts on
     * equal hashes (semantics of /root/reference/src/cqf.rs:218-334). */
@@ -631,7 +664,7 @@ object Cqf {
 
   /** Merge two filters into a new one (inputs untouched). */
   def merge(a: Cqf, b: Cqf): Cqf = {
-    val r = Cqf(math.max(a.quotientBits, b.quotientBits), a.hashBits, a.invertible)
+    val r = Cqf(math.max(a.quotientBits, b.quotientBits), a.hashBits, a.invertible, a.compact)
     r.mergeInPlace(a)
     r.mergeInPlace(b)
     r
@@ -665,7 +698,7 @@ object Cqf {
     q = math.max(q, 4)
     var res: Cqf = null
     while (res == null) {
-      try res = fromSortedHashes(out.iterator, q, a.hashBits, a.invertible)
+      try res = fromSortedHashes(out.iterator, q, a.hashBits, a.invertible, a.compact)
       catch { case FullException => q += 1 }
     }
     res
@@ -679,10 +712,11 @@ object Cqf {
     val qBits = (meta & 0xff).toInt
     val hashBits = ((meta >>> 8) & 0xff).toInt
     val invertible = ((meta >>> 16) & 1L) == 1L
+    val compact = ((meta >>> 17) & 1L) == 1L
     val occupied = buf.getLong()
     val len = buf.getLong().toInt
     val blocks = new Array[Long](len)
     buf.asLongBuffer().get(blocks)
-    new Cqf(qBits, hashBits, invertible, blocks, occupied)
+    new Cqf(qBits, hashBits, invertible, compact, blocks, occupied)
   }
 }

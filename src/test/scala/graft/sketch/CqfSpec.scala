@@ -29,9 +29,10 @@ class CqfSpec extends AnyFunSuite {
   }
 
   private def fillAndCheck(q: Int, hashBits: Int, nKeys: Int,
-      dupMod: Long, seed: Long, viaCounts: Boolean = false): Unit = {
+      dupMod: Long, seed: Long, viaCounts: Boolean = false,
+      compact: Boolean = false): Unit = {
     val rnd = new Random(seed)
-    val cqf = Cqf(q, hashBits)
+    val cqf = Cqf(q, hashBits, invertible = true, compact = compact)
     val oracle = mutable.Map.empty[Long, Long]
     var i = 0
     while (i < nKeys) {
@@ -224,6 +225,38 @@ class CqfSpec extends AnyFunSuite {
     oracle.foreach { case (k, c) => assert(cqf.count(k) == c, s"key $k") }
     assert(cqf.keyIterator.map(_._1).toSet == oracle.keySet)
     assert(cqf.totalCount == oracle.values.sum)
+  }
+
+  test("compact (u32-slot) mode: differential parity with wide mode") {
+    // compact requires remainderBits <= 32, so hashBits <= q + 32
+    for (q <- Seq(8, 12); hb <- Seq(q + 8, q + 32))
+      fillAndCheck(q, hb, nKeys = (0.85 * (1 << q)).toInt, dupMod = 700,
+        seed = 7 * q + hb, viaCounts = true, compact = true)
+  }
+
+  test("compact mode: merge, serde, grow, saturation") {
+    val rnd = new Random(77)
+    val a = Cqf(8, 32, invertible = true, compact = true)
+    val b = Cqf(8, 32, invertible = true, compact = true)
+    val oracle = mutable.Map.empty[Long, Long]
+    for (_ <- 1 to 3000) {
+      val k = (rnd.nextLong() & WangHash.mask(32)) % 600
+      (if (rnd.nextBoolean()) a else b).insert(k)
+      oracle(k) = oracle.getOrElse(k, 0L) + 1
+    }
+    val m = a.mergeInPlace(b)
+    assert(m.compact)
+    assert(m.quotientBits > 8) // grew
+    oracle.foreach { case (k, c) => assert(m.count(k) == c) }
+    val back = Cqf.deserialize(m.serialize())
+    assert(back == m && back.compact)
+    assert(m.sizeBytes < Cqf(m.quotientBits, 32).sizeBytes,
+      "compact must be smaller than wide at equal q")
+    // count saturation at 2^32-1 (reference U32Cqf truncates; we saturate)
+    val s = Cqf(8, 32, invertible = true, compact = true)
+    s.insert(5L, 0xffffffffL - 1)
+    s.insert(5L, 10)
+    assert(s.count(5L) == 0xffffffffL)
   }
 
   test("false positives bounded when hash is lossy") {
