@@ -89,6 +89,37 @@ object SparkEntry {
         .where(col("cnt") > 0)
     }),
 
+    "cqf_multiplicity_hist" -> ((s, dir) => {
+      // whole-table CQF over l_partkey, enumerated into a multiplicity
+      // histogram: how many keys occur exactly cnt times
+      val li = t(s, dir, "lineitem")
+      li.agg(api.cqf_agg(col("l_partkey"), 12, 64).as("sk"))
+        .select(api.cqf_items(col("sk")).as(Seq("hash", "key", "count")))
+        .groupBy(col("count").as("cnt"))
+        .agg(count(lit(1)).as("n_keys"))
+    }),
+
+    "cqf_distinct_users_by_event" -> ((s, dir) => {
+      // exact distinct via invertible CQF (contrast with approximate HLL)
+      val ev = t(s, dir, "events")
+      ev.groupBy(col("event_type"))
+        .agg(api.cqf_agg(col("user_id"), 12, 64).as("sk"))
+        .select(col("event_type"),
+          api.cqf_distinct(col("sk")).as("distinct_users"),
+          api.cqf_total(col("sk")).as("n_events"))
+    }),
+
+    "join_customer_orders" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      orders.join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(api.cqf_agg(col("o_orderkey"), 10, 64).as("sk"))
+        .select(col("c_mktsegment"),
+          api.cqf_distinct(col("sk")).as("distinct_orders"),
+          api.cqf_total(col("sk")).as("n_orders"))
+    }),
+
     "cqf_stats_by_flag" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       li.groupBy(col("l_returnflag"))
@@ -316,6 +347,20 @@ object SparkEntry {
       """SELECT lang, w AS word, count(*) AS cnt
         |FROM (SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents)
         |WHERE w IN ('data', 'table', 'the', 'spark') GROUP BY 1, 2""".stripMargin,
+
+    "cqf_multiplicity_hist" ->
+      """SELECT c AS cnt, count(*) AS n_keys FROM
+        |(SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY 1)
+        |GROUP BY 1""".stripMargin,
+
+    "cqf_distinct_users_by_event" ->
+      """SELECT event_type, count(DISTINCT user_id) AS distinct_users,
+        |count(*) AS n_events FROM events GROUP BY 1""".stripMargin,
+
+    "join_customer_orders" ->
+      """SELECT c_mktsegment, count(DISTINCT o_orderkey) AS distinct_orders,
+        |count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1""".stripMargin,
 
     "cms_heavy_hitters" ->
       """SELECT l_partkey AS partkey, count(*) AS cnt FROM lineitem GROUP BY 1

@@ -64,23 +64,35 @@ case class VecLshBucket(left: Expression, right: Expression, seed: Long)
   override def prettyName: String = "vec_lsh_bucket"
   override def dataType: DataType = LongType
   @transient private lazy val get = CosineSim.getter(left.dataType)
-  override def nullSafeEval(vec: Any, planes: Any): Any = {
-    val x = vec.asInstanceOf[ArrayData]
-    val nPlanes = planes.asInstanceOf[Int]
-    val n = x.numElements()
-    var sig = 0L
-    var j = 0
-    while (j < nPlanes) {
-      var dot = 0.0
-      var i = 0
-      while (i < n) {
+  // plane components depend only on (seed, plane, dim): materialize them
+  // once per task instead of re-mixing 64x per row element
+  @transient private var planeCache: Array[Array[Double]] = _
+  @transient private var planeDims: Int = -1
+  private def planes(nPlanes: Int, n: Int): Array[Array[Double]] = {
+    if (planeCache == null || planeCache.length != nPlanes || planeDims != n) {
+      planeCache = Array.tabulate(nPlanes, n) { (j, i) =>
         val h = WangHash.mix64(j.toLong << 32 | i.toLong, seed)
         // two 21-bit uniforms in [-1,1), summed: zero-mean, symmetric
         val u1 = ((h & 0x1fffffL).toDouble / 0x100000L.toDouble) - 1.0
         val u2 = (((h >>> 21) & 0x1fffffL).toDouble / 0x100000L.toDouble) - 1.0
-        dot += get(x, i) * (u1 + u2)
-        i += 1
+        u1 + u2
       }
+      planeDims = n
+    }
+    planeCache
+  }
+  override def nullSafeEval(vec: Any, nPlanesAny: Any): Any = {
+    val x = vec.asInstanceOf[ArrayData]
+    val nPlanes = nPlanesAny.asInstanceOf[Int]
+    val n = x.numElements()
+    val ps = planes(nPlanes, n)
+    var sig = 0L
+    var j = 0
+    while (j < nPlanes) {
+      val p = ps(j)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += get(x, i) * p(i); i += 1 }
       if (dot >= 0) sig |= (1L << j)
       j += 1
     }
