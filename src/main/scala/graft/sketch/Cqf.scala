@@ -52,9 +52,19 @@ final class Cqf private (
   def remainderBits: Int = hashBits - _quotientBits
   def occupiedSlots: Long = _occupiedSlots
   def numSlots: Long = 1L << _quotientBits
-  def numRealSlots: Long = realSlots(_quotientBits)
-  def numBlocks: Int = blocks.length / Stride
-  def maxOccupiedSlots: Long = (LoadFactor * numSlots).toLong
+  // hot-path constants (numRealSlots involves a sqrt, numBlocks a division;
+  // both sit inside per-insert loops) — cached, refreshed when blocks swap
+  private var _numRealSlots: Long = realSlots(_quotientBits)
+  private var _numBlocks: Int = blocks.length / Stride
+  private var _maxOccupied: Long = (LoadFactor * (1L << _quotientBits)).toLong
+  def numRealSlots: Long = _numRealSlots
+  def numBlocks: Int = _numBlocks
+  def maxOccupiedSlots: Long = _maxOccupied
+  private def refreshDerived(): Unit = {
+    _numRealSlots = realSlots(_quotientBits)
+    _numBlocks = blocks.length / Stride
+    _maxOccupied = (LoadFactor * (1L << _quotientBits)).toLong
+  }
   def sizeBytes: Long = 8L * (HeaderLongs + blocks.length)
 
   // ---- block/bit primitives -------------------------------------------
@@ -464,6 +474,7 @@ final class Cqf private (
     _quotientBits = bigger._quotientBits
     blocks = bigger.blocks
     _occupiedSlots = bigger._occupiedSlots
+    refreshDerived()
   }
 
   /** Merge `other` into this filter (counts summed on equal hashes).
@@ -478,6 +489,7 @@ final class Cqf private (
       _quotientBits = other._quotientBits
       blocks = other.blocks.clone()
       _occupiedSlots = other._occupiedSlots
+      refreshDerived()
       return this
     }
     // fast path: a small delta inserted into a large accumulator avoids
@@ -506,6 +518,7 @@ final class Cqf private (
     _quotientBits = merged._quotientBits
     blocks = merged.blocks
     _occupiedSlots = merged._occupiedSlots
+    refreshDerived()
     this
   }
 
