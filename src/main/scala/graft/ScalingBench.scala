@@ -38,10 +38,16 @@ object ScalingBench {
   def materialize(nDocs: Long): String = {
     val dir = s"/tmp/graft_bucketed_tokens_$nDocs"
     if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
-      val spark = SparkSession.builder().master("local[32]")
-        .config("spark.ui.enabled", "false")
-        .config("spark.local.dir", "/dev/shm/spark-graft")
-        .getOrCreate()
+      // reuse the caller's session when one is active (getOrCreate would
+      // return it anyway — stopping it afterwards would kill the caller);
+      // only own-and-stop a session we created ourselves
+      val active = SparkSession.getActiveSession
+      val spark = active.getOrElse {
+        SparkSession.builder().master("local[32]")
+          .config("spark.ui.enabled", "false")
+          .config("spark.local.dir", "/dev/shm/spark-graft")
+          .getOrCreate()
+      }
       spark.sparkContext.setLogLevel("ERROR")
       TokenGen.generate(spark, nDocs, vocab = 50000, numPartitions = 64)
         .withColumn("salt", saltCol)
@@ -52,7 +58,7 @@ object ScalingBench {
       // saveAsTable leaves no _SUCCESS for bucketed external tables on
       // some paths; write our own completion marker
       new java.io.File(s"$dir/_SUCCESS").createNewFile()
-      spark.stop()
+      if (active.isEmpty) spark.stop()
     }
     dir
   }
