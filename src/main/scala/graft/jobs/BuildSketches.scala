@@ -23,10 +23,16 @@ import org.apache.spark.sql.functions._
   */
 object BuildSketches {
 
-  /** kind: cqf | hll | cms | tdigest | kll | bloom */
+  /** kind: cqf | hll | cms | tdigest | kll | bloom.
+    * groupFirst co-partitions rows by (source, salt) before aggregating:
+    * each shard's sketch is built by exactly one task (cache-resident
+    * working set, no k-way partial re-merge) — the right plan when group
+    * sketches are large relative to per-task slices; disable to use
+    * Catalyst's default map-side partial aggregation. */
   final case class Config(
       kind: String = "cqf",
       salts: Int = 16,
+      groupFirst: Boolean = true,
       quotientBits: Int = 12,
       hashBits: Int = 64,
       hllP: Int = 12,
@@ -59,8 +65,13 @@ object BuildSketches {
 
   /** Stage 1: per-(source, salt) sketch partials with lineage columns
     * (F4 fixture schema). */
-  def buildPartials(df: DataFrame, cfg: Config): DataFrame =
-    df.withColumn("salt", pmod(xxhash64(col("doc_id")), lit(cfg.salts)).cast("int"))
+  def buildPartials(df: DataFrame, cfg: Config): DataFrame = {
+    val salted = df.withColumn("salt",
+      pmod(xxhash64(col("doc_id")), lit(cfg.salts)).cast("int"))
+    val distributed =
+      if (cfg.groupFirst) salted.repartition(col("source"), col("salt"))
+      else salted
+    distributed
       .groupBy(col("source"), col("salt"))
       .agg(
         buildAgg(cfg, col("tokens")).as("sketch_bytes"),
@@ -71,6 +82,7 @@ object BuildSketches {
         // under ANSI mode, unlike sum
         expr("bit_xor(xxhash64(doc_id, n_tok))").as("input_hash"))
       .withColumn("sketch_kind", lit(cfg.kind))
+  }
 
   /** Run (or resume) the build. Returns the per-source final sketches:
     * (source, sketch_bytes, n_rows, n_tokens). */
