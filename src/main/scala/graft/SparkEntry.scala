@@ -222,6 +222,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"))
     }),
 
+    "dedup_cluster_reps" -> ((s, dir) => {
+      // full near-dup dedup: exact jaccard pairs (>= 0.8) -> connected
+      // components -> one representative per duplicate cluster
+      val docs = t(s, dir, "documents")
+      val pairs = DedupOps.ngramJaccardPairs(docs, col("text"), col("doc_id"),
+          Seq(col("lang"), expr("n_chars div 32")), k = 3)
+        .where(col("uni") > 0 && expr("(inter * 10) div uni") >= 8)
+      val nodes = docs.select(col("doc_id").as("id"))
+      DedupOps.dedupByPairs(nodes, pairs)
+        .where(!col("kept")) // report only documents dropped as duplicates
+        .select(col("id"), col("component"))
+    }),
+
     "minhash_lsh_candidates" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val cands = DedupOps.minhashShingleCandidates(docs,
@@ -393,6 +406,28 @@ object SparkEntry {
         |    AND a.doc_id < b.doc_id)
         |SELECT (inter * 10) // uni AS jaccard_decile, count(*) AS n_pairs
         |FROM p WHERE uni > 0 GROUP BY 1""".stripMargin,
+
+    "dedup_cluster_reps" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT doc_id, lang, n_chars // 32 AS bucket,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 1, 1)),
+        |      i -> array_to_string((regexp_split_to_array(trim(text), '\s+'))[i:i+2], ' '))) AS grams
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM g a JOIN g b ON a.lang = b.lang AND a.bucket = b.bucket
+        |    AND a.doc_id < b.doc_id
+        |  WHERE len(list_distinct(list_concat(a.grams, b.grams))) > 0
+        |    AND (len(list_intersect(a.grams, b.grams)) * 10)
+        |        // len(list_distinct(list_concat(a.grams, b.grams))) >= 8),
+        |e AS (SELECT u, v FROM p UNION SELECT v AS u, u AS v FROM p),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.id)
+        |SELECT id, CAST(min(r) AS BIGINT) AS component
+        |FROM reach GROUP BY id HAVING id <> min(r)""".stripMargin,
 
     "quality_metrics" ->
       """SELECT doc_id,

@@ -125,6 +125,50 @@ object DedupOps {
         col("ov.inter").as("inter"), col("ov.uni").as("uni"))
   }
 
+  /** Connected components over an undirected similarity-pair graph by
+    * iterative min-label propagation — turns near-dup PAIRS into dup
+    * GROUPS so one representative survives per cluster. Each round is one
+    * shuffle (groupBy node); rounds needed = graph diameter in label
+    * space, which for dedup clusters (small, dense) is ~log of the chain
+    * length. Converges when no label changes.
+    * Input: pairs (id_a, id_b); nodes: (id). Output: (id, component)
+    * where component = min id reachable. */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+      maxRounds: Int = 20): DataFrame = {
+    val spark = nodes.sparkSession
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .distinct().cache()
+    var labels = nodes.select(col("id"), col("id").as("component")).cache()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      // candidate label for u = min(label(u), min over neighbors v of label(v))
+      val viaEdges = edges.join(labels, edges("v") === labels("id"))
+        .select(col("u").as("id"), col("component"))
+      val next = labels.select(col("id"), col("component"))
+        .union(viaEdges)
+        .groupBy(col("id"))
+        .agg(min(col("component")).as("component"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
+        .where(col("component") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      round += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Full near-dup dedup: candidate pairs -> components -> one kept
+    * representative (min id) per component.
+    * Output: (id, component, kept) — kept = (id == component). */
+  def dedupByPairs(nodes: DataFrame, pairs: DataFrame): DataFrame =
+    connectedComponents(nodes, pairs)
+      .select(col("id"), col("component"),
+        (col("id") === col("component")).as("kept"))
+
   /** Embedding near-dup pairs: LSH-bucketed cosine (exact re-check inside
     * buckets). Output: id_a, id_b, cos. */
   def embeddingNearDups(df: DataFrame, vec: Column, id: Column,

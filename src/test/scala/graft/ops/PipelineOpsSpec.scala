@@ -122,6 +122,20 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(approx.size <= exact.size)
   }
 
+  test("connected components: chains, triangles, singletons") {
+    val nodes = (0L to 9L).toDF("id")
+    // chain 0-1-2-3, triangle 4-5-6, pair 7-8, singleton 9
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (8L, 7L)).toDF("id_a", "id_b")
+    val comps = DedupOps.dedupByPairs(nodes, pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert((0L to 3L).forall(comps(_)._1 == 0L))
+    assert((4L to 6L).forall(comps(_)._1 == 4L))
+    assert(comps(7L)._1 == 7L && comps(8L)._1 == 7L)
+    assert(comps(9L) == ((9L, true)))
+    assert(comps.count(_._2._2) == 4) // one representative per component
+  }
+
   test("text ops: tokens, counts, quality metrics, langid, fingerprint") {
     val df = Seq(
       (0L, "the cat and the hat"),
