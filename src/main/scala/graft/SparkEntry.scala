@@ -266,6 +266,14 @@ object SparkEntry {
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
     }),
 
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      AnnOps.ivfTopK(emb, col("vec_id"), col("embedding"),
+          emb.where(col("vec_id") < 10), col("vec_id"), col("embedding"),
+          k = 3, nCells = 16, nProbe = 4)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+    }),
+
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       AnnOps.lshTopK(emb, col("vec_id"), col("embedding"),

@@ -122,6 +122,30 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(approx.size <= exact.size)
   }
 
+  test("IVF ANN: higher nProbe raises recall; full probe == brute force") {
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(8)(Array.fill(32)(rnd.nextGaussian()))
+    def vec(i: Int): Array[Float] = {
+      val c = centers(i % 8)
+      c.map(x => (x + 0.2 * rnd.nextGaussian()).toFloat)
+    }
+    val df = Seq.tabulate(240)(i => (i.toLong, vec(i))).toDF("vec_id", "embedding").cache()
+    val queries = df.where($"vec_id" < 16)
+    val exact = AnnOps.bruteForceTopK(df, $"vec_id", $"embedding",
+        queries, $"vec_id", $"embedding", k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallAt(nProbe: Int): Double = {
+      val approx = AnnOps.ivfTopK(df, $"vec_id", $"embedding",
+          queries, $"vec_id", $"embedding", k = 5, nCells = 12, nProbe = nProbe)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    val r2 = recallAt(2)
+    val r12 = recallAt(12) // probing every cell == exhaustive
+    assert(r12 == 1.0, s"full-probe IVF must equal brute force, got $r12")
+    assert(r2 <= r12 && r2 >= 0.3, s"nProbe=2 recall $r2")
+  }
+
   test("connected components: chains, triangles, singletons") {
     val nodes = (0L to 9L).toDF("id")
     // chain 0-1-2-3, triangle 4-5-6, pair 7-8, singleton 9
