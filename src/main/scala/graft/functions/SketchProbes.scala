@@ -53,35 +53,64 @@ private[functions] object KeyConv {
   }
 }
 
+/** Whole-stage codegen for (sketchBytes, key) probes: the generated code
+  * calls the expression's typed evalLong/evalUtf8 helper directly — no
+  * InternalRow boxing per row, which matters when the probe is a row-level
+  * prefilter over a large scan (e.g. WHERE bloom_might_contain(...)). */
+private[functions] trait KeyedProbeCodegen { self: BinaryExpression =>
+  protected def withStringKey: Boolean = KeyConv.isBytesKey(right.dataType)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("probe", this, getClass.getName)
+    val helper = right.dataType match {
+      case BinaryType => "evalBytes"
+      case StringType => "evalUtf8"
+      case _ => "evalLong"
+    }
+    nullSafeCodeGen(ctx, ev, (sk, key) =>
+      s"${ev.value} = $ref.$helper($sk, $key);")
+  }
+}
+
 // ------------------------------------------------------------------ CQF
 
 case class CqfCount(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback with SketchCache[Cqf] {
+    extends BinaryExpression with SketchCache[Cqf] with KeyedProbeCodegen {
   override def prettyName: String = "cqf_count"
   override def dataType: DataType = LongType
   protected def parse(bytes: Array[Byte]): Cqf = Cqf.deserialize(bytes)
+  def evalLong(sk: Array[Byte], key: Long): Long = cached(sk).count(key)
+  def evalUtf8(sk: Array[Byte], key: UTF8String): Long =
+    cached(sk).countBytes(key.getBytes)
+  def evalBytes(sk: Array[Byte], key: Array[Byte]): Long =
+    cached(sk).countBytes(key)
   override def nullSafeEval(sk: Any, key: Any): Any = {
-    val cqf = cached(sk.asInstanceOf[Array[Byte]])
+    val bytes = sk.asInstanceOf[Array[Byte]]
     if (KeyConv.isBytesKey(right.dataType))
-      cqf.countBytes(KeyConv.toBytes(key, right.dataType))
-    else cqf.count(KeyConv.toLong(right.dataType)(key))
+      cached(bytes).countBytes(KeyConv.toBytes(key, right.dataType))
+    else evalLong(bytes, KeyConv.toLong(right.dataType)(key))
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CqfCount =
     copy(left = l, right = r)
 }
 
 case class CqfContains(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback with SketchCache[Cqf] {
+    extends BinaryExpression with SketchCache[Cqf] with KeyedProbeCodegen {
   override def prettyName: String = "cqf_contains"
   override def dataType: DataType = BooleanType
   protected def parse(bytes: Array[Byte]): Cqf = Cqf.deserialize(bytes)
+  def evalLong(sk: Array[Byte], key: Long): Boolean = cached(sk).count(key) > 0
+  def evalUtf8(sk: Array[Byte], key: UTF8String): Boolean =
+    cached(sk).countBytes(key.getBytes) > 0
+  def evalBytes(sk: Array[Byte], key: Array[Byte]): Boolean =
+    cached(sk).countBytes(key) > 0
   override def nullSafeEval(sk: Any, key: Any): Any = {
-    val cqf = cached(sk.asInstanceOf[Array[Byte]])
-    val c =
-      if (KeyConv.isBytesKey(right.dataType))
-        cqf.countBytes(KeyConv.toBytes(key, right.dataType))
-      else cqf.count(KeyConv.toLong(right.dataType)(key))
-    c > 0
+    val bytes = sk.asInstanceOf[Array[Byte]]
+    if (KeyConv.isBytesKey(right.dataType))
+      cached(bytes).countBytes(KeyConv.toBytes(key, right.dataType)) > 0
+    else evalLong(bytes, KeyConv.toLong(right.dataType)(key))
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CqfContains =
     copy(left = l, right = r)
@@ -241,17 +270,24 @@ case class HllUnion(left: Expression, right: Expression)
 // ------------------------------------------------------------------ CMS
 
 case class CmsEstimate(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback with SketchCache[CountMinSketch] {
+    extends BinaryExpression with SketchCache[CountMinSketch] with KeyedProbeCodegen {
   override def prettyName: String = "cms_estimate"
   override def dataType: DataType = LongType
   protected def parse(bytes: Array[Byte]): CountMinSketch = CountMinSketch.deserialize(bytes)
+  def evalLong(sk: Array[Byte], key: Long): Long = cached(sk).estimate(key)
+  def evalUtf8(sk: Array[Byte], key: UTF8String): Long =
+    evalBytes(sk, key.getBytes)
+  def evalBytes(sk: Array[Byte], b: Array[Byte]): Long =
+    cached(sk).estimateHash(WangHash.mixBytes(b, CountMinSketch.Seed1),
+      WangHash.mixBytes(b, CountMinSketch.Seed2))
   override def nullSafeEval(sk: Any, key: Any): Any = {
-    val cms = cached(sk.asInstanceOf[Array[Byte]])
-    if (KeyConv.isBytesKey(right.dataType)) {
-      val b = KeyConv.toBytes(key, right.dataType)
-      cms.estimateHash(WangHash.mixBytes(b, CountMinSketch.Seed1),
-        WangHash.mixBytes(b, CountMinSketch.Seed2))
-    } else cms.estimate(KeyConv.toLong(right.dataType)(key))
+    val bytes = sk.asInstanceOf[Array[Byte]]
+    if (KeyConv.isBytesKey(right.dataType))
+      evalUtf8(bytes, key match {
+        case u: UTF8String => u
+        case b: Array[Byte] => UTF8String.fromBytes(b)
+      })
+    else evalLong(bytes, KeyConv.toLong(right.dataType)(key))
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CmsEstimate =
     copy(left = l, right = r)
@@ -363,17 +399,24 @@ case class KllUnion(left: Expression, right: Expression)
 // ------------------------------------------------------------------ Bloom
 
 case class BloomMightContain(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback with SketchCache[BloomSketch] {
+    extends BinaryExpression with SketchCache[BloomSketch] with KeyedProbeCodegen {
   override def prettyName: String = "bloom_might_contain"
   override def dataType: DataType = BooleanType
   protected def parse(bytes: Array[Byte]): BloomSketch = BloomSketch.deserialize(bytes)
+  def evalLong(sk: Array[Byte], key: Long): Boolean = cached(sk).mightContain(key)
+  def evalUtf8(sk: Array[Byte], key: UTF8String): Boolean =
+    evalBytes(sk, key.getBytes)
+  def evalBytes(sk: Array[Byte], b: Array[Byte]): Boolean =
+    cached(sk).mightContainHash(WangHash.mixBytes(b, BloomSketch.Seed1),
+      WangHash.mixBytes(b, BloomSketch.Seed2))
   override def nullSafeEval(sk: Any, key: Any): Any = {
-    val bloom = cached(sk.asInstanceOf[Array[Byte]])
-    if (KeyConv.isBytesKey(right.dataType)) {
-      val b = KeyConv.toBytes(key, right.dataType)
-      bloom.mightContainHash(WangHash.mixBytes(b, BloomSketch.Seed1),
-        WangHash.mixBytes(b, BloomSketch.Seed2))
-    } else bloom.mightContain(KeyConv.toLong(right.dataType)(key))
+    val bytes = sk.asInstanceOf[Array[Byte]]
+    if (KeyConv.isBytesKey(right.dataType))
+      evalUtf8(bytes, key match {
+        case u: UTF8String => u
+        case b: Array[Byte] => UTF8String.fromBytes(b)
+      })
+    else evalLong(bytes, KeyConv.toLong(right.dataType)(key))
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomMightContain =
     copy(left = l, right = r)
