@@ -19,9 +19,10 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     GraftFunctions.registerAll(spark)
     val picks = Seq(
-      "cqf_count_by_flag", "cqf_merge_two_stage", "cms_heavy_hitters",
-      "bloom_membership", "ann_brute_topk", "ngram_jaccard_hist",
-      "dedup_exact_fingerprint", "window_top_events")
+      "cqf_count_by_flag", "cqf_merge_two_stage", "cqf_multiplicity_hist",
+      "cms_heavy_hitters", "bloom_membership", "ann_brute_topk",
+      "ann_ivf_topk", "ngram_jaccard_hist", "dedup_exact_fingerprint",
+      "window_top_events")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — formatted physical plans (sf=" + sfDir + ")\n\n")
     sb.append("Audit notes per plan: parquet scans must show pruned ")
