@@ -1,6 +1,7 @@
 package graft.jobs
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 /** spark-submit entry point for the checkpoint-resumable sketch build:
   *
@@ -28,7 +29,10 @@ object BuildSketchesMain {
     val input = spark.read.parquet(inputDir)
     val result = BuildSketches.run(spark, input, ckptDir,
       BuildSketches.Config(kind = kind, salts = salts))
-    result.write.mode("overwrite").parquet(outDir)
+    // range layout on the group key: clustered output files, so
+    // downstream per-source reads prune to contiguous file ranges
+    result.repartitionByRange(col("source"))
+      .write.mode("overwrite").parquet(outDir)
     spark.stop()
   }
 }

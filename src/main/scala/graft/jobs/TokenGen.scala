@@ -20,6 +20,13 @@ object TokenGen {
   val Sources: Seq[String] =
     Seq("web", "books", "code", "wiki", "forums", "news", "papers", "social")
 
+  /** Write the generated table range-partitioned by doc_id — the layout
+    * the north rule names (`repartitionByRange on doc_id`): doc ranges
+    * map to contiguous files, so doc_id range predicates prune files. */
+  def writeRangeLayout(df: DataFrame, dir: String, partitions: Int = 64): Unit =
+    df.repartitionByRange(partitions, org.apache.spark.sql.functions.col("doc_id"))
+      .write.mode("overwrite").parquet(dir)
+
   def generate(spark: SparkSession, nDocs: Long, vocab: Int = 50000,
       minTok: Int = 16, maxTok: Int = 256, seed: Long = 42L,
       numPartitions: Int = 0): DataFrame = {
