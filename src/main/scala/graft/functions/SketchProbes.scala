@@ -19,36 +19,21 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 private[functions] trait SketchCache[S <: AnyRef] {
   @transient private var lastBytes: Array[Byte] = _
-  @transient private var lastFp: Long = 0L
   @transient private var lastSketch: S = _
   protected def parse(bytes: Array[Byte]): S
 
-  /** Sampled content fingerprint: length + three 32-byte windows. Row
-    * accessors (UnsafeRow.getBinary) copy the array per row, so identity
-    * caching never hits under joins — without this, a per-row probe
-    * deserializes the sketch for every row of the scan. Accidental
-    * collision needs two different sketches agreeing on length and all
-    * three windows — not a property sketch payloads have. */
-  private def fingerprint(b: Array[Byte]): Long = {
-    var h = 0x9e3779b97f4a7c15L ^ b.length
-    def window(off: Int): Unit = {
-      val end = math.min(off + 32, b.length)
-      var i = off
-      while (i < end) { h = (h ^ b(i)) * 0x100000001b3L; i += 1 }
-    }
-    window(0)
-    if (b.length > 64) window(b.length / 2)
-    if (b.length > 32) window(b.length - 32)
-    h
-  }
-
+  /** Identity fast path, then exact full-content equality. Row accessors
+    * (UnsafeRow.getBinary) copy the array per row, so identity alone never
+    * hits under joins and every probe row would re-deserialize the sketch.
+    * The memcmp is the same cost class as that unavoidable per-row copy;
+    * sampled fingerprints are NOT safe here — sparse sketches are mostly
+    * zero bytes and collide across groups (caught at sf0.001). For
+    * row-heavy prefilters prefer the scalar-subquery pattern (sketch as a
+    * plan-level literal), which takes the `eq` fast path. */
   protected final def cached(bytes: Array[Byte]): S = {
     if (bytes eq lastBytes) return lastSketch
-    val fp = fingerprint(bytes)
-    if (lastSketch == null || fp != lastFp ||
-        lastBytes == null || lastBytes.length != bytes.length) {
+    if (lastSketch == null || !java.util.Arrays.equals(lastBytes, bytes)) {
       lastSketch = parse(bytes)
-      lastFp = fp
     }
     lastBytes = bytes
     lastSketch

@@ -75,6 +75,25 @@ class EdgeCaseSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.isNullAt(0))
   }
 
+  test("probes distinguish sparse sketches with identical shape (cache regression)") {
+    // regression: three groups whose sketches have IDENTICAL length and
+    // occupancy (same key count, different keys) — a sampled-fingerprint
+    // probe cache collided on these (mostly-zero payloads) and returned
+    // the wrong group's counts (caught at sf0.001)
+    val df = Seq(
+      ("g1", Seq(1, 1, 1)), ("g2", Seq(2, 2, 2)), ("g3", Seq(3, 3, 3))
+    ).toDF("g", "tokens")
+    val rows = df.groupBy($"g").agg(api.cqf_agg(col("tokens"), 8).as("sk"))
+      .select($"g",
+        api.cqf_count($"sk", lit(1)), api.cqf_count($"sk", lit(2)),
+        api.cqf_count($"sk", lit(3)))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows("g1") == ((3L, 0L, 0L)), rows)
+    assert(rows("g2") == ((0L, 3L, 0L)), rows)
+    assert(rows("g3") == ((0L, 0L, 3L)), rows)
+  }
+
   test("cqf over negative and extreme long keys stays exact") {
     val keys = Seq(Long.MinValue, Long.MaxValue, -1L, 0L, 42L, -42L, Long.MinValue)
     val sk = keys.toDF("k").agg(api.cqf_agg($"k", 8, 64).as("sk"))
