@@ -91,6 +91,31 @@ class BuildSketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("observe() metrics surface rows/tokens consumed by the run") {
+    val input = TokenGen.generate(spark, 400, vocab = 300)
+    val expectedTokens = input.agg(sum(col("n_tok"))).head().getLong(0)
+    @volatile var observed: Option[(Long, Long)] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, duration: Long): Unit = {
+        qe.observedMetrics.get("graft_build").foreach { row =>
+          observed = Some((row.getLong(0), row.getLong(1)))
+        }
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_obs").toString
+      BuildSketches.run(spark, input, dir,
+        BuildSketches.Config(kind = "cqf", salts = 4, quotientBits = 8)).collect()
+      var waited = 0
+      while (observed.isEmpty && waited < 100) { Thread.sleep(100); waited += 1 }
+      assert(observed.contains((400L, expectedTokens)), s"observed=$observed")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("build works for every sketch kind") {
     val input = TokenGen.generate(spark, 300, vocab = 500).cache()
     for (kind <- Seq("cqf", "hll", "cms", "bloom", "tdigest", "kll")) {
