@@ -175,14 +175,18 @@ final class Cqf private (
 
   // ---- decode ---------------------------------------------------------
 
+  // decode scratch (kernel instances are per-task buffers, single-threaded)
+  @transient private var decRemainder: Long = 0L
+  @transient private var decCount: Long = 0L
+
   /** Decode the counter at slot `pos` (which must hold a remainder).
     * Returns the slot the entry ends at (== pos, or pos+1 when a count
-    * slot follows). Fills `dec` with (remainder, count).
+    * slot follows); fills decRemainder/decCount.
     * Semantics of /root/reference/src/blocks/u64_blocks.rs:43-62. */
-  @inline private def decodeEnd(pos: Long, dec: Dec): Long = {
-    dec.remainder = slotGet(pos)
-    if (isRunend(pos) || !isCountSlot(pos + 1)) { dec.count = 1L; pos }
-    else { dec.count = slotGet(pos + 1); pos + 1 }
+  @inline private def decodeEnd(pos: Long): Long = {
+    decRemainder = slotGet(pos)
+    if (isRunend(pos) || !isCountSlot(pos + 1)) { decCount = 1L; pos }
+    else { decCount = slotGet(pos + 1); pos + 1 }
   }
 
   // ---- insert ---------------------------------------------------------
@@ -223,18 +227,17 @@ final class Cqf private (
       if (!isOccupied(quotient)) {
         insertAndShift(0, quotient, remainder, count, runstart, 0)
       } else {
-        val dec = new Dec
-        var qend = decodeEnd(runstart, dec)
-        while (dec.remainder < remainder && !isRunend(qend)) {
+        var qend = decodeEnd(runstart)
+        while (decRemainder < remainder && !isRunend(qend)) {
           runstart = qend + 1
-          qend = decodeEnd(runstart, dec)
+          qend = decodeEnd(runstart)
         }
-        if (dec.remainder < remainder) {
+        if (decRemainder < remainder) {
           insertAndShift(1, quotient, remainder, count, qend + 1, 0)
-        } else if (dec.remainder == remainder) {
+        } else if (decRemainder == remainder) {
           insertAndShift(
             if (isRunend(qend)) 1 else 2,
-            quotient, remainder, dec.count + count,
+            quotient, remainder, decCount + count,
             runstart, qend - runstart + 1)
         } else {
           insertAndShift(2, quotient, remainder, count, runstart, 0)
@@ -317,10 +320,9 @@ final class Cqf private (
     if (!isOccupied(quotient)) return 0L
     var pos = runStart(quotient)
     if (pos < quotient) pos = quotient
-    val dec = new Dec
     while (true) {
-      val qend = decodeEnd(pos, dec)
-      if (dec.remainder == remainder) return dec.count
+      val qend = decodeEnd(pos)
+      if (decRemainder == remainder) return decCount
       if (isRunend(qend)) return 0L
       pos = qend + 1
     }
@@ -336,14 +338,13 @@ final class Cqf private (
     if (!isOccupied(quotient)) { insertHash(hash, count); return }
     var runstart = runStart(quotient)
     if (runstart < quotient) runstart = quotient
-    val dec = new Dec
-    var qend = decodeEnd(runstart, dec)
-    while (dec.remainder < remainder && !isRunend(qend)) {
+    var qend = decodeEnd(runstart)
+    while (decRemainder < remainder && !isRunend(qend)) {
       runstart = qend + 1
-      qend = decodeEnd(runstart, dec)
+      qend = decodeEnd(runstart)
     }
-    if (dec.remainder != remainder) { insertHash(hash, count); return }
-    if (dec.count == count) return
+    if (decRemainder != remainder) { insertHash(hash, count); return }
+    if (decCount == count) return
     if (isCountSlot(runstart + 1)) {
       slotSet(runstart + 1, count) // count slot exists: overwrite in place
     } else {
@@ -374,14 +375,13 @@ final class Cqf private (
   /** In-order scan yielding (hash, count) in ascending hash order
     * (semantics of /root/reference/src/cqf/u64_cqf.rs:559-600). */
   def iterator: Iterator[(Long, Long)] = new Iterator[(Long, Long)] {
-    private val dec = new Dec
     private var curQ: Long = nextOccupiedQuotient(0L) // -1 if none
     private var pos: Long = curQ
     def hasNext: Boolean = curQ >= 0
     def next(): (Long, Long) = {
-      val qend = decodeEnd(pos, dec)
-      val hash = (curQ << remainderBits) | dec.remainder
-      val cnt = dec.count
+      val qend = decodeEnd(pos)
+      val hash = (curQ << remainderBits) | decRemainder
+      val cnt = decCount
       val end = isRunend(qend)
       pos = qend + 1
       if (end) {
@@ -574,11 +574,6 @@ object Cqf {
 
   private object FullException extends RuntimeException {
     override def fillInStackTrace(): Throwable = this
-  }
-
-  private final class Dec {
-    var remainder: Long = 0L
-    var count: Long = 0L
   }
 
   @inline private def bitmask(n: Int): Long =
