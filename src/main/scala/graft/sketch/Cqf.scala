@@ -467,7 +467,10 @@ final class Cqf private (
     while (bigger == null) {
       if (nq > hashBits || nq > 62)
         throw new IllegalStateException(
-          s"CQF cannot grow beyond quotientBits=${_quotientBits} (hashBits=$hashBits)")
+          s"CQF is full and cannot grow: quotientBits=${_quotientBits} has " +
+          s"reached hashBits=$hashBits, so the filter cannot hold more " +
+          s"distinct hashes plus count slots. Configure a larger hashBits " +
+          s"(64 is exact for long keys) or fewer distinct keys per group.")
       try bigger = Cqf.fromSortedHashes(iterator, nq, hashBits, invertible, compact)
       catch { case FullException => nq += 1 }
     }
