@@ -61,17 +61,28 @@ object Bench {
     // --- per-query timings over the sf dir (min of 2: the shared sandbox
     // host is noisy, and the second run also excludes codegen warm-up) ---
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var err: String = null
       val secs = (1 to 2).map { _ =>
         val q0 = System.nanoTime()
-        try { fn(spark, sfDir).collect() } catch { case _: Throwable => () }
+        try { fn(spark, sfDir).collect() } catch {
+          case e: Throwable =>
+            // a failed query must not be silently timed as a success: record
+            // it so the bench JSON shows which timings are meaningless
+            err = (e.getClass.getSimpleName + ": " +
+              String.valueOf(e.getMessage).take(200)).replaceAll("[\"\\\\\n\r\t]", " ")
+            System.err.println(s"[bench] $name FAILED: $err")
+        }
         (System.nanoTime() - q0) / 1e9
       }
-      name -> secs.min
+      (name, secs.min, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + jsonNum(v) }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + jsonNum(v) }
       .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, e) if e != null => "\"" + k + "\":\"" + e + "\"" }
+      .mkString("{", ",", "}")
+    val nErr = results.count(_._3 != null)
     val total = results.map(_._2).sum + buildSec
-    println(s"""{"metric":"total","value":${jsonNum(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","headline_build_sec":${jsonNum(buildSec)},"headline_tokens":$nTokens,"headline_mtokens_per_sec":${jsonNum(tokensPerSec / 1e6)},"cpus":$cpus}""")
+    println(s"""{"metric":"total","value":${jsonNum(total)},"unit":"sec","queries":$qs,"query_errors":$errs,"n_query_errors":$nErr,"sf":"$sfDir","headline_build_sec":${jsonNum(buildSec)},"headline_tokens":$nTokens,"headline_mtokens_per_sec":${jsonNum(tokensPerSec / 1e6)},"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -34,6 +34,14 @@ object GraftFunctions {
         s"argument ${i + 1} must be an integer literal, got $other")
     }
 
+  private def litStr(args: Seq[Expression], i: Int, default: String): String =
+    if (args.length <= i) default
+    else args(i) match {
+      case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+      case other => throw new IllegalArgumentException(
+        s"argument ${i + 1} must be a string literal, got $other")
+    }
+
   private def litDouble(args: Seq[Expression], i: Int, default: Double): Double =
     if (args.length <= i) default
     else args(i) match {
@@ -65,11 +73,12 @@ object GraftFunctions {
     "cqf_distinct" -> (a => CqfDistinct(a.head)),
     "cqf_total" -> (a => CqfTotal(a.head)),
     "cqf_stats" -> (a => CqfStats(a.head)),
-    "cqf_union" -> (a => CqfUnion(a(0), a(1))),
+    "cqf_union" -> (a => CqfUnion(a(0), a(1), litStr(a, 2, "sum"))),
     "cqf_intersect" -> (a => CqfIntersect(a(0), a(1))),
     "cqf_diff" -> (a => CqfDiff(a(0), a(1))),
     "cqf_set_count" -> (a => CqfSetCount(a(0), a(1), a(2))),
     "cqf_items" -> (a => CqfItems(a.head)),
+    "cqf_zip_items" -> (a => CqfZipItems(a(0), a(1))),
     "hll_estimate" -> (a => HllEstimate(a.head)),
     "hll_union" -> (a => HllUnion(a(0), a(1))),
     "cms_estimate" -> (a => CmsEstimate(a(0), a(1))),
@@ -97,6 +106,9 @@ object GraftFunctions {
     "shingle_hash_set" -> (a => ShingleHashSet(a(0), a(1))),
     "sorted_long_overlap" -> (a => SortedLongOverlap(a(0), a(1))),
     "fake_media_decode" -> (a => FakeMediaDecode(a.head)),
+    "media_decode" -> (a => MediaDecodeExpr(a.head)),
+    "synth_media_blob" -> (a => SynthMediaBlob(a(0), a(1), a(2))),
+    "vec_mean_agg" -> (a => graft.agg.VecMeanAgg(a.head)),
     "lang_id" -> (a => graft.ops.LangIdExpr(a.head)),
     "rolling_fingerprint" -> (a => graft.ops.RollingFingerprint(a.head))
   )
@@ -106,6 +118,7 @@ object GraftFunctions {
     builders.foreach { case (name, builder) =>
       registry.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
+    graft.agg.TypedAggregators.registerAll(spark)
   }
 }
 
@@ -152,6 +165,9 @@ object api {
   def cqf_total(sketch: Column): Column = call_function("cqf_total", sketch)
   def cqf_stats(sketch: Column): Column = call_function("cqf_stats", sketch)
   def cqf_union(a: Column, b: Column): Column = call_function("cqf_union", a, b)
+  def cqf_union(a: Column, b: Column, mode: String): Column =
+    call_function("cqf_union", a, b, lit(mode))
+  def cqf_zip_items(a: Column, b: Column): Column = call_function("cqf_zip_items", a, b)
   def cqf_intersect(a: Column, b: Column): Column = call_function("cqf_intersect", a, b)
   def cqf_diff(a: Column, b: Column): Column = call_function("cqf_diff", a, b)
   def cqf_set_count(sketch: Column, key: Column, count: Column): Column =
@@ -185,6 +201,10 @@ object api {
   def minhash_sig(tokens: Column, nHashes: Column): Column =
     call_function("minhash_sig", tokens, nHashes)
   def fake_media_decode(blob: Column): Column = call_function("fake_media_decode", blob)
+  def media_decode(blob: Column): Column = call_function("media_decode", blob)
+  def synth_media_blob(kind: Column, a: Column, b: Column): Column =
+    call_function("synth_media_blob", kind, a, b)
+  def vec_mean_agg(vec: Column): Column = call_function("vec_mean_agg", vec)
   def lang_id(text: Column): Column = call_function("lang_id", text)
   def rolling_fingerprint(text: Column): Column = call_function("rolling_fingerprint", text)
 }

@@ -7,12 +7,19 @@ import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Every operator family from SURVEY.md §2 has at least one query here;
-  * exact-mode queries (CQF lookups/enumeration/set-ops, heavy hitters with
-  * exact recheck, dedup, text metrics, joins, windows) carry a DuckDB
-  * oracle in [[oracleSql]]; approximate estimators (HLL, CMS raw
-  * estimates, t-digest/KLL quantiles, LSH candidates) are bound-tested in
-  * the ScalaTest suites instead and get rows-only checks.
+  * Every operator family from SURVEY.md §2 has at least one query here and
+  * almost every query carries an exact DuckDB oracle in [[oracleSql]]:
+  * exact-mode results (CQF lookups/enumeration/zip/set-ops/set_count,
+  * heavy hitters and near-dup pairs with exact recheck, dedup, text
+  * metrics, media header decode, joins, windows) reproduce bit-identically
+  * in DuckDB; intrinsically approximate estimators (HLL, CMS, t-digest,
+  * KLL) are oracled through the bound-check pattern — the query computes
+  * the exact answer AND a boolean asserting the estimate sits inside its
+  * published error bound, and the oracle reproduces the exact answer with
+  * a literal TRUE, so a broken estimator still fails the compare. Only the
+  * two deliberately-lossy ANN variants (ivf nProbe < nCells, single-band
+  * LSH) stay rows-only; their recall is spec-tested, and the exhaustive
+  * IVF variant (nProbe = nCells) hash-matches the brute-force oracle.
   */
 object SparkEntry {
 
@@ -71,10 +78,41 @@ object SparkEntry {
         .select(
           api.cqf_distinct(api.cqf_union(col("sk_R"), col("sk_A"))).as("union_distinct"),
           api.cqf_total(api.cqf_union(col("sk_R"), col("sk_A"))).as("union_total"),
+          api.cqf_total(api.cqf_union(col("sk_R"), col("sk_A"), "max")).as("maxu_total"),
           api.cqf_distinct(api.cqf_intersect(col("sk_R"), col("sk_A"))).as("inter_distinct"),
           api.cqf_total(api.cqf_intersect(col("sk_R"), col("sk_A"))).as("inter_total"),
           api.cqf_distinct(api.cqf_diff(col("sk_R"), col("sk_A"))).as("diff_distinct"),
           api.cqf_total(api.cqf_diff(col("sk_R"), col("sk_A"))).as("diff_total"))
+    }),
+
+    "cqf_zip_flags" -> ((s, dir) => {
+      // aligned enumeration of two sketches — the reference's ZippedCqfIter
+      // as a first-class UDTF (sketch-vs-sketch per-key count comparison)
+      val li = t(s, dir, "lineitem")
+      def skFor(flag: String) = li.where(col("l_returnflag") === flag)
+        .agg(api.cqf_agg(col("l_suppkey"), 12, 64).as(s"sk_$flag"))
+      skFor("R").crossJoin(skFor("A"))
+        .select(api.cqf_zip_items(col("sk_R"), col("sk_A"))
+          .as(Seq("hash", "key", "count_a", "count_b")))
+        .select(col("key").as("suppkey"),
+          col("count_a").as("cnt_r"), col("count_b").as("cnt_a"))
+    }),
+
+    "cqf_set_count_probe" -> ((s, dir) => {
+      // set_count end-to-end: overwrite (12345), then true deletion (0);
+      // neighbors and distinct counts must be unaffected / decremented
+      val li = t(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(api.cqf_agg(col("l_suppkey"), 12, 64).as("sk"))
+        .withColumn("sk2", api.cqf_set_count(col("sk"), lit(7L), lit(12345L)))
+        .withColumn("sk3", api.cqf_set_count(col("sk2"), lit(7L), lit(0L)))
+        .select(col("l_returnflag"),
+          api.cqf_count(col("sk"), lit(7L)).as("before_cnt"),
+          api.cqf_count(col("sk2"), lit(7L)).as("set_cnt"),
+          api.cqf_total(col("sk2")).as("set_total"),
+          api.cqf_count(col("sk3"), lit(7L)).as("deleted_cnt"),
+          api.cqf_count(col("sk3"), lit(8L)).as("neighbor_cnt"),
+          api.cqf_distinct(col("sk3")).as("distinct_after_del"))
     }),
 
     "cqf_string_probe" -> ((s, dir) => {
@@ -121,12 +159,36 @@ object SparkEntry {
     }),
 
     "cqf_stats_by_flag" -> ((s, dir) => {
+      // engine-independent stats columns only (occupied slots / sizing are
+      // implementation detail; distinct/total/invertibility are semantics)
       val li = t(s, dir, "lineitem")
       li.groupBy(col("l_returnflag"))
         .agg(api.cqf_agg(col("l_suppkey"), 10, 64).as("sk"))
         .select(col("l_returnflag"), api.cqf_stats(col("sk")).as("st"))
-        .select(col("l_returnflag"), col("st.quotient_bits"), col("st.occupied_slots"),
-          col("st.distinct_keys"), col("st.total_count"), col("st.invertible"))
+        .select(col("l_returnflag"),
+          col("st.distinct_keys").as("distinct_keys"),
+          col("st.total_count").as("total_count"),
+          col("st.invertible").as("invertible"))
+    }),
+
+    "cqf_udaf_distinct" -> ((s, dir) => {
+      // typed Aggregator surface (functions.udaf) — same kernel, same
+      // bytes, interoperating with the expression probes in one SQL query
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_udaf")
+      s.sql("""SELECT l_returnflag,
+        cqf_distinct(cqf_agg_udaf(l_suppkey)) AS distinct_suppkeys
+        FROM lineitem_udaf GROUP BY l_returnflag""")
+    }),
+
+    "window_running_distinct" -> ((s, dir) => {
+      // sketch aggregate OVER a window: running exact distinct users per
+      // event_type (mergeable state makes sketch aggs window-composable)
+      val ev = t(s, dir, "events").where(col("event_id") < 3000)
+      val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.select(col("event_type"), col("event_id"),
+        api.cqf_distinct(api.cqf_agg(col("user_id"), 8, 64).over(w))
+          .as("running_distinct_users"))
     }),
 
     // ---- count-min: heavy hitters with exact recheck (end-to-end exact) ----
@@ -146,13 +208,19 @@ object SparkEntry {
     }),
 
     "cms_topk_estimates" -> ((s, dir) => {
-      // raw CMS overestimates for the top keys (approximate; no oracle)
+      // top-10 keys by exact count; the CMS estimate must be an
+      // overestimate within eps*N (bound-check pattern: a broken CMS
+      // flips cms_ok to false and fails the oracle compare)
       val li = t(s, dir, "lineitem")
-      val sk = li.agg(api.cms_agg(col("l_suppkey"), 5, 4096).as("cms"))
-      li.select(col("l_suppkey")).distinct().crossJoin(broadcast(sk))
-        .select(col("l_suppkey"), api.cms_estimate(col("cms"), col("l_suppkey")).as("est"))
-        .orderBy(col("est").desc, col("l_suppkey"))
-        .limit(10)
+      val skN = li.agg(api.cms_agg(col("l_suppkey"), 5, 4096).as("cms"),
+        count(lit(1)).as("n"))
+      val exact = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("l_suppkey")).limit(10)
+      exact.crossJoin(broadcast(skN))
+        .select(col("l_suppkey"), col("exact_cnt"),
+          (api.cms_estimate(col("cms"), col("l_suppkey")) >= col("exact_cnt") &&
+            api.cms_estimate(col("cms"), col("l_suppkey")) <=
+              col("exact_cnt") + expr("n div 200")).as("cms_ok"))
     }),
 
     // ---- Bloom as prefilter + exact recheck (end-to-end exact) ----
@@ -169,33 +237,54 @@ object SparkEntry {
         .select(col("s_suppkey").as("suppkey"))
     }),
 
-    // ---- HLL (approximate; bound-tested in specs) ----
+    // ---- HLL (bound-check oracle: exact distinct + in-bound boolean) ----
     "hll_distinct_by_source" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       docs.groupBy(col("source"))
-        .agg(api.hll_agg(col("doc_id"), 14).as("sk"))
-        .select(col("source"), api.hll_estimate(col("sk")).as("approx_docs"))
+        .agg(api.hll_agg(col("doc_id"), 14).as("sk"),
+          countDistinct(col("doc_id")).as("exact_docs"))
+        .select(col("source"), col("exact_docs"),
+          (abs(api.hll_estimate(col("sk")) - col("exact_docs")) <=
+            greatest(lit(3L), (col("exact_docs") * 5 + 99) / 100)).as("hll_ok"))
     }),
 
-    // ---- quantile sketches (approximate; bound-tested in specs) ----
+    // ---- quantile sketches (bound-check oracles: exact rank of the
+    // estimated quantile must sit within the sketch's rank-error bound) ----
     "td_quantiles_by_event_type" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-      ev.groupBy(col("event_type"))
-        .agg(api.td_agg(col("value"), 200.0).as("td"))
-        .select(col("event_type"),
-          api.td_quantile(col("td"), lit(0.5)).as("p50"),
-          api.td_quantile(col("td"), lit(0.9)).as("p90"),
-          api.td_quantile(col("td"), lit(0.99)).as("p99"))
+      val sk = ev.groupBy(col("event_type"))
+        .agg(api.td_agg(col("value"), 200.0).as("td"), count(lit(1)).as("n"))
+        .select(col("event_type"), col("n"),
+          api.td_quantile(col("td"), lit(0.5)).as("e50"),
+          api.td_quantile(col("td"), lit(0.9)).as("e90"),
+          api.td_quantile(col("td"), lit(0.99)).as("e99"))
+      ev.join(broadcast(sk), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(first(col("n")).as("n"),
+          sum(when(col("value") <= col("e50"), 1L).otherwise(0L)).as("r50"),
+          sum(when(col("value") <= col("e90"), 1L).otherwise(0L)).as("r90"),
+          sum(when(col("value") <= col("e99"), 1L).otherwise(0L)).as("r99"))
+        .select(col("event_type"), col("n"),
+          (abs(col("r50") * 100L - col("n") * 50L) <= col("n") * 2L).as("ok50"),
+          (abs(col("r90") * 100L - col("n") * 90L) <= col("n") * 2L).as("ok90"),
+          (abs(col("r99") * 100L - col("n") * 99L) <= col("n") * 1L).as("ok99"))
     }),
 
     "kll_quantiles_by_flag" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-      li.groupBy(col("l_returnflag"))
-        .agg(api.kll_agg(col("l_extendedprice"), 256).as("kll"))
-        .select(col("l_returnflag"),
-          api.kll_n(col("kll")).as("n"),
-          api.kll_quantile(col("kll"), lit(0.5)).as("p50"),
-          api.kll_quantile(col("kll"), lit(0.95)).as("p95"))
+      val sk = li.groupBy(col("l_returnflag"))
+        .agg(api.kll_agg(col("l_extendedprice"), 256).as("kll"), count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("n"),
+          api.kll_quantile(col("kll"), lit(0.5)).as("e50"),
+          api.kll_quantile(col("kll"), lit(0.95)).as("e95"))
+      li.join(broadcast(sk), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(first(col("n")).as("n"),
+          sum(when(col("l_extendedprice") <= col("e50"), 1L).otherwise(0L)).as("r50"),
+          sum(when(col("l_extendedprice") <= col("e95"), 1L).otherwise(0L)).as("r95"))
+        .select(col("l_returnflag"), col("n"),
+          (abs(col("r50") * 100L - col("n") * 50L) <= col("n") * 3L).as("ok50"),
+          (abs(col("r95") * 100L - col("n") * 95L) <= col("n") * 3L).as("ok95"))
     }),
 
     // ---- dedup family ----
@@ -224,11 +313,12 @@ object SparkEntry {
 
     "dedup_cluster_reps" -> ((s, dir) => {
       // full near-dup dedup: exact jaccard pairs (>= 0.8) -> connected
-      // components -> one representative per duplicate cluster
+      // components (large-star/small-star) -> one representative per cluster
       val docs = t(s, dir, "documents")
       val pairs = DedupOps.ngramJaccardPairs(docs, col("text"), col("doc_id"),
           Seq(col("lang"), expr("n_chars div 32")), k = 3)
         .where(col("uni") > 0 && expr("(inter * 10) div uni") >= 8)
+        .select(col("id_a"), col("id_b"))
       val nodes = docs.select(col("doc_id").as("id"))
       DedupOps.dedupByPairs(nodes, pairs)
         .where(!col("kept")) // report only documents dropped as duplicates
@@ -236,26 +326,25 @@ object SparkEntry {
     }),
 
     "minhash_lsh_candidates" -> ((s, dir) => {
+      // LSH proposes, exact shingle-Jaccard disposes: output = all pairs
+      // with true Jaccard >= 0.8 (bands sized so candidate recall ~ 1)
       val docs = t(s, dir, "documents")
-      val cands = DedupOps.minhashShingleCandidates(docs,
-        TextOps.tokens(col("text")), col("doc_id"),
-        k = 3, bands = 8, rowsPerBand = 4, threshold = 0.0)
-      cands.select(floor(col("est_jaccard") * 10).cast("long").as("decile"))
-        .groupBy(col("decile")).agg(count(lit(1)).as("n_pairs"))
+      DedupOps.minhashVerifiedPairs(docs, TextOps.tokens(col("text")),
+        col("doc_id"), k = 3, bands = 16, rowsPerBand = 4, threshold = 0.8)
     }),
 
     "simhash_near_dups" -> ((s, dir) => {
+      // simhash 16-bit-band prefilter + exact shingle-Jaccard recheck
       val docs = t(s, dir, "documents")
-      DedupOps.simhashPairs(docs, TextOps.tokens(col("text")), col("doc_id"), maxDist = 16)
-        .groupBy(col("dist")).agg(count(lit(1)).as("n_pairs"))
+      DedupOps.simhashVerifiedPairs(docs, col("text"), col("doc_id"),
+        k = 3, threshold = 0.9)
     }),
 
     "embedding_near_dups" -> ((s, dir) => {
+      // multi-band hyperplane LSH prefilter + exact cosine recheck
       val emb = t(s, dir, "embeddings")
       DedupOps.embeddingNearDups(emb, col("embedding"), col("vec_id"),
-          minCos = 0.8, nPlanes = 8)
-        .groupBy().agg(count(lit(1)).as("n_pairs"),
-          coalesce(min(col("cos")), lit(0.0)).as("min_cos"))
+        minCos = 0.8, bands = 32, planesPerBand = 6)
     }),
 
     // ---- similarity search ----
@@ -267,10 +356,22 @@ object SparkEntry {
     }),
 
     "ann_ivf_topk" -> ((s, dir) => {
+      // approximate: nProbe=4 of 16 cells (recall spec-tested, rows-only)
       val emb = t(s, dir, "embeddings")
       AnnOps.ivfTopK(emb, col("vec_id"), col("embedding"),
           emb.where(col("vec_id") < 10), col("vec_id"), col("embedding"),
           k = 3, nCells = 16, nProbe = 4)
+        .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+    }),
+
+    "ann_ivf_exhaustive" -> ((s, dir) => {
+      // nProbe = nCells probes every cell: the whole IVF plumbing
+      // (codebook, k-means refinement, assignment, probing, ranking) must
+      // reproduce brute force EXACTLY
+      val emb = t(s, dir, "embeddings")
+      AnnOps.ivfTopK(emb, col("vec_id"), col("embedding"),
+          emb.where(col("vec_id") < 10), col("vec_id"), col("embedding"),
+          k = 3, nCells = 16, nProbe = 16)
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
     }),
 
@@ -323,8 +424,9 @@ object SparkEntry {
         .select(col("event_type"), col("rn").cast("long").as("rn"), col("event_id"))
     }),
 
-    // ---- multimodal plumbing (decode stub; metadata is real) ----
+    // ---- multimodal plumbing ----
     "multimodal_meta" -> ((s, dir) => {
+      // byte-length plumbing over the clearly-marked decode stub
       val docs = t(s, dir, "documents")
       val decoded = docs
         .withColumn("blob", col("text").cast("binary"))
@@ -332,12 +434,40 @@ object SparkEntry {
       decoded.groupBy(col("source"))
         .agg(count(lit(1)).as("n_blobs"),
           sum(col("meta.num_bytes")).as("total_bytes"))
+    }),
+
+    "multimodal_decode" -> ((s, dir) => {
+      // REAL container parsing: synthesize structurally-valid PNG/WAV
+      // blobs (real magic, chunk layout, CRC) and decode their headers
+      val docs = t(s, dir, "documents")
+      val blob = api.synth_media_blob(
+        pmod(col("doc_id"), lit(2)).cast("int"),
+        (pmod(col("n_chars"), lit(100)) + 1).cast("int"),
+        (pmod(col("doc_id"), lit(50)) + 2).cast("int"))
+      docs.withColumn("meta", api.media_decode(blob))
+        .select(col("doc_id"),
+          col("meta.format").as("format"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          col("meta.channels").as("channels"),
+          col("meta.sample_rate").as("sample_rate"),
+          col("meta.bit_depth").as("bit_depth"),
+          col("meta.num_bytes").as("num_bytes"))
     })
   )
 
   // ------------------------------------------------------------------
-  // DuckDB oracles (exact-mode queries only)
+  // DuckDB oracles
   // ------------------------------------------------------------------
+
+  /** Shared CTE: distinct word-3-shingle sets per document (mirrors
+    * ShingleHashSet over whitespace tokens). */
+  private val gramCte =
+    """WITH g AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 1, 1)),
+      |    i -> array_to_string((regexp_split_to_array(trim(text), '\s+'))[i:i+2], ' '))) AS grams
+      |  FROM documents)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "cqf_count_by_flag" ->
@@ -359,10 +489,28 @@ object SparkEntry {
         |SELECT
         |(SELECT count(*) FROM (SELECT k FROM a UNION SELECT k FROM b)) AS union_distinct,
         |(SELECT CAST(coalesce(sum(c),0) AS BIGINT) FROM (SELECT c FROM a UNION ALL SELECT c FROM b)) AS union_total,
+        |(SELECT CAST(coalesce(sum(greatest(coalesce(a.c,0), coalesce(b.c,0))),0) AS BIGINT) FROM a FULL JOIN b USING (k)) AS maxu_total,
         |(SELECT count(*) FROM a JOIN b USING (k)) AS inter_distinct,
         |(SELECT CAST(coalesce(sum(least(a.c, b.c)),0) AS BIGINT) FROM a JOIN b USING (k)) AS inter_total,
         |(SELECT count(*) FROM a LEFT JOIN b USING (k) WHERE a.c > coalesce(b.c, 0)) AS diff_distinct,
         |(SELECT CAST(coalesce(sum(greatest(a.c - coalesce(b.c, 0), 0)),0) AS BIGINT) FROM a LEFT JOIN b USING (k)) AS diff_total""".stripMargin,
+
+    "cqf_zip_flags" ->
+      """WITH r AS (SELECT l_suppkey k, count(*) c FROM lineitem WHERE l_returnflag='R' GROUP BY 1),
+        |a AS (SELECT l_suppkey k, count(*) c FROM lineitem WHERE l_returnflag='A' GROUP BY 1)
+        |SELECT coalesce(r.k, a.k) AS suppkey,
+        |coalesce(r.c, 0) AS cnt_r, coalesce(a.c, 0) AS cnt_a
+        |FROM r FULL JOIN a ON r.k = a.k""".stripMargin,
+
+    "cqf_set_count_probe" ->
+      """SELECT l_returnflag,
+        |count(*) FILTER (WHERE l_suppkey = 7) AS before_cnt,
+        |CAST(12345 AS BIGINT) AS set_cnt,
+        |count(*) - count(*) FILTER (WHERE l_suppkey = 7) + 12345 AS set_total,
+        |CAST(0 AS BIGINT) AS deleted_cnt,
+        |count(*) FILTER (WHERE l_suppkey = 8) AS neighbor_cnt,
+        |count(DISTINCT l_suppkey) - CASE WHEN count(*) FILTER (WHERE l_suppkey = 7) > 0 THEN 1 ELSE 0 END AS distinct_after_del
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     "cqf_string_probe" ->
       """SELECT lang, w AS word, count(*) AS cnt
@@ -383,14 +531,47 @@ object SparkEntry {
         |count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1""".stripMargin,
 
+    "cqf_stats_by_flag" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS distinct_keys,
+        |count(*) AS total_count, TRUE AS invertible
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "cqf_udaf_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS distinct_suppkeys
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "window_running_distinct" ->
+      """SELECT event_type, event_id,
+        |count(DISTINCT user_id) OVER (PARTITION BY event_type ORDER BY event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_distinct_users
+        |FROM events WHERE event_id < 3000""".stripMargin,
+
     "cms_heavy_hitters" ->
       """SELECT l_partkey AS partkey, count(*) AS cnt FROM lineitem GROUP BY 1
         |HAVING count(*) >= (SELECT count(*) // 1333 FROM lineitem)""".stripMargin,
+
+    "cms_topk_estimates" ->
+      """SELECT l_suppkey, count(*) AS exact_cnt, TRUE AS cms_ok
+        |FROM lineitem GROUP BY 1
+        |ORDER BY exact_cnt DESC, l_suppkey LIMIT 10""".stripMargin,
 
     "bloom_membership" ->
       """SELECT DISTINCT l_suppkey AS suppkey FROM lineitem
         |WHERE l_returnflag = 'R'
         |AND l_suppkey IN (SELECT s_suppkey FROM supplier)""".stripMargin,
+
+    "hll_distinct_by_source" ->
+      """SELECT source, count(DISTINCT doc_id) AS exact_docs, TRUE AS hll_ok
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "td_quantiles_by_event_type" ->
+      """SELECT event_type, count(*) AS n,
+        |TRUE AS ok50, TRUE AS ok90, TRUE AS ok99
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "kll_quantiles_by_flag" ->
+      """SELECT l_returnflag, count(*) AS n, TRUE AS ok50, TRUE AS ok95
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     "dedup_exact_props" ->
       """SELECT props, min(event_id) AS kept_event_id, count(*) AS n_dups
@@ -437,6 +618,32 @@ object SparkEntry {
         |SELECT id, CAST(min(r) AS BIGINT) AS component
         |FROM reach GROUP BY id HAVING id <> min(r)""".stripMargin,
 
+    "minhash_lsh_candidates" -> (gramCte +
+      """
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS inter,
+        |CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS BIGINT) AS uni
+        |FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |WHERE len(list_distinct(list_concat(a.grams, b.grams))) > 0
+        |AND len(list_intersect(a.grams, b.grams)) * 1000000
+        |    >= 800000 * len(list_distinct(list_concat(a.grams, b.grams)))""".stripMargin),
+
+    "simhash_near_dups" -> (gramCte +
+      """
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS inter,
+        |CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS BIGINT) AS uni
+        |FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |WHERE len(list_distinct(list_concat(a.grams, b.grams))) > 0
+        |AND len(list_intersect(a.grams, b.grams)) * 1000000
+        |    >= 900000 * len(list_distinct(list_concat(a.grams, b.grams)))""".stripMargin),
+
+    "embedding_near_dups" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |  CAST(b.embedding AS DOUBLE[])) >= 0.8""".stripMargin,
+
     "quality_metrics" ->
       """SELECT doc_id,
         |CAST(len(toks) AS BIGINT) AS n_words,
@@ -452,7 +659,34 @@ object SparkEntry {
         |CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY 1""".stripMargin,
 
+    "lang_id_confusion" ->
+      """WITH t AS (SELECT lang, regexp_split_to_array(lower(text), '\s+') AS toks FROM documents),
+        |h AS (SELECT lang,
+        |  len(list_filter(toks, w -> w IN ('the','and','of','to','is','that','with','for'))) AS en,
+        |  len(list_filter(toks, w -> w IN ('el','los','las','por','una','como','pero','sus'))) AS es,
+        |  len(list_filter(toks, w -> w IN ('le','les','des','est','dans','pour','avec','sur'))) AS fr,
+        |  len(list_filter(toks, w -> w IN ('der','die','das','und','ist','nicht','mit','ein'))) AS de,
+        |  len(list_filter(toks, w -> w IN ('的','是','了','在','我','有','他','这'))) AS zh
+        |  FROM t),
+        |g AS (SELECT lang, CASE WHEN greatest(en,es,fr,de,zh) = 0 THEN 'und'
+        |  WHEN de = greatest(en,es,fr,de,zh) THEN 'de'
+        |  WHEN en = greatest(en,es,fr,de,zh) THEN 'en'
+        |  WHEN es = greatest(en,es,fr,de,zh) THEN 'es'
+        |  WHEN fr = greatest(en,es,fr,de,zh) THEN 'fr'
+        |  ELSE 'zh' END AS guessed FROM h)
+        |SELECT lang, guessed, count(*) AS n FROM g GROUP BY 1, 2""".stripMargin,
+
     "ann_brute_topk" ->
+      """WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+        |      list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos
+        |      FROM q, embeddings c WHERE c.vec_id != q.qid)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+        |WHERE rank <= 3""".stripMargin,
+
+    "ann_ivf_exhaustive" ->
       """WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 10),
         |s AS (SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
         |      list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos
@@ -476,7 +710,19 @@ object SparkEntry {
 
     "multimodal_meta" ->
       """SELECT source, count(*) AS n_blobs, CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
-        |FROM documents GROUP BY 1""".stripMargin
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "multimodal_decode" ->
+      """SELECT doc_id,
+        |CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
+        |CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + (n_chars % 100 + 1) ELSE 0 END AS INT) AS width,
+        |CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + (doc_id % 50 + 2) ELSE 0 END AS INT) AS height,
+        |CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + (n_chars % 100 + 1) % 4
+        |     ELSE 1 + (n_chars % 100 + 1) % 2 END AS INT) AS channels,
+        |CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 8000 + (doc_id % 50 + 2) END AS INT) AS sample_rate,
+        |CAST(CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS INT) AS bit_depth,
+        |CAST(CASE WHEN doc_id % 2 = 0 THEN 45 ELSE 44 END AS BIGINT) AS num_bytes
+        |FROM documents""".stripMargin
   )
 
   private implicit class SeqToDf(val words: Seq[String]) extends AnyVal {

@@ -142,7 +142,16 @@ abstract class SketchAggBase[S >: Null <: AnyRef]
 
 /** Base for *_merge_agg: aggregates a BinaryType column of serialized
   * sketches by kernel merge — the second stage of salted/two-level builds
-  * and of checkpoint resume. */
+  * and of checkpoint resume.
+  *
+  * The aggregation buffer starts as `null` ("no sketch seen yet") and a
+  * null buffer serializes as a ZERO-LENGTH byte array, which deserializes
+  * back to null and is ignored by merge. A never-updated partition slice
+  * therefore contributes nothing — it must NOT serialize a default-shaped
+  * kernel, because that placeholder would crash the final merge whenever
+  * the real sketches carry non-default parameters (precision, width, k,
+  * hash bits...). Only `eval` over a whole-null group materializes a
+  * default empty sketch, so the output column stays non-null. */
 abstract class SketchMergeAggBase[S >: Null <: AnyRef]
     extends TypedImperativeAggregate[S] {
   def child: Expression
@@ -150,14 +159,29 @@ abstract class SketchMergeAggBase[S >: Null <: AnyRef]
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
   protected def fromBytes(bytes: Array[Byte]): S
+  protected def toBytes(s: S): Array[Byte]
   protected def mergeKernels(a: S, b: S): S
+  protected def emptyKernel(): S
 
+  final override def createAggregationBuffer(): S = null
   final override def update(buffer: S, input: InternalRow): S = {
     val v = child.eval(input)
     if (v == null) buffer
-    else mergeKernels(buffer, fromBytes(v.asInstanceOf[Array[Byte]]))
+    else {
+      val bytes = v.asInstanceOf[Array[Byte]]
+      if (bytes.isEmpty) buffer
+      else if (buffer == null) fromBytes(bytes)
+      else mergeKernels(buffer, fromBytes(bytes))
+    }
   }
-  final override def merge(a: S, b: S): S = mergeKernels(a, b)
+  final override def merge(a: S, b: S): S =
+    if (a == null) b else if (b == null) a else mergeKernels(a, b)
+  final override def eval(buffer: S): Any =
+    toBytes(if (buffer == null) emptyKernel() else buffer)
+  final override def serialize(buffer: S): Array[Byte] =
+    if (buffer == null) Array.emptyByteArray else toBytes(buffer)
+  final override def deserialize(bytes: Array[Byte]): S =
+    if (bytes.isEmpty) null else fromBytes(bytes)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
@@ -202,15 +226,10 @@ case class CqfMergeAgg(
     inputAggBufferOffset: Int = 0
 ) extends SketchMergeAggBase[Cqf] {
   override def prettyName: String = "cqf_merge_agg"
-  override def createAggregationBuffer(): Cqf = null
   protected def fromBytes(bytes: Array[Byte]): Cqf = Cqf.deserialize(bytes)
-  protected def mergeKernels(a: Cqf, b: Cqf): Cqf =
-    if (a == null) b else if (b == null) a else a.mergeInPlace(b)
-  override def eval(buffer: Cqf): Any =
-    (if (buffer == null) Cqf(4, 64) else buffer).serialize()
-  override def serialize(buffer: Cqf): Array[Byte] =
-    (if (buffer == null) Cqf(4, 64) else buffer).serialize()
-  override def deserialize(bytes: Array[Byte]): Cqf = Cqf.deserialize(bytes)
+  protected def toBytes(s: Cqf): Array[Byte] = s.serialize()
+  protected def mergeKernels(a: Cqf, b: Cqf): Cqf = a.mergeInPlace(b)
+  protected def emptyKernel(): Cqf = Cqf(4, 64)
   override def withNewMutableAggBufferOffset(o: Int): CqfMergeAgg = copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): CqfMergeAgg = copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): CqfMergeAgg =
@@ -247,15 +266,10 @@ case class HllMergeAgg(
     inputAggBufferOffset: Int = 0
 ) extends SketchMergeAggBase[HllSketch] {
   override def prettyName: String = "hll_merge_agg"
-  override def createAggregationBuffer(): HllSketch = null
   protected def fromBytes(bytes: Array[Byte]): HllSketch = HllSketch.deserialize(bytes)
-  protected def mergeKernels(a: HllSketch, b: HllSketch): HllSketch =
-    if (a == null) b else if (b == null) a else a.mergeInPlace(b)
-  override def eval(buffer: HllSketch): Any =
-    (if (buffer == null) HllSketch() else buffer).serialize()
-  override def serialize(buffer: HllSketch): Array[Byte] =
-    (if (buffer == null) HllSketch() else buffer).serialize()
-  override def deserialize(bytes: Array[Byte]): HllSketch = HllSketch.deserialize(bytes)
+  protected def toBytes(s: HllSketch): Array[Byte] = s.serialize()
+  protected def mergeKernels(a: HllSketch, b: HllSketch): HllSketch = a.mergeInPlace(b)
+  protected def emptyKernel(): HllSketch = HllSketch()
   override def withNewMutableAggBufferOffset(o: Int): HllMergeAgg = copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): HllMergeAgg = copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): HllMergeAgg =
@@ -294,15 +308,10 @@ case class CmsMergeAgg(
     inputAggBufferOffset: Int = 0
 ) extends SketchMergeAggBase[CountMinSketch] {
   override def prettyName: String = "cms_merge_agg"
-  override def createAggregationBuffer(): CountMinSketch = null
   protected def fromBytes(bytes: Array[Byte]): CountMinSketch = CountMinSketch.deserialize(bytes)
-  protected def mergeKernels(a: CountMinSketch, b: CountMinSketch): CountMinSketch =
-    if (a == null) b else if (b == null) a else a.mergeInPlace(b)
-  override def eval(buffer: CountMinSketch): Any =
-    (if (buffer == null) CountMinSketch() else buffer).serialize()
-  override def serialize(buffer: CountMinSketch): Array[Byte] =
-    (if (buffer == null) CountMinSketch() else buffer).serialize()
-  override def deserialize(bytes: Array[Byte]): CountMinSketch = CountMinSketch.deserialize(bytes)
+  protected def toBytes(s: CountMinSketch): Array[Byte] = s.serialize()
+  protected def mergeKernels(a: CountMinSketch, b: CountMinSketch): CountMinSketch = a.mergeInPlace(b)
+  protected def emptyKernel(): CountMinSketch = CountMinSketch()
   override def withNewMutableAggBufferOffset(o: Int): CmsMergeAgg = copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): CmsMergeAgg = copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): CmsMergeAgg =
@@ -341,15 +350,10 @@ case class BloomMergeAgg(
     inputAggBufferOffset: Int = 0
 ) extends SketchMergeAggBase[BloomSketch] {
   override def prettyName: String = "bloom_merge_agg"
-  override def createAggregationBuffer(): BloomSketch = null
   protected def fromBytes(bytes: Array[Byte]): BloomSketch = BloomSketch.deserialize(bytes)
-  protected def mergeKernels(a: BloomSketch, b: BloomSketch): BloomSketch =
-    if (a == null) b else if (b == null) a else a.mergeInPlace(b)
-  override def eval(buffer: BloomSketch): Any =
-    (if (buffer == null) BloomSketch() else buffer).serialize()
-  override def serialize(buffer: BloomSketch): Array[Byte] =
-    (if (buffer == null) BloomSketch() else buffer).serialize()
-  override def deserialize(bytes: Array[Byte]): BloomSketch = BloomSketch.deserialize(bytes)
+  protected def toBytes(s: BloomSketch): Array[Byte] = s.serialize()
+  protected def mergeKernels(a: BloomSketch, b: BloomSketch): BloomSketch = a.mergeInPlace(b)
+  protected def emptyKernel(): BloomSketch = BloomSketch()
   override def withNewMutableAggBufferOffset(o: Int): BloomMergeAgg = copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): BloomMergeAgg = copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): BloomMergeAgg =
@@ -384,15 +388,10 @@ case class TDigestMergeAgg(
     inputAggBufferOffset: Int = 0
 ) extends SketchMergeAggBase[TDigest] {
   override def prettyName: String = "td_merge_agg"
-  override def createAggregationBuffer(): TDigest = null
   protected def fromBytes(bytes: Array[Byte]): TDigest = TDigest.deserialize(bytes)
-  protected def mergeKernels(a: TDigest, b: TDigest): TDigest =
-    if (a == null) b else if (b == null) a else a.mergeInPlace(b)
-  override def eval(buffer: TDigest): Any =
-    (if (buffer == null) TDigest() else buffer).serialize()
-  override def serialize(buffer: TDigest): Array[Byte] =
-    (if (buffer == null) TDigest() else buffer).serialize()
-  override def deserialize(bytes: Array[Byte]): TDigest = TDigest.deserialize(bytes)
+  protected def toBytes(s: TDigest): Array[Byte] = s.serialize()
+  protected def mergeKernels(a: TDigest, b: TDigest): TDigest = a.mergeInPlace(b)
+  protected def emptyKernel(): TDigest = TDigest()
   override def withNewMutableAggBufferOffset(o: Int): TDigestMergeAgg = copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): TDigestMergeAgg = copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): TDigestMergeAgg =
@@ -427,15 +426,10 @@ case class KllMergeAgg(
     inputAggBufferOffset: Int = 0
 ) extends SketchMergeAggBase[KllSketch] {
   override def prettyName: String = "kll_merge_agg"
-  override def createAggregationBuffer(): KllSketch = null
   protected def fromBytes(bytes: Array[Byte]): KllSketch = KllSketch.deserialize(bytes)
-  protected def mergeKernels(a: KllSketch, b: KllSketch): KllSketch =
-    if (a == null) b else if (b == null) a else a.mergeInPlace(b)
-  override def eval(buffer: KllSketch): Any =
-    (if (buffer == null) KllSketch() else buffer).serialize()
-  override def serialize(buffer: KllSketch): Array[Byte] =
-    (if (buffer == null) KllSketch() else buffer).serialize()
-  override def deserialize(bytes: Array[Byte]): KllSketch = KllSketch.deserialize(bytes)
+  protected def toBytes(s: KllSketch): Array[Byte] = s.serialize()
+  protected def mergeKernels(a: KllSketch, b: KllSketch): KllSketch = a.mergeInPlace(b)
+  protected def emptyKernel(): KllSketch = KllSketch()
   override def withNewMutableAggBufferOffset(o: Int): KllMergeAgg = copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): KllMergeAgg = copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): KllMergeAgg =

@@ -1,0 +1,70 @@
+package graft.agg
+
+import graft.sketch._
+import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions
+
+/** Typed `Aggregator` wrappers over the sketch kernels, registered via
+  * `functions.udaf` (SURVEY.md §2.2) — the Dataset-typed and
+  * SQL-registered counterpart of the Catalyst TypedImperativeAggregates
+  * in [[SketchAggregates]]. Same kernels, same serialized bytes, so the
+  * two surfaces interoperate (a udaf-built sketch probes/merges
+  * identically to an agg-expression-built one). Registered functions:
+  * cqf_agg_udaf(key), hll_agg_udaf(key), td_agg_udaf(value),
+  * kll_agg_udaf(value) — fixed default parameters; parameterized shapes
+  * use the expression API. */
+object TypedAggregators {
+
+  /** CQF over long keys (quotientBits/hashBits fixed at construction). */
+  class CqfLongAggregator(quotientBits: Int = 10, hashBits: Int = 64)
+      extends Aggregator[Long, Cqf, Array[Byte]] {
+    override def zero: Cqf = Cqf(quotientBits, hashBits)
+    override def reduce(b: Cqf, key: Long): Cqf = { b.insert(key); b }
+    override def merge(a: Cqf, b: Cqf): Cqf = a.mergeInPlace(b)
+    override def finish(r: Cqf): Array[Byte] = r.serialize()
+    override def bufferEncoder: Encoder[Cqf] = Encoders.javaSerialization[Cqf]
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  class HllLongAggregator(p: Int = 12)
+      extends Aggregator[Long, HllSketch, Array[Byte]] {
+    override def zero: HllSketch = HllSketch(p)
+    override def reduce(b: HllSketch, key: Long): HllSketch = { b.add(key); b }
+    override def merge(a: HllSketch, b: HllSketch): HllSketch = a.mergeInPlace(b)
+    override def finish(r: HllSketch): Array[Byte] = r.serialize()
+    override def bufferEncoder: Encoder[HllSketch] = Encoders.javaSerialization[HllSketch]
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  class TDigestAggregator(compression: Double = 100.0)
+      extends Aggregator[Double, TDigest, Array[Byte]] {
+    override def zero: TDigest = TDigest(compression)
+    override def reduce(b: TDigest, x: Double): TDigest = { b.add(x); b }
+    override def merge(a: TDigest, b: TDigest): TDigest = a.mergeInPlace(b)
+    override def finish(r: TDigest): Array[Byte] = r.serialize()
+    override def bufferEncoder: Encoder[TDigest] = Encoders.javaSerialization[TDigest]
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  class KllAggregator(k: Int = 200)
+      extends Aggregator[Double, KllSketch, Array[Byte]] {
+    override def zero: KllSketch = KllSketch(k)
+    override def reduce(b: KllSketch, x: Double): KllSketch = { b.add(x); b }
+    override def merge(a: KllSketch, b: KllSketch): KllSketch = a.mergeInPlace(b)
+    override def finish(r: KllSketch): Array[Byte] = r.serialize()
+    override def bufferEncoder: Encoder[KllSketch] = Encoders.javaSerialization[KllSketch]
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  def registerAll(spark: SparkSession): Unit = {
+    spark.udf.register("cqf_agg_udaf",
+      functions.udaf(new CqfLongAggregator(), Encoders.scalaLong))
+    spark.udf.register("hll_agg_udaf",
+      functions.udaf(new HllLongAggregator(), Encoders.scalaLong))
+    spark.udf.register("td_agg_udaf",
+      functions.udaf(new TDigestAggregator(), Encoders.scalaDouble))
+    spark.udf.register("kll_agg_udaf",
+      functions.udaf(new KllAggregator(), Encoders.scalaDouble))
+  }
+}

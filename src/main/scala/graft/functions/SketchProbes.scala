@@ -147,11 +147,12 @@ case class CqfTotal(child: Expression)
 }
 
 case class CqfStats(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with SketchCache[Cqf] {
   override def prettyName: String = "cqf_stats"
   override def dataType: DataType = CqfStats.schema
+  protected def parse(bytes: Array[Byte]): Cqf = Cqf.deserialize(bytes)
   override def nullSafeEval(sk: Any): Any = {
-    val c = Cqf.deserialize(sk.asInstanceOf[Array[Byte]])
+    val c = cached(sk.asInstanceOf[Array[Byte]])
     InternalRow(c.quotientBits, c.hashBits, c.occupiedSlots, c.numSlots,
       c.maxOccupiedSlots, c.sizeBytes, c.distinctCount, c.totalCount, c.invertible)
   }
@@ -166,14 +167,28 @@ object CqfStats {
     .add("invertible", BooleanType)
 }
 
-case class CqfUnion(left: Expression, right: Expression)
+/** Union of two CQFs with a selectable per-hash combine — the SQL surface
+  * of the reference's parameterizable merge (CqfMergeClosure,
+  * /root/reference/src/cqf.rs:202-213, 336-474):
+  * 'sum' (default) adds counts, 'max' keeps the pointwise maximum
+  * (absent = 0), 'min' keeps the pointwise minimum (= multiset
+  * intersection). Arbitrary Scala closures go through Cqf.mergeBy. */
+case class CqfUnion(left: Expression, right: Expression, mode: String = "sum")
     extends BinaryExpression with CodegenFallback {
   override def prettyName: String = "cqf_union"
   override def dataType: DataType = BinaryType
-  override def nullSafeEval(a: Any, b: Any): Any =
-    Cqf.deserialize(a.asInstanceOf[Array[Byte]])
-      .mergeInPlace(Cqf.deserialize(b.asInstanceOf[Array[Byte]]))
-      .serialize()
+  @transient private lazy val op: (Long, Long) => Long = mode match {
+    case "sum" => null // fast path: kernel mergeInPlace
+    case "max" => (x, y) => math.max(x, y)
+    case "min" => (x, y) => math.min(x, y)
+    case other => throw new IllegalArgumentException(
+      s"cqf_union mode must be 'sum', 'max' or 'min', got '$other'")
+  }
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = Cqf.deserialize(a.asInstanceOf[Array[Byte]])
+    val y = Cqf.deserialize(b.asInstanceOf[Array[Byte]])
+    (if (op == null) x.mergeInPlace(y) else Cqf.mergeBy(x, y, op)).serialize()
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CqfUnion =
     copy(left = l, right = r)
 }
@@ -251,6 +266,40 @@ case class CqfItems(child: Expression)
     }
   }
   override protected def withNewChildInternal(c: Expression): CqfItems = copy(child = c)
+}
+
+/** UDTF enumerating TWO sketches aligned by hash — the reference's
+  * ZippedCqfIter (/root/reference/src/cqf.rs:499-549) as a first-class
+  * generator: rows (hash, key, count_a, count_b) in ascending hash order,
+  * a full-outer sort-merge of the two sorted filters with 0 for "absent
+  * on that side"; `key` recovered when BOTH sketches are invertible.
+  * Sketch-vs-sketch analytics (per-key count comparison, similarity)
+  * become one generator call instead of two cqf_items explosions + a
+  * join. */
+case class CqfZipItems(left: Expression, right: Expression)
+    extends BinaryExpression with Generator with CodegenFallback {
+  override def prettyName: String = "cqf_zip_items"
+  override def elementSchema: StructType = new StructType()
+    .add("hash", LongType, nullable = false)
+    .add("key", LongType, nullable = true)
+    .add("count_a", LongType, nullable = false)
+    .add("count_b", LongType, nullable = false)
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val va = left.eval(input)
+    val vb = right.eval(input)
+    if (va == null || vb == null) Nil
+    else {
+      val a = Cqf.deserialize(va.asInstanceOf[Array[Byte]])
+      val b = Cqf.deserialize(vb.asInstanceOf[Array[Byte]])
+      val inv = a.invertible && b.invertible
+      val bits = a.hashBits
+      Cqf.zipItems(a, b).map { case (h, ca, cb) =>
+        InternalRow(h, if (inv) WangHash.unhash(h, bits) else null, ca, cb)
+      }
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CqfZipItems =
+    copy(left = l, right = r)
 }
 
 // ------------------------------------------------------------------ HLL

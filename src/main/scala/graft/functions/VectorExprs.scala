@@ -325,6 +325,61 @@ case class SortedLongOverlap(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Nearest-centroid assignment against a plan-embedded codebook: returns
+  * the index (0-based) of the centroid with the highest cosine similarity
+  * to the input vector, ties to the lowest index. The codebook is tiny
+  * (nCells x dim doubles) and ships inside the serialized expression with
+  * the task binary — the IVF corpus assignment is therefore ONE
+  * codegen-friendly pass with no shuffle, replacing the former
+  * crossJoin(corpus x centroids) + Window argmax which materialized
+  * nCells copies of the corpus through an exchange.
+  * Centroids are L2-normalized once per task, so per row the argmax over
+  * cosine reduces to an argmax over dot products. */
+case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
+    extends UnaryExpression {
+  override def prettyName: String = "nearest_centroid"
+  override def dataType: DataType = IntegerType
+  @transient private lazy val get = CosineSim.getter(child.dataType)
+  @transient private lazy val normed: Array[Array[Double]] =
+    centroids.map { c =>
+      val a = c.toArray
+      var ss = 0.0
+      var i = 0
+      while (i < a.length) { ss += a(i) * a(i); i += 1 }
+      val inv = if (ss == 0.0) 0.0 else 1.0 / math.sqrt(ss)
+      val out = new Array[Double](a.length)
+      i = 0
+      while (i < a.length) { out(i) = a(i) * inv; i += 1 }
+      out
+    }.toArray
+  def compute(v: ArrayData): Int = {
+    val n = v.numElements()
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var j = 0
+    while (j < normed.length) {
+      val c = normed(j)
+      val m = math.min(n, c.length)
+      var dot = 0.0
+      var i = 0
+      while (i < m) { dot += get(v, i) * c(i); i += 1 }
+      if (dot > bestDot) { bestDot = dot; best = j }
+      j += 1
+    }
+    best
+  }
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroid", this, classOf[NearestCentroid].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+  }
+  override protected def withNewChildInternal(c: Expression): NearestCentroid =
+    copy(child = c)
+}
+
 /** CLEARLY-MARKED STUB (multimodal): "decode" an opaque binary blob into
   * media metadata. Real deployments replace this with an actual codec
   * behind the same schema; here the decode is a deterministic fake derived

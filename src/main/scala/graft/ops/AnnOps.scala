@@ -1,7 +1,8 @@
 package graft.ops
 
-import graft.functions.{CosineSim, VecLshBucket}
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.agg.VecMeanAgg
+import graft.functions.{CosineSim, NearestCentroid, VecLshBucket}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -40,36 +41,82 @@ object AnnOps {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
-  /** IVF-style ANN: a deterministic sample of corpus vectors serves as
-    * the coarse centroid codebook (no iterative k-means — at pipeline
-    * scale a hashed sample is the standard cheap initializer); every
-    * corpus vector is assigned to its nearest centroid once (broadcast
-    * codebook, one scan), queries probe their `nProbe` nearest centroid
-    * cells. Recall rises with nProbe; cost per query is ~nProbe/nCells
-    * of the corpus. Output shape matches bruteForceTopK. */
+  /** Nearest-centroid cell of a vector against a plan-embedded codebook
+    * (broadcast-sized: nCells x dim doubles) — one pass, zero shuffle. */
+  def nearestCell(vec: Column, codebook: Array[Array[Double]]): Column =
+    TextOps.toColumn(NearestCentroid(TextOps.expression(vec),
+      codebook.map(_.toSeq).toSeq))
+
+  /** Element-wise mean of an array column (see [[graft.agg.VecMeanAgg]]). */
+  def vecMean(vec: Column): Column =
+    TextOps.toColumn(VecMeanAgg(TextOps.expression(vec))
+      .toAggregateExpression())
+
+  private def rowToVec(r: Row): Array[Double] =
+    r.getSeq[Any](0).iterator.map {
+      case n: java.lang.Number => n.doubleValue()
+      case other => throw new IllegalArgumentException(s"non-numeric $other")
+    }.toArray
+
+  /** IVF coarse-quantizer codebook: deterministic hash-sample of corpus
+    * vectors refined by `kmeansIters` rounds of spherical k-means. Each
+    * round is ONE corpus pass (nearest-cell expression, no shuffle of
+    * vectors) + a partial/final [[VecMeanAgg]] (the shuffle carries
+    * nCells x (dim+1) doubles per partition, not the corpus) + a
+    * driver-side collect of the nCells new centroids. Cells that lose all
+    * members keep their previous centroid. */
+  def ivfCodebook(corpus: DataFrame, vec: Column, id: Column,
+      nCells: Int, kmeansIters: Int = 2): Array[Array[Double]] = {
+    val c = corpus.select(id.as("cid"), vec.as("cv"))
+    var codebook: Array[Array[Double]] = c
+      .select(col("cv"), xxhash64(col("cid")).as("h"), col("cid"))
+      .orderBy(col("h"), col("cid")).limit(nCells)
+      .select(col("cv")).collect().map(rowToVec)
+    var iter = 0
+    while (iter < kmeansIters) {
+      val means = c
+        .select(nearestCell(col("cv"), codebook).as("cell"), col("cv"))
+        .groupBy(col("cell"))
+        .agg(vecMean(col("cv")).as("mean"))
+        .collect()
+      val next = codebook.clone()
+      means.foreach { r =>
+        val cell = r.getInt(0)
+        val m = r.getSeq[Any](1).iterator.map(_.asInstanceOf[Double]).toArray
+        if (m.nonEmpty) next(cell) = m
+      }
+      codebook = next
+      iter += 1
+    }
+    codebook
+  }
+
+  /** IVF-style ANN: spherical-k-means codebook ([[ivfCodebook]]); every
+    * corpus vector is assigned to its nearest centroid by the broadcast
+    * codebook expression (ONE pass, no Exchange/Window in the assignment
+    * stage); queries probe their `nProbe` nearest centroid cells. Recall
+    * rises with nProbe (nProbe = nCells is exhaustive and exactly equals
+    * brute force); cost per query is ~nProbe/nCells of the corpus.
+    * Output shape matches bruteForceTopK. */
   def ivfTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
       queries: DataFrame, queryId: Column, queryVec: Column,
-      k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+      k: Int, nCells: Int = 16, nProbe: Int = 4,
+      kmeansIters: Int = 2): DataFrame = {
     val c = corpus.select(corpusId.as("cid"), corpusVec.as("cv"))
-    // deterministic codebook: the nCells corpus vectors with smallest id hash
-    val centroids = c.select(col("cid"), col("cv"),
-        xxhash64(col("cid")).as("h"))
-      .orderBy(col("h")).limit(nCells)
-      .select(col("cid").as("cell"), col("cv").as("centroid"))
-    // assignment: nearest centroid per corpus vector (broadcast codebook)
-    val w = Window.partitionBy(col("cid"))
-      .orderBy(col("sim").desc, col("cell").asc)
-    val assigned = c.crossJoin(broadcast(centroids))
-      .select(col("cid"), col("cv"), col("cell"),
-        cosine(col("cv"), col("centroid")).as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("cell"), col("cid"), col("cv"))
-    // queries probe their nProbe nearest cells
+    val codebook = ivfCodebook(corpus, corpusVec, corpusId, nCells, kmeansIters)
+    // corpus assignment: single codegen'd pass, zero shuffle
+    val assigned = c.select(nearestCell(col("cv"), codebook).as("cell"),
+      col("cid"), col("cv"))
+    // queries probe their nProbe nearest cells (query set is small and
+    // broadcast; the tiny crossJoin+window here is queries x nCells rows)
+    val centroids = codebook.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+      .toSeq
+    val centroidDf = queries.sparkSession.createDataFrame(centroids)
+      .toDF("cell", "centroid")
     val qw = Window.partitionBy(col("query_id"))
       .orderBy(col("qsim").desc, col("cell").asc)
     val probes = queries.select(queryId.as("query_id"), queryVec.as("qv"))
-      .crossJoin(broadcast(centroids))
+      .crossJoin(broadcast(centroidDf))
       .select(col("query_id"), col("qv"), col("cell"),
         cosine(col("qv"), col("centroid")).as("qsim"))
       .withColumn("rn", row_number().over(qw))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.functions.{MinHashSig, SetOverlap, ShingleHashSet, ShingleMinHash, SimHash64, SortedLongOverlap}
+import graft.functions.{MinHashSig, ShingleHashSet, ShingleMinHash, SimHash64, SortedLongOverlap}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -14,6 +14,15 @@ import org.apache.spark.sql.functions._
   *  - SimHash: 64-bit prints, banded by 16-bit quarters so any pair within
   *    Hamming distance 3 shares at least one band (pigeonhole);
   *  - n-gram Jaccard: exact set similarity inside cheap blocking keys.
+  *
+  * Scale guards (adversarial skew — e.g. a crawl with 100k copies of one
+  * boilerplate page): every bucket self-join caps bucket sizes
+  * ([[capBuckets]]), so one hot bucket cannot go quadratic; candidate
+  * pairs are deduplicated as bare (id_a, id_b) BEFORE any payload
+  * (vectors, gram sets) is re-joined, so wide columns never ride through
+  * the bucket join; connected components run in O(log n) rounds
+  * (large-star/small-star) with per-round localCheckpoint to stop lineage
+  * growth.
   */
 object DedupOps {
 
@@ -29,76 +38,167 @@ object DedupOps {
     TextOps.toColumn(ShingleMinHash(TextOps.expression(tokens),
       TextOps.expression(lit(k)), TextOps.expression(lit(nHashes))))
 
+  /** Sorted distinct 64-bit word-k-shingle hashes (exact Jaccard input). */
+  def shingleHashSet(tokens: Column, k: Int): Column =
+    TextOps.toColumn(ShingleHashSet(TextOps.expression(tokens),
+      TextOps.expression(lit(k))))
+
   /** Exact dedup: one row per distinct content, keeping the smallest id.
     * Output columns: fingerprint, kept_id, n_dups. */
   def exactDedup(df: DataFrame, text: Column, id: Column): DataFrame =
     df.groupBy(TextOps.fingerprint(text).as("fingerprint"))
       .agg(min(id).as("kept_id"), count(lit(1)).as("n_dups"))
 
+  /** Drop rows of (band-)buckets larger than `cap`. A pathologically hot
+    * bucket (mass-duplicated boilerplate) would otherwise make the
+    * self-join O(bucket²); such content is exact-dup territory and is
+    * handled by [[exactDedup]] upstream. One aggregation on the same keys
+    * as the subsequent join — AQE plans them as one exchange. */
+  private def capBuckets(banded: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    val sizes = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") <= cap)
+      .drop("bsz")
+    banded.join(sizes, keys, "left_semi")
+  }
+
+  /** Distinct unordered candidate id pairs from a banded bucket table
+    * (id, <keys>). Bare 2-column pairs: payloads are re-joined after the
+    * distinct so wide columns never traverse the bucket self-join. */
+  private def bucketPairs(banded: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    val guarded = capBuckets(banded, keys, cap)
+    val a = guarded.select((keys.map(col) :+ col("id").as("id_a")): _*)
+    val b = guarded.select((keys.map(col) :+ col("id").as("id_b")): _*)
+    a.join(b, keys)
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
   /** MinHash-LSH candidate pairs: signatures of `bands*rowsPerBand`
     * hashes, banded; pairs sharing >= 1 band bucket are candidates, then
     * filtered by estimated Jaccard (signature agreement) >= threshold.
     * Output: id_a, id_b, est_jaccard (ids ordered, distinct pairs). */
   def minhashCandidates(df: DataFrame, tokens: Column, id: Column,
-      bands: Int = 8, rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame =
+      bands: Int = 8, rowsPerBand: Int = 4, threshold: Double = 0.5,
+      bucketCap: Int = 5000): DataFrame =
     minhashCandidatesFromSig(
       df.select(id.as("id"), minhashSig(tokens, bands * rowsPerBand).as("sig")),
-      bands, rowsPerBand, threshold)
+      bands, rowsPerBand, threshold, bucketCap)
 
   /** Like [[minhashCandidates]] but fused over word k-shingles without
     * materializing shingle strings. */
   def minhashShingleCandidates(df: DataFrame, tokens: Column, id: Column,
       k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
-      threshold: Double = 0.5): DataFrame =
+      threshold: Double = 0.5, bucketCap: Int = 5000): DataFrame =
     minhashCandidatesFromSig(
       df.select(id.as("id"),
         shingleMinhashSig(tokens, k, bands * rowsPerBand).as("sig")),
-      bands, rowsPerBand, threshold)
+      bands, rowsPerBand, threshold, bucketCap)
 
-  private def minhashCandidatesFromSig(sigged: DataFrame,
-      bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
-    val nHashes = bands * rowsPerBand
-    // band key = hash of the band's slice of the signature
-    val banded = sigged.select(
-      col("id"), col("sig"),
+  /** Band the signature table: one row per (id, band, bucket). */
+  private def bandSignatures(sigged: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sigged.select(
+      col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat(lit("band"), b.cast("string"),
           concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
         .as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
+
+  private def minhashCandidatesFromSig(sigged: DataFrame,
+      bands: Int, rowsPerBand: Int, threshold: Double, bucketCap: Int): DataFrame = {
+    val nHashes = bands * rowsPerBand
+    val cachedSigs = sigged.select(col("id"), col("sig"))
+    val pairs = bucketPairs(bandSignatures(cachedSigs, bands, rowsPerBand),
+      Seq("band", "bucket"), bucketCap)
+    pairs
+      .join(cachedSigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(cachedSigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (aggregate(zip_with(col("sig_a"), col("sig_b"),
             (x, y) => when(x === y, 1).otherwise(0)),
             lit(0), (acc, v) => acc + v).cast("double") / lit(nHashes))
           .as("est_jaccard"))
-      .distinct()
       .where(col("est_jaccard") >= threshold)
   }
 
-  /** SimHash near-dup pairs within Hamming distance <= maxDist (<= 3
-    * guaranteed found via 4x16-bit banding). Output: id_a, id_b, dist. */
+  /** MinHash-LSH prefilter + EXACT word-k-shingle Jaccard recheck — the
+    * production near-dup shape (cf. the cms_heavy_hitters exact-recheck
+    * pattern): LSH proposes, the exact overlap disposes, so the output is
+    * exactly "all candidate pairs with true Jaccard >= threshold". With
+    * enough bands the candidate recall at the threshold is ~1 and the
+    * result equals the all-pairs answer. Output: id_a, id_b, inter, uni. */
+  def minhashVerifiedPairs(df: DataFrame, tokens: Column, id: Column,
+      k: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.8, bucketCap: Int = 5000): DataFrame = {
+    val base = df.select(id.as("id"),
+      shingleMinhashSig(tokens, k, bands * rowsPerBand).as("sig"),
+      shingleHashSet(tokens, k).as("grams"))
+    val pairs = bucketPairs(bandSignatures(base, bands, rowsPerBand),
+      Seq("band", "bucket"), bucketCap)
+    val grams = base.select(col("id"), col("grams"))
+    verifyByJaccard(pairs, grams, threshold)
+  }
+
+  /** Join gram sets onto bare id pairs and keep those with exact Jaccard
+    * >= threshold (integer-exact compare: inter*1e6 >= threshold*1e6*uni). */
+  private def verifyByJaccard(pairs: DataFrame, grams: DataFrame,
+      threshold: Double): DataFrame = {
+    val thrPpm = math.round(threshold * 1000000L)
+    pairs
+      .join(grams.select(col("id").as("id_a"), col("grams").as("g_a")), Seq("id_a"))
+      .join(grams.select(col("id").as("id_b"), col("grams").as("g_b")), Seq("id_b"))
+      .withColumn("ov", TextOps.toColumn(SortedLongOverlap(
+        TextOps.expression(col("g_a")), TextOps.expression(col("g_b")))))
+      .select(col("id_a"), col("id_b"),
+        col("ov.inter").cast("long").as("inter"), col("ov.uni").cast("long").as("uni"))
+      .where(col("uni") > 0 && col("inter") * 1000000L >= lit(thrPpm) * col("uni"))
+  }
+
+  /** SimHash near-dup pairs within Hamming distance <= maxDist. Banding by
+    * 16-bit quarters guarantees every pair with dist <= 3 is found; larger
+    * maxDist is best-effort (documented recall trade).
+    * Output: id_a, id_b, dist. */
   def simhashPairs(df: DataFrame, tokens: Column, id: Column,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3, nBands: Int = 4, bucketCap: Int = 5000): DataFrame = {
     val printed = df.select(id.as("id"), simhash(tokens).as("sh"))
-    val bandCols = (0 until 4).map(i =>
-      shiftrightunsigned(col("sh"), 16 * i).bitwiseAND(lit(0xffffL)))
-    val banded = printed.select(col("id"), col("sh"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
+    val pairs = bucketPairs(simhashBanded(printed, nBands), Seq("band", "bucket"), bucketCap)
+    pairs
+      .join(printed.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(printed.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("dist"))
-      .distinct()
       .where(col("dist") <= maxDist)
+  }
+
+  /** Split the 64-bit print into `nBands` equal blocks (Manku et al.,
+    * WWW'07 pigeonhole): any pair within Hamming distance nBands-1 shares
+    * at least one clean block. More bands = larger guaranteed radius but
+    * coarser buckets (guarded by bucketCap + exact recheck). */
+  private def simhashBanded(printed: DataFrame, nBands: Int): DataFrame = {
+    require(64 % nBands == 0, s"nBands must divide 64, got $nBands")
+    val width = 64 / nBands
+    val mask = if (width >= 64) -1L else (1L << width) - 1L
+    val bandCols = (0 until nBands).map(i =>
+      shiftrightunsigned(col("sh"), width * i).bitwiseAND(lit(mask)))
+    printed.select(col("id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+  }
+
+  /** SimHash prefilter + EXACT word-k-shingle Jaccard recheck (same
+    * propose/dispose shape as [[minhashVerifiedPairs]], different
+    * proposer). 8 bands of 8 bits guarantee every pair within Hamming
+    * distance 7 is proposed — short near-identical docs can differ by ~6
+    * simhash bits, so the classic 4x16/d<=3 config under-recalls them.
+    * Output: id_a, id_b, inter, uni. */
+  def simhashVerifiedPairs(df: DataFrame, text: Column, id: Column,
+      k: Int = 3, threshold: Double = 0.9, nBands: Int = 8,
+      bucketCap: Int = 5000): DataFrame = {
+    val toks = TextOps.tokens(text)
+    val base = df.select(id.as("id"), simhash(toks).as("sh"),
+      shingleHashSet(toks, k).as("grams"))
+    val pairs = bucketPairs(simhashBanded(base, nBands), Seq("band", "bucket"), bucketCap)
+    verifyByJaccard(pairs, base.select(col("id"), col("grams")), threshold)
   }
 
   /** Exact n-gram (word k-shingle) Jaccard pairs within blocking keys.
@@ -106,17 +206,17 @@ object DedupOps {
     * compared (standard blocking trade-off, identical on the oracle side).
     * Output: id_a, id_b, inter, uni (set sizes; jaccard = inter/uni). */
   def ngramJaccardPairs(df: DataFrame, text: Column, id: Column,
-      blockKeys: Seq[Column], k: Int = 3): DataFrame = {
+      blockKeys: Seq[Column], k: Int = 3, blockCap: Int = 5000): DataFrame = {
     // hash each document's shingles ONCE into a sorted distinct long set;
     // pairs then overlap by a zero-allocation two-pointer walk (exact:
     // 64-bit shingle-hash collisions are ~1e-15 per pair at these sizes)
-    val grams = TextOps.toColumn(ShingleHashSet(
-      TextOps.expression(TextOps.tokens(text)), TextOps.expression(lit(k))))
+    val grams = shingleHashSet(TextOps.tokens(text), k)
     val base = df.select((blockKeys.zipWithIndex.map { case (c, i) => c.as(s"bk$i") } :+
       id.as("id") :+ grams.as("grams")): _*)
     val bk = blockKeys.indices.map(i => s"bk$i")
-    val a = base.select((bk.map(col) :+ col("id").as("id_a") :+ col("grams").as("g_a")): _*)
-    val b = base.select((bk.map(col) :+ col("id").as("id_b") :+ col("grams").as("g_b")): _*)
+    val guarded = capBuckets(base, bk, blockCap)
+    val a = guarded.select((bk.map(col) :+ col("id").as("id_a") :+ col("grams").as("g_a")): _*)
+    val b = guarded.select((bk.map(col) :+ col("id").as("id_b") :+ col("grams").as("g_b")): _*)
     a.join(b, bk)
       .where(col("id_a") < col("id_b"))
       .withColumn("ov", TextOps.toColumn(SortedLongOverlap(
@@ -126,39 +226,82 @@ object DedupOps {
   }
 
   /** Connected components over an undirected similarity-pair graph by
-    * iterative min-label propagation — turns near-dup PAIRS into dup
-    * GROUPS so one representative survives per cluster. Each round is one
-    * shuffle (groupBy node); rounds needed = graph diameter in label
-    * space, which for dedup clusters (small, dense) is ~log of the chain
-    * length. Converges when no label changes.
+    * alternating large-star / small-star contractions (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14 — the
+    * public log-round algorithm):
+    *
+    *  - large-star: every node links its LARGER neighbors to the minimum
+    *    of its neighborhood (incl. itself);
+    *  - small-star: every node links its smaller neighbors (and itself)
+    *    to the minimum of its smaller neighborhood.
+    *
+    * Both steps preserve connectivity; together they contract every
+    * component onto its minimum id in O(log n) rounds — a 10k-node chain
+    * converges in ~14 rounds where one-hop min-label propagation needs
+    * 10k. Each round is two self-aggregating shuffles; the edge set is
+    * localCheckpoint'ed per round so the plan/lineage stays O(1) instead
+    * of O(rounds) (a 100 TB graph would otherwise replay or OOM the
+    * planner). Throws when maxRounds is hit before the edge set is stable
+    * (silent truncation would split duplicate clusters).
+    *
     * Input: pairs (id_a, id_b); nodes: (id). Output: (id, component)
     * where component = min id reachable. */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
-      maxRounds: Int = 20): DataFrame = {
-    val spark = nodes.sparkSession
-    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
-      .distinct().cache()
-    var labels = nodes.select(col("id"), col("id").as("component")).cache()
-    var changed = 1L
+      maxRounds: Int = 30): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.join(mins, Seq("u"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mins = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val viaNeighbor = oriented.join(mins, Seq("u"))
+        .select(col("v").as("n"), col("m"))
+      val self = mins.select(col("u").as("n"), col("m"))
+      viaNeighbor.union(self)
+        .where(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    // cheap per-round signature: (edge count, order-independent hash XOR —
+    // overflow-free under ANSI mode); stable across a full round == converged
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var sig = signature(edges)
     var round = 0
-    while (changed > 0 && round < maxRounds) {
-      // candidate label for u = min(label(u), min over neighbors v of label(v))
-      val viaEdges = edges.join(labels, edges("v") === labels("id"))
-        .select(col("u").as("id"), col("component"))
-      val next = labels.select(col("id"), col("component"))
-        .union(viaEdges)
-        .groupBy(col("id"))
-        .agg(min(col("component")).as("component"))
-        .cache()
-      changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
-        .where(col("component") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+    var converged = sig._1 == 0L
+    while (!converged && round < maxRounds) {
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      val nextSig = signature(edges)
+      converged = nextSig == sig
+      sig = nextSig
       round += 1
     }
-    edges.unpersist()
-    labels
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds " +
+        s"(edge signature still changing) — duplicate clusters would be " +
+        s"silently split; raise maxRounds")
+    // converged edge set is a union of stars (child -> component minimum)
+    nodes.select(col("id"))
+      .join(edges.select(col("u").as("id"), col("v").as("root")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("component"))
   }
 
   /** Full near-dup dedup: candidate pairs -> components -> one kept
@@ -169,18 +312,25 @@ object DedupOps {
       .select(col("id"), col("component"),
         (col("id") === col("component")).as("kept"))
 
-  /** Embedding near-dup pairs: LSH-bucketed cosine (exact re-check inside
-    * buckets). Output: id_a, id_b, cos. */
+  /** Embedding near-dup pairs: multi-band random-hyperplane LSH prefilter
+    * (OR over `bands` independent `planesPerBand`-bit buckets — recall at
+    * cos >= minCos is 1-(1-p^r)^b, p = 1-acos(cos)/pi; 32x6 gives ~1-1e-4
+    * at 0.8) + exact cosine recheck. Bare id pairs are deduplicated before
+    * vectors are re-joined, so embeddings never ride through the bucket
+    * join. Output: id_a, id_b (ordered, distinct, cos >= minCos). */
   def embeddingNearDups(df: DataFrame, vec: Column, id: Column,
-      minCos: Double, nPlanes: Int = 12, seed: Long = 42L): DataFrame = {
-    val bucketed = df.select(id.as("id"), vec.as("v"),
-      AnnOps.lshBucket(vec, nPlanes, seed).as("bucket"))
-    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), AnnOps.cosine(col("v_a"), col("v_b")).as("cos"))
-      .where(col("cos") >= minCos)
-      .distinct()
+      minCos: Double, bands: Int = 32, planesPerBand: Int = 6,
+      seed: Long = 42L, bucketCap: Int = 5000): DataFrame = {
+    val vecs = df.select(id.as("id"), vec.as("v"))
+    val banded = df.select(id.as("id"),
+      posexplode(array((0 until bands).map(b =>
+        AnnOps.lshBucket(vec, planesPerBand, seed + 1000L * b)): _*))
+        .as(Seq("band", "bucket")))
+    val pairs = bucketPairs(banded, Seq("band", "bucket"), bucketCap)
+    pairs
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .where(AnnOps.cosine(col("v_a"), col("v_b")) >= minCos)
+      .select(col("id_a"), col("id_b"))
   }
 }

@@ -113,17 +113,24 @@ case class LangIdExpr(child: Expression)
 }
 
 object LangIdExpr {
-  /** Tiny marker lexicon (public common words). */
-  private val table: Map[String, Seq[String]] = Map(
+  /** Tiny marker lexicon (public common words). The per-language lists
+    * are deliberately DISJOINT — an ambiguous marker (e.g. 'la' in both
+    * es and fr) would make the winning language depend on map insertion
+    * order, which is neither meaningful nor reproducible by an external
+    * oracle. */
+  private[ops] val table: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "is", "that", "with", "for"),
-    "es" -> Seq("el", "la", "de", "que", "y", "los", "las", "por"),
-    "fr" -> Seq("le", "la", "les", "des", "est", "que", "dans", "pour"),
+    "es" -> Seq("el", "los", "las", "por", "una", "como", "pero", "sus"),
+    "fr" -> Seq("le", "les", "des", "est", "dans", "pour", "avec", "sur"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "他", "这")
   )
   private[ops] val markers: java.util.HashMap[String, String] = {
     val m = new java.util.HashMap[String, String]()
-    table.foreach { case (lang, words) => words.foreach(w => m.put(w, lang)) }
+    table.foreach { case (lang, words) => words.foreach { w =>
+      val prev = m.put(w, lang)
+      require(prev == null, s"ambiguous lang marker '$w': $prev vs $lang")
+    } }
     m
   }
 }

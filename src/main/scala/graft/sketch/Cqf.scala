@@ -38,12 +38,19 @@ import java.nio.{ByteBuffer, ByteOrder}
 final class Cqf private (
     private var _quotientBits: Int,
     val hashBits: Int,
-    val invertible: Boolean,
-    val compact: Boolean,
+    private var _invertible: Boolean,
+    private var _compact: Boolean,
     private var blocks: Array[Long],
     private var _occupiedSlots: Long
 ) extends Serializable {
   import Cqf._
+
+  /** Keys are recoverable from hashes only when EVERY merged-in source was
+    * built invertibly; merges reconcile this with a logical AND. */
+  def invertible: Boolean = _invertible
+  /** Half-width (u32) slots; merges reconcile to wide unless both sides
+    * are compact (a rebuild widens the layout when flags disagree). */
+  def compact: Boolean = _compact
 
   /** Longs per block: metadata (offset/occupieds/runends/counts) + slots. */
   @inline private def Stride: Int = if (compact) 36 else 68
@@ -373,8 +380,14 @@ final class Cqf private (
   // ---- iteration ------------------------------------------------------
 
   /** In-order scan yielding (hash, count) in ascending hash order
-    * (semantics of /root/reference/src/cqf/u64_cqf.rs:559-600). */
-  def iterator: Iterator[(Long, Long)] = new Iterator[(Long, Long)] {
+    * (semantics of /root/reference/src/cqf/u64_cqf.rs:559-600).
+    * Zero-count entries — left behind by `setCountHash(h, 0)` (deletion by
+    * overwrite) — are skipped, so rebuilds (grow/merge) re-encode a
+    * well-formed filter and never emit an entry whose runend bookkeeping
+    * would be dropped by the append cursor. */
+  def iterator: Iterator[(Long, Long)] = rawIterator.filter(_._2 != 0L)
+
+  private def rawIterator: Iterator[(Long, Long)] = new Iterator[(Long, Long)] {
     private var curQ: Long = nextOccupiedQuotient(0L) // -1 if none
     private var pos: Long = curQ
     def hasNext: Boolean = curQ >= 0
@@ -487,8 +500,12 @@ final class Cqf private (
     require(other.hashBits == hashBits,
       s"cannot merge CQFs with hashBits $hashBits vs ${other.hashBits}")
     if (other._occupiedSlots == 0) return this
+    // flag reconciliation: keys stay recoverable only if BOTH sides were
+    // built invertibly; the container stays compact only if both are
+    _invertible = _invertible && other._invertible
+    val outCompact = _compact && other._compact
     if (_occupiedSlots == 0 && other._quotientBits >= _quotientBits &&
-        other.compact == compact) {
+        other._compact == _compact) {
       _quotientBits = other._quotientBits
       blocks = other.blocks.clone()
       _occupiedSlots = other._occupiedSlots
@@ -499,8 +516,11 @@ final class Cqf private (
     // rebuilding the accumulator per partial (k-way sequential merges of
     // map-side partials would otherwise cost O(k*n)). Only below ~70%
     // occupancy: Robin-Hood cluster lengths blow up as load -> 95%, so
-    // high-load merges are cheaper as sorted rebuilds.
-    if (other._occupiedSlots * 8 <= _occupiedSlots &&
+    // high-load merges are cheaper as sorted rebuilds. Requires the layout
+    // flag to already match the reconciled result (a compact accumulator
+    // absorbing a wide delta must instead widen via rebuild).
+    if (_compact == outCompact &&
+        other._occupiedSlots * 8 <= _occupiedSlots &&
         _quotientBits >= other._quotientBits &&
         (_occupiedSlots + other._occupiedSlots) * 10 <= numSlots * 7) {
       val it = other.iterator
@@ -515,10 +535,11 @@ final class Cqf private (
     while ((LoadFactor * (1L << q)).toLong < needed && q < hashBits) q += 1
     var merged: Cqf = null
     while (merged == null) {
-      try merged = Cqf.mergedFrom(this, other, q, hashBits, invertible)
+      try merged = Cqf.mergedFrom(this, other, q, hashBits, _invertible, outCompact)
       catch { case FullException => q += 1 }
     }
     _quotientBits = merged._quotientBits
+    _compact = outCompact
     blocks = merged.blocks
     _occupiedSlots = merged._occupiedSlots
     refreshDerived()
@@ -585,14 +606,52 @@ object Cqf {
     java.lang.Long.bitCount(word & (if (pos >= 63) -1L else (2L << pos) - 1)).toLong
   @inline private def popcntv(word: Long, ignore: Int): Long =
     java.lang.Long.bitCount(word & ~bitmask(ignore)).toLong
+  /** selectInByte(r*256 + b) = index of the (r+1)-th set bit of byte b
+    * (8 when absent) — the JVM stand-in for the reference's pdep/tzcnt
+    * select (/root/reference/src/lib.rs:63-65): select64 skips whole bytes
+    * by popcount and finishes with one table lookup, replacing the former
+    * clear-lowest-bit loop (up to 64 iterations) on the insert hot path. */
+  private val selectInByte: Array[Byte] = {
+    val t = new Array[Byte](256 * 8)
+    var b = 0
+    while (b < 256) {
+      var r = 0
+      while (r < 8) {
+        var cnt = r
+        var found = 8
+        var i = 0
+        while (i < 8 && found == 8) {
+          if (((b >> i) & 1) == 1) { if (cnt == 0) found = i else cnt -= 1 }
+          i += 1
+        }
+        t(r * 256 + b) = found.toByte
+        r += 1
+      }
+      b += 1
+    }
+    t
+  }
+
+  /** Index of the (rank+1)-th set bit of `word`; 64 when absent. */
+  @inline private def select64(word: Long, rank: Long): Long = {
+    var r = rank.toInt
+    var shifted = word
+    var base = 0
+    while (base < 64) {
+      val byte = (shifted & 0xffL).toInt
+      val c = Integer.bitCount(byte)
+      if (r < c) return base + selectInByte(r * 256 + byte)
+      r -= c
+      shifted >>>= 8
+      base += 8
+    }
+    64L
+  }
+
   /** Index of the rank-th set bit of `word` at or above bit `ignore`;
     * 64 when absent. */
-  private def bitselectv(word: Long, ignore: Int, rank: Long): Long = {
-    var v = word & ~bitmask(ignore)
-    var r = rank
-    while (r > 0 && v != 0L) { v &= v - 1; r -= 1 }
-    if (v == 0L) 64L else java.lang.Long.numberOfTrailingZeros(v).toLong
-  }
+  @inline private def bitselectv(word: Long, ignore: Int, rank: Long): Long =
+    select64(word & ~bitmask(ignore), rank)
 
   /** num_real_slots = 2^q + 10·sqrt(2^q) overflow cushion, rounded up to a
     * whole number of blocks (ref: /root/reference/src/cqf.rs:42-58). */
@@ -649,9 +708,9 @@ object Cqf {
   }
 
   private def mergedFrom(a: Cqf, b: Cqf, quotientBits: Int, hashBits: Int,
-      invertible: Boolean): Cqf =
+      invertible: Boolean, compact: Boolean): Cqf =
     fromSortedHashes(mergeSorted(a.iterator, b.iterator), quotientBits,
-      hashBits, invertible, a.compact)
+      hashBits, invertible, compact)
 
   /** Sorted two-pointer merge of (hash, count) streams, summing counts on
     * equal hashes (semantics of /root/reference/src/cqf.rs:218-334). */
@@ -673,47 +732,83 @@ object Cqf {
       }
     }
 
-  /** Merge two filters into a new one (inputs untouched). */
+  /** Merge two filters into a new one (inputs untouched); invertible /
+    * compact flags reconcile by logical AND. */
   def merge(a: Cqf, b: Cqf): Cqf = {
-    val r = Cqf(math.max(a.quotientBits, b.quotientBits), a.hashBits, a.invertible, a.compact)
+    val r = Cqf(math.max(a.quotientBits, b.quotientBits), a.hashBits,
+      a.invertible && b.invertible, a.compact && b.compact)
     r.mergeInPlace(a)
     r.mergeInPlace(b)
     r
   }
 
-  /** Sort-merge full-outer zip of two filters with a per-hash combine
-    * (generalizes the reference's ZippedCqfIter, /root/reference/src/cqf.rs:499-549).
-    * Hashes where `op` yields 0 are dropped. */
-  def zipOp(a: Cqf, b: Cqf, op: (Long, Long) => Long): Cqf = {
-    require(a.hashBits == b.hashBits, "hashBits mismatch in zipOp")
-    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-    val pa = a.iterator.buffered
-    val pb = b.iterator.buffered
-    while (pa.hasNext || pb.hasNext) {
-      if (!pa.hasNext) { val y = pb.next(); val c = op(0L, y._2); if (c > 0) out += ((y._1, c)) }
-      else if (!pb.hasNext) { val x = pa.next(); val c = op(x._2, 0L); if (c > 0) out += ((x._1, c)) }
-      else {
-        val cmp = java.lang.Long.compareUnsigned(pa.head._1, pb.head._1)
-        if (cmp == 0) {
-          val x = pa.next(); val y = pb.next()
-          val c = op(x._2, y._2); if (c > 0) out += ((x._1, c))
-        } else if (cmp < 0) {
-          val x = pa.next(); val c = op(x._2, 0L); if (c > 0) out += ((x._1, c))
-        } else {
-          val y = pb.next(); val c = op(0L, y._2); if (c > 0) out += ((y._1, c))
+  /** Aligned full-outer enumeration of two filters: ascending (hash,
+    * countA, countB) with 0 standing for "absent on that side" — the
+    * reference's ZippedCqfIter (/root/reference/src/cqf.rs:499-549) as a
+    * reusable stream (feeds the `cqf_zip_items` generator and mergeBy). */
+  def zipItems(a: Cqf, b: Cqf): Iterator[(Long, Long, Long)] = {
+    require(a.hashBits == b.hashBits, "hashBits mismatch in zip")
+    new Iterator[(Long, Long, Long)] {
+      private val pa = a.iterator.buffered
+      private val pb = b.iterator.buffered
+      def hasNext: Boolean = pa.hasNext || pb.hasNext
+      def next(): (Long, Long, Long) = {
+        if (!pa.hasNext) { val y = pb.next(); (y._1, 0L, y._2) }
+        else if (!pb.hasNext) { val x = pa.next(); (x._1, x._2, 0L) }
+        else {
+          val cmp = java.lang.Long.compareUnsigned(pa.head._1, pb.head._1)
+          if (cmp == 0) { val x = pa.next(); val y = pb.next(); (x._1, x._2, y._2) }
+          else if (cmp < 0) { val x = pa.next(); (x._1, x._2, 0L) }
+          else { val y = pb.next(); (y._1, 0L, y._2) }
         }
       }
     }
+  }
+
+  /** Sort-merge full-outer zip of two filters with a per-hash combine —
+    * the user-closure merge surface, generalizing the reference's
+    * CqfMergeClosure / merge_by (/root/reference/src/cqf.rs:336-474,
+    * trait at :202-213). Hashes where `op` yields <= 0 are dropped.
+    * Flags reconcile by AND. Buffers into two primitive long arrays
+    * (no per-entry tuple boxing on the build side). */
+  def mergeBy(a: Cqf, b: Cqf, op: (Long, Long) => Long): Cqf = {
+    var cap = math.max(16, (a.occupiedSlots + b.occupiedSlots).toInt)
+    var hashes = new Array[Long](cap)
+    var counts = new Array[Long](cap)
+    var n = 0
+    val it = zipItems(a, b)
+    while (it.hasNext) {
+      val (h, ca, cb) = it.next()
+      val c = op(ca, cb)
+      if (c > 0L) {
+        if (n == cap) {
+          cap *= 2
+          hashes = java.util.Arrays.copyOf(hashes, cap)
+          counts = java.util.Arrays.copyOf(counts, cap)
+        }
+        hashes(n) = h; counts(n) = c; n += 1
+      }
+    }
+    val m = n
+    def src = new Iterator[(Long, Long)] {
+      private var i = 0
+      def hasNext: Boolean = i < m
+      def next(): (Long, Long) = { val t = (hashes(i), counts(i)); i += 1; t }
+    }
     var q = 6
-    while ((LoadFactor * (1L << q)).toLong < 2L * out.length + 2 && q < a.hashBits) q += 1
+    while ((LoadFactor * (1L << q)).toLong < 2L * m + 2 && q < a.hashBits) q += 1
     q = math.max(q, 4)
     var res: Cqf = null
     while (res == null) {
-      try res = fromSortedHashes(out.iterator, q, a.hashBits, a.invertible, a.compact)
+      try res = fromSortedHashes(src, q, a.hashBits,
+        a.invertible && b.invertible, a.compact && b.compact)
       catch { case FullException => q += 1 }
     }
     res
   }
+
+  /** Back-compat alias for [[mergeBy]]. */
+  def zipOp(a: Cqf, b: Cqf, op: (Long, Long) => Long): Cqf = mergeBy(a, b, op)
 
   def deserialize(bytes: Array[Byte]): Cqf = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
