@@ -1,0 +1,183 @@
+package graft.ops
+
+import graft.GraftFunctions
+import graft.api
+import graft.functions.MediaDecode
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-2 scale-robustness tests: connected components against a
+  * union-find oracle on adversarial graph shapes (long chain, hot star),
+  * hot-bucket caps under mass duplication, the shuffle-free IVF
+  * assignment (exhaustive == brute force), multi-band embedding LSH
+  * recall, and the real PNG/WAV header codec. */
+class ScaleGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-scale-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    GraftFunctions.registerAll(s)
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  import spark.implicits._
+
+  /** Driver-side union-find oracle. */
+  private def unionFind(n: Long, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (0L until n).map(i => i -> find(i)).toMap
+  }
+
+  private def checkCc(n: Long, edges: Seq[(Long, Long)]): Unit = {
+    val nodes = (0L until n).toDF("id")
+    val pairs = edges.toDF("id_a", "id_b")
+    val got = DedupOps.connectedComponents(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = unionFind(n, edges)
+    assert(got.size == want.size)
+    want.foreach { case (id, root) =>
+      assert(got(id) == root, s"node $id: got ${got(id)}, want $root")
+    }
+  }
+
+  test("connected components: 10k-node chain converges in log rounds") {
+    // shuffled labels so min-label is NOT adjacent to most nodes: one-hop
+    // propagation would need ~10k rounds, large-star/small-star needs ~log
+    val n = 10000L
+    val perm = new scala.util.Random(7).shuffle((0L until n).toVector)
+    val edges = (0 until (n - 1).toInt).map(i => (perm(i), perm(i + 1)))
+    checkCc(n, edges)
+  }
+
+  test("connected components: hot star + triangles + singletons") {
+    val star = (1L to 5000L).map(i => (0L, i))
+    val tri = Seq((6000L, 6001L), (6001L, 6002L), (6002L, 6000L))
+    val dup = Seq((7000L, 7001L), (7001L, 7000L), (7000L, 7000L)) // dups + self loop
+    checkCc(8000L, star ++ tri ++ dup)
+  }
+
+  test("connected components: random graph vs union-find") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(1500)((rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong))
+      .filter(e => e._1 != e._2)
+    checkCc(1000L, edges)
+  }
+
+  test("hot-bucket cap: 1000 identical docs do not go quadratic") {
+    val boiler = "the same boilerplate page content repeated across the crawl again and again"
+    val docs = ((0 until 1000).map(i => (i.toLong, boiler)) ++
+      Seq((2000L, "a genuinely unique document about spark sketches"),
+          (2001L, "a genuinely unique document about spark sketches plus"))).toDF("id", "text")
+    // cap 100 < 1000: the boilerplate bucket is dropped by the guard, the
+    // two planted near-dups (sharing their own buckets) still surface
+    val pairs = DedupOps.minhashVerifiedPairs(docs, TextOps.tokens($"text"), $"id",
+      k = 3, bands = 16, rowsPerBand = 4, threshold = 0.7, bucketCap = 100)
+      .collect()
+    assert(pairs.length < 499500, "hot bucket went quadratic")
+    assert(pairs.exists(r => r.getLong(0) == 2000L && r.getLong(1) == 2001L),
+      "planted pair below cap must survive")
+    // the mass-duplicated boilerplate is exact-dup territory: exactDedup
+    // (the upstream stage) collapses it to one representative
+    val kept = DedupOps.exactDedup(docs, $"text", $"id")
+      .where($"n_dups" === 1000).collect()
+    assert(kept.length == 1 && kept.head.getAs[Long]("kept_id") == 0L)
+  }
+
+  test("IVF exhaustive (nProbe = nCells) equals brute force exactly") {
+    val rnd = new scala.util.Random(5)
+    val emb = (0L until 300L).map { i =>
+      (i, Array.fill(12)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = emb.where($"vec_id" < 5)
+    def normalize(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"rank", $"neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val brute = normalize(AnnOps.bruteForceTopK(emb, $"vec_id", $"embedding",
+      queries, $"vec_id", $"embedding", k = 4))
+    val ivf = normalize(AnnOps.ivfTopK(emb, $"vec_id", $"embedding",
+      queries, $"vec_id", $"embedding", k = 4, nCells = 8, nProbe = 8, kmeansIters = 2))
+    assert(ivf == brute)
+    // partial probing returns a subset-shaped result with decent recall
+    val ivf2 = normalize(AnnOps.ivfTopK(emb, $"vec_id", $"embedding",
+      queries, $"vec_id", $"embedding", k = 4, nCells = 8, nProbe = 3, kmeansIters = 2))
+    val recall = ivf2.map(t => (t._1, t._3)).intersect(brute.map(t => (t._1, t._3))).size
+    assert(recall >= 8, s"nProbe=3/8 recall too low: $recall/20")
+  }
+
+  test("multi-band embedding LSH finds all planted near-dup pairs") {
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 200L).map { i =>
+      i -> Array.fill(16)(rnd.nextGaussian())
+    }
+    // plant 20 near-copies (tiny perturbation -> cos > 0.95)
+    val planted = (0 until 20).map { j =>
+      val (src, v) = base(j * 7)
+      (1000L + j) -> v.map(x => x + rnd.nextGaussian() * 0.05)
+    }
+    val df = (base ++ planted).map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+    val got = DedupOps.embeddingNearDups(df, $"embedding", $"vec_id",
+        minCos = 0.8, bands = 32, planesPerBand = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 20).foreach { j =>
+      val pair = ((j * 7).toLong, 1000L + j)
+      assert(got.contains(pair), s"planted near-dup $pair missed")
+    }
+    // no false accepts: every emitted pair really has cos >= 0.8
+    val vecs = (base ++ planted).toMap
+    got.foreach { case (a, b) =>
+      val (x, y) = (vecs(a), vecs(b))
+      val dot = x.zip(y).map { case (p, q) => p * q }.sum
+      val cos = dot / math.sqrt(x.map(p => p * p).sum * y.map(q => q * q).sum)
+      assert(cos >= 0.8 - 1e-9, s"pair ($a,$b) cos=$cos below threshold")
+    }
+  }
+
+  test("media codec: PNG/WAV synth -> decode round-trip; junk -> unknown") {
+    val rnd = new scala.util.Random(3)
+    for (_ <- 1 to 50) {
+      val (w, h, c) = (1 + rnd.nextInt(4000), 1 + rnd.nextInt(4000), 1 + rnd.nextInt(4))
+      val png = MediaDecode.decode(MediaDecode.synthPng(w, h, c))
+      assert(png.getUTF8String(0).toString == "png")
+      assert(png.getInt(1) == w && png.getInt(2) == h)
+      assert(png.getInt(3) == (if (c == 3) 3 else c)) // 1,2,4 direct; 3=rgb
+      assert(png.getInt(5) == 8)
+      val (ch, sr, bits) = (1 + rnd.nextInt(2), 8000 + rnd.nextInt(40000), 16)
+      val wav = MediaDecode.decode(MediaDecode.synthWav(ch, sr, bits))
+      assert(wav.getUTF8String(0).toString == "wav")
+      assert(wav.getInt(3) == ch && wav.getInt(4) == sr && wav.getInt(5) == bits)
+    }
+    // truncated/junk blobs parse as unknown, never throw
+    Seq(Array.emptyByteArray, "hello".getBytes,
+        MediaDecode.synthPng(10, 10, 3).take(20),
+        MediaDecode.synthWav(1, 8000, 16).take(13)).foreach { junk =>
+      val r = MediaDecode.decode(junk)
+      assert(r.getUTF8String(0).toString == "unknown")
+      assert(r.getLong(6) == junk.length.toLong)
+    }
+    // end-to-end through the SQL surface
+    val n = spark.sql(
+      "SELECT media_decode(synth_media_blob(0, 33, 44)).width AS w").head().getInt(0)
+    assert(n == 1 + (33 & 0xfff))
+  }
+}

@@ -1,0 +1,133 @@
+package graft.sketch
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.mutable
+import scala.util.Random
+
+/** Round-2 kernel regressions: set_count(0) deletion semantics across
+  * rebuilds, merge flag reconciliation, the mergeBy closure surface, and
+  * the aligned zipItems enumeration. */
+class CqfRound2Spec extends AnyFunSuite {
+
+  test("setCount(hash, 0) deletes: iteration skips, grow rebuild stays well-formed") {
+    // two keys sharing quotient 3 (q=4, r=8); zero the LARGER remainder —
+    // the run's last entry, exactly the case where a rebuild's append
+    // cursor used to drop the runend and corrupt the filter
+    val cqf = Cqf(4, 12, invertible = false)
+    val hLow = (3L << 8) | 5L
+    val hHigh = (3L << 8) | 9L
+    cqf.insertHash(hLow, 1L)
+    cqf.insertHash(hHigh, 4L)
+    cqf.setCountHash(hHigh, 0L)
+    assert(cqf.queryHash(hLow) == 1L)
+    assert(cqf.queryHash(hHigh) == 0L)
+    assert(cqf.iterator.toList == List((hLow, 1L)))
+    // force grow (rebuild through the iterator/append cursor)
+    val rnd = new Random(1)
+    val extra = mutable.Map[Long, Long](hLow -> 1L)
+    while (cqf.quotientBits == 4) {
+      val h = rnd.nextLong() & WangHash.mask(12)
+      if (h != hHigh) {
+        cqf.insertHash(h, 1L)
+        extra(h) = extra.getOrElse(h, 0L) + 1L
+      }
+    }
+    assert(cqf.queryHash(hHigh) == 0L, "deleted key resurfaced after grow")
+    extra.foreach { case (h, c) =>
+      assert(cqf.queryHash(h) == c, s"hash $h corrupted after grow")
+    }
+    assert(cqf.iterator.map(_._2).forall(_ > 0L))
+    // merge with a zero-count entry present must also stay clean
+    val other = Cqf(4, 12, invertible = false)
+    other.insertHash(hHigh, 7L)
+    other.setCountHash(hHigh, 0L)
+    other.insertHash(hLow, 2L)
+    cqf.mergeInPlace(other)
+    assert(cqf.queryHash(hLow) == 3L)
+    assert(cqf.queryHash(hHigh) == 0L)
+  }
+
+  test("setCount on absent key with count 0 is a no-op") {
+    val cqf = Cqf(6, 20)
+    cqf.setCount(123L, 0L)
+    assert(cqf.count(123L) == 0L)
+    assert(cqf.distinctCount == 0L)
+  }
+
+  test("merge reconciles invertible flag with AND") {
+    val inv = Cqf(6, 30, invertible = true)
+    (1L to 50L).foreach(inv.insert(_))
+    val nonInv = Cqf(6, 30, invertible = false)
+    nonInv.insertBytes("hello".getBytes, 3L)
+    assert(inv.invertible)
+    inv.mergeInPlace(nonInv)
+    assert(!inv.invertible, "merging a byte-keyed sketch must clear invertible")
+    intercept[IllegalArgumentException](inv.keyIterator)
+    // merging an EMPTY non-invertible sketch keeps recoverability (no
+    // unrecoverable keys were actually added)
+    val inv2 = Cqf(6, 30, invertible = true)
+    inv2.insert(9L)
+    inv2.mergeInPlace(Cqf(6, 30, invertible = false))
+    assert(inv2.invertible)
+    assert(Cqf.merge(inv2, nonInv).invertible == false)
+  }
+
+  test("merge reconciles compact flag: compact + wide widens via rebuild") {
+    val compact = Cqf(6, 30, invertible = true, compact = true)
+    (1L to 40L).foreach(compact.insert(_))
+    val wide = Cqf(6, 30, invertible = true, compact = false)
+    (30L to 70L).foreach(wide.insert(_))
+    compact.mergeInPlace(wide)
+    assert(!compact.compact, "compact ∧ wide must widen")
+    (1L to 29L).foreach(k => assert(compact.count(k) == 1L))
+    (30L to 40L).foreach(k => assert(compact.count(k) == 2L))
+    (41L to 70L).foreach(k => assert(compact.count(k) == 1L))
+    // round-trip keeps the reconciled flags
+    val rt = Cqf.deserialize(compact.serialize())
+    assert(!rt.compact && rt.invertible)
+  }
+
+  test("mergeBy user closure: weighted combine against a Map oracle") {
+    val rnd = new Random(42)
+    val a = Cqf(8, 28)
+    val b = Cqf(8, 28)
+    val ma = mutable.Map.empty[Long, Long]
+    val mb = mutable.Map.empty[Long, Long]
+    for (_ <- 1 to 300) {
+      val k = rnd.nextInt(200).toLong
+      if (rnd.nextBoolean()) { a.insert(k); ma(k) = ma.getOrElse(k, 0L) + 1 }
+      else { b.insert(k); mb(k) = mb.getOrElse(k, 0L) + 1 }
+    }
+    val weighted = Cqf.mergeBy(a, b, (x, y) => x + 2 * y)
+    val keys = (ma.keySet ++ mb.keySet)
+    keys.foreach { k =>
+      val want = ma.getOrElse(k, 0L) + 2 * mb.getOrElse(k, 0L)
+      assert(weighted.count(k) == want, s"key $k")
+    }
+    assert(weighted.totalCount == keys.toSeq.map(k =>
+      ma.getOrElse(k, 0L) + 2 * mb.getOrElse(k, 0L)).sum)
+  }
+
+  test("zipItems: aligned full-outer enumeration matches two-map join") {
+    val rnd = new Random(7)
+    val a = Cqf(8, 28)
+    val b = Cqf(8, 28)
+    val ma = mutable.Map.empty[Long, Long]
+    val mb = mutable.Map.empty[Long, Long]
+    for (_ <- 1 to 500) {
+      val k = rnd.nextInt(150).toLong
+      if (rnd.nextInt(3) > 0) { a.insert(k); ma(k) = ma.getOrElse(k, 0L) + 1 }
+      if (rnd.nextInt(3) == 0) { b.insert(k, 2L); mb(k) = mb.getOrElse(k, 0L) + 2 }
+    }
+    val zipped = Cqf.zipItems(a, b).toList
+    // ascending hashes, no dups
+    assert(zipped.map(_._1) == zipped.map(_._1).distinct.sorted)
+    val got = zipped.map { case (h, ca, cb) => (WangHash.unhash(h, 28), ca, cb) }
+      .map { case (k, ca, cb) => k -> ((ca, cb)) }.toMap
+    val wantKeys = ma.keySet ++ mb.keySet
+    assert(got.keySet == wantKeys)
+    wantKeys.foreach { k =>
+      assert(got(k) == ((ma.getOrElse(k, 0L), mb.getOrElse(k, 0L))), s"key $k")
+    }
+  }
+}
