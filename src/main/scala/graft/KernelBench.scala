@@ -1,0 +1,169 @@
+package graft
+
+import graft.sketch.{Cqf, WangHash}
+
+/** Single-JVM microbenchmarks backing BASELINE.md:
+  *
+  *  - `insert`: the reference binary's own workload
+  *    (/root/reference/src/main.rs:6-22,96-105 — LOGN_SLOTS=26,
+  *    HASH_BITS=46, u32 slots, invertible Wang hash, keys
+  *    (rand & mask) % 10000, 0.94*2^26 inserts), single thread, min of
+  *    N interleaved reps. Comparable to the offline-built reference
+  *    binary's 16-17 M inserts/s on this host.
+  *  - `membw`: aggregate streaming read bandwidth at 1/8/32 threads over
+  *    thread-private 256 MiB long arrays — evidence for the 8->32
+  *    scaling plateau being DRAM saturation, not a code serialization
+  *    point (pure in-cache kernel work scales; streaming DRAM does not).
+  */
+object KernelBench {
+
+  private def xorshift(s0: Long): Long = {
+    var s = s0
+    s ^= s << 13
+    s ^= s >>> 7
+    s ^= s << 17
+    s
+  }
+
+  def insertBench(reps: Int): Unit = {
+    val hashBits = 46
+    val q = 26
+    val n = (0.94 * (1L << q)).toLong
+    val mask = WangHash.mask(hashBits)
+    var best = Double.MaxValue
+    var bestIter = Double.MaxValue
+    for (r <- 1 to reps) {
+      val cqf = Cqf(q, hashBits, invertible = true, compact = true)
+      var seed = 0x9e3779b97f4a7c15L + r
+      val t0 = System.nanoTime()
+      var i = 0L
+      while (i < n) {
+        seed = xorshift(seed)
+        cqf.insert((seed & mask) % 10000L)
+        i += 1
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      var total = 0L
+      val it = cqf.iterator
+      while (it.hasNext) total += it.next()._2
+      val iterSec = (System.nanoTime() - t1) / 1e9
+      require(total == n, s"lost inserts: $total != $n")
+      println(f"[kernelbench] rep $r: ${n / sec / 1e6}%.2f M inserts/s " +
+        f"(${sec}%.2f s), full iteration ${iterSec * 1000}%.1f ms")
+      best = math.min(best, sec)
+      bestIter = math.min(bestIter, iterSec)
+    }
+    println(f"[kernelbench] BEST: ${n / best / 1e6}%.2f M inserts/s at q=$q " +
+      f"hashBits=$hashBits compact; iteration ${bestIter * 1000}%.1f ms")
+  }
+
+  def membwBench(): Unit = {
+    val wordsPerThread = (256L << 20) / 8 // 256 MiB per thread
+    def run(threads: Int): Double = {
+      val arrays = Array.fill(threads)(new Array[Long](wordsPerThread.toInt))
+      arrays.foreach { a =>
+        var i = 0
+        while (i < a.length) { a(i) = i.toLong; i += 1 }
+      }
+      val sink = new java.util.concurrent.atomic.AtomicLong()
+      val t0 = System.nanoTime()
+      val ts = arrays.map { a =>
+        val t = new Thread(() => {
+          var s = 0L
+          var pass = 0
+          while (pass < 4) {
+            var i = 0
+            while (i < a.length) { s += a(i); i += 1 }
+            pass += 1
+          }
+          sink.addAndGet(s)
+        })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      val sec = (System.nanoTime() - t0) / 1e9
+      val bytes = 4.0 * threads * wordsPerThread * 8
+      bytes / sec / 1e9
+    }
+    run(1) // warm-up / page-fault absorption
+    for (t <- Seq(1, 2, 8, 32)) {
+      val gbs = (1 to 3).map(_ => run(t)).max
+      println(f"[membw] $t%2d threads: $gbs%.1f GB/s aggregate streaming read")
+    }
+  }
+
+  /** Copy (read+write) bandwidth — the traffic class GC/allocation and
+    * row materialization produce; typically saturates well below the
+    * read-only number on one socket. */
+  def copybwBench(): Unit = {
+    val wordsPerThread = (128L << 20) / 8 // 128 MiB src + 128 MiB dst per thread
+    def run(threads: Int): Double = {
+      val srcs = Array.fill(threads)(new Array[Long](wordsPerThread.toInt))
+      val dsts = Array.fill(threads)(new Array[Long](wordsPerThread.toInt))
+      val t0 = System.nanoTime()
+      val ts = srcs.zip(dsts).map { case (src, dst) =>
+        val t = new Thread(() => {
+          var pass = 0
+          while (pass < 4) {
+            System.arraycopy(src, 0, dst, 0, src.length)
+            pass += 1
+          }
+        })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      val sec = (System.nanoTime() - t0) / 1e9
+      // count both the read and the write stream
+      8.0 * threads * wordsPerThread * 8 / sec / 1e9
+    }
+    run(1)
+    for (t <- Seq(1, 2, 8, 32)) {
+      val gbs = (1 to 3).map(_ => run(t)).max
+      println(f"[copybw] $t%2d threads: $gbs%.1f GB/s aggregate copy (r+w)")
+    }
+  }
+
+  /** Pure-kernel thread scaling: T threads each build a PRIVATE q=16 CQF
+    * from generated keys (the per-bucket shard shape of the distributed
+    * build, minus Spark's scan/decode). If this scales 8->32 while the
+    * Spark build does not, the plateau lives in the scan/row path, not
+    * the kernel or the algorithm. */
+  def kernelScaleBench(): Unit = {
+    val nPerThread = 20000000L
+    def run(threads: Int): Double = {
+      val results = new java.util.concurrent.atomic.AtomicLong()
+      val t0 = System.nanoTime()
+      val ts = (0 until threads).map { tid =>
+        val t = new Thread(() => {
+          val cqf = Cqf(16, 40, invertible = true, compact = true)
+          var seed = 0x9e3779b97f4a7c15L * (tid + 1)
+          var i = 0L
+          while (i < nPerThread) {
+            seed = xorshift(seed)
+            cqf.insert((seed & 0xffffffffffL) % 10000L)
+            i += 1
+          }
+          results.addAndGet(cqf.occupiedSlots)
+        })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      val sec = (System.nanoTime() - t0) / 1e9
+      threads * nPerThread / sec / 1e6
+    }
+    run(2)
+    for (t <- Seq(1, 8, 32)) {
+      val mps = (1 to 3).map(_ => run(t)).max
+      println(f"[kernel-scale] $t%2d threads: $mps%.1f M inserts/s aggregate (private q=16 shards)")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val mode = if (args.nonEmpty) args(0) else "all"
+    if (mode == "insert" || mode == "all") insertBench(reps = 3)
+    if (mode == "membw" || mode == "all") membwBench()
+    if (mode == "copybw" || mode == "all") copybwBench()
+    if (mode == "kscale" || mode == "all") kernelScaleBench()
+  }
+}

@@ -242,7 +242,11 @@ final class Cqf private (
         if (decRemainder < remainder) {
           insertAndShift(1, quotient, remainder, count, qend + 1, 0)
         } else if (decRemainder == remainder) {
-          insertAndShift(
+          if (qend != runstart) {
+            // dominant path in heavy-duplicate workloads: a count slot
+            // already exists — bump it in place, no shifting/re-encoding
+            slotSet(qend, decCount + count)
+          } else insertAndShift(
             if (isRunend(qend)) 1 else 2,
             quotient, remainder, decCount + count,
             runstart, qend - runstart + 1)
