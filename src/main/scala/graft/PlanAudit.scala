@@ -22,7 +22,12 @@ object PlanAudit {
       "cqf_count_by_flag", "cqf_merge_two_stage", "cqf_multiplicity_hist",
       "cms_heavy_hitters", "bloom_membership", "ann_brute_topk",
       "ann_ivf_topk", "ngram_jaccard_hist", "dedup_exact_fingerprint",
-      "window_top_events")
+      "window_top_events",
+      // round 2: IVF assignment must show NO Exchange/Window (broadcast-
+      // codebook expression); near-dup pipelines are banded bucket joins
+      // with bare-id pair dedup before payload re-joins
+      "ann_ivf_exhaustive", "minhash_lsh_candidates", "embedding_near_dups",
+      "window_running_distinct", "multimodal_decode", "cqf_zip_flags")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — formatted physical plans (sf=" + sfDir + ")\n\n")
     sb.append("Audit notes per plan: parquet scans must show pruned ")

@@ -137,6 +137,37 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_keys"))
     }),
 
+    "streaming_distinct_users" -> ((s, dir) => {
+      // Structured Streaming surface: the same mergeable aggregate under
+      // an incremental plan (AvailableNow over the file source, complete
+      // mode) — results must equal the batch/DuckDB answer exactly
+      GraftFunctions.registerAll(s)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // the file source wants a directory: stream the sf dir with a glob
+      // filter selecting just the events table file(s)
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .groupBy(col("event_type"))
+        .agg(api.cqf_agg(col("user_id"), 12, 64).as("sk"))
+        .select(col("event_type"), api.cqf_distinct(col("sk")).as("distinct_users"))
+        .writeStream.format("memory").queryName("graft_stream_distinct")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_stream_distinct")
+    }),
+
+    "rollup_distinct_parts" -> ((s, dir) => {
+      // grouping sets compose with sketch aggregates for free (mergeable
+      // partial states under any grouping) — exact rollup distinct
+      val li = t(s, dir, "lineitem")
+      li.rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(api.cqf_agg(col("l_partkey"), 12, 64).as("sk"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          api.cqf_distinct(col("sk")).as("distinct_parts"))
+    }),
+
     "cqf_distinct_users_by_event" -> ((s, dir) => {
       // exact distinct via invertible CQF (contrast with approximate HLL)
       val ev = t(s, dir, "events")
@@ -334,9 +365,11 @@ object SparkEntry {
     }),
 
     "simhash_near_dups" -> ((s, dir) => {
-      // simhash 16-bit-band prefilter + exact shingle-Jaccard recheck
+      // simhash 16-bit-band prefilter (guaranteed Hamming<=3) ensembled
+      // with a minhash proposer for the short-doc regime, exact
+      // shingle-Jaccard recheck — both proposers keep buckets ~ n
       val docs = t(s, dir, "documents")
-      DedupOps.simhashVerifiedPairs(docs, col("text"), col("doc_id"),
+      DedupOps.nearDupVerifiedPairs(docs, col("text"), col("doc_id"),
         k = 3, threshold = 0.9)
     }),
 
@@ -521,6 +554,15 @@ object SparkEntry {
       """SELECT c AS cnt, count(*) AS n_keys FROM
         |(SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY 1)
         |GROUP BY 1""".stripMargin,
+
+    "streaming_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS distinct_users
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "rollup_distinct_parts" ->
+      """SELECT l_returnflag, l_linestatus,
+        |count(DISTINCT l_partkey) AS distinct_parts
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
     "cqf_distinct_users_by_event" ->
       """SELECT event_type, count(DISTINCT user_id) AS distinct_users,

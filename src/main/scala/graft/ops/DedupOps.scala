@@ -187,18 +187,42 @@ object DedupOps {
 
   /** SimHash prefilter + EXACT word-k-shingle Jaccard recheck (same
     * propose/dispose shape as [[minhashVerifiedPairs]], different
-    * proposer). 8 bands of 8 bits guarantee every pair within Hamming
-    * distance 7 is proposed — short near-identical docs can differ by ~6
-    * simhash bits, so the classic 4x16/d<=3 config under-recalls them.
+    * proposer). The default 4 bands of 16 bits guarantee every pair
+    * within Hamming distance 3 is proposed AND keep bucket counts
+    * proportional to the corpus (2^16 per band). More bands widen the
+    * guaranteed radius but shrink the key space (8 bands = 8-bit keys =
+    * 256 buckets -> O(n²/256) pairs at corpus scale — use only on small
+    * inputs or behind a tight bucketCap).
     * Output: id_a, id_b, inter, uni. */
   def simhashVerifiedPairs(df: DataFrame, text: Column, id: Column,
-      k: Int = 3, threshold: Double = 0.9, nBands: Int = 8,
+      k: Int = 3, threshold: Double = 0.9, nBands: Int = 4,
       bucketCap: Int = 5000): DataFrame = {
     val toks = TextOps.tokens(text)
     val base = df.select(id.as("id"), simhash(toks).as("sh"),
       shingleHashSet(toks, k).as("grams"))
     val pairs = bucketPairs(simhashBanded(base, nBands), Seq("band", "bucket"), bucketCap)
     verifyByJaccard(pairs, base.select(col("id"), col("grams")), threshold)
+  }
+
+  /** Ensemble near-dup pairs: simhash banding (guaranteed Hamming<=nBands-1
+    * radius, fine buckets) UNIONed with minhash-LSH (proper Jaccard-LSH
+    * recall), both disposed by the same exact shingle-Jaccard recheck.
+    * Rationale: a Jaccard threshold does not map to a fixed Hamming
+    * radius — short near-identical docs sit at simhash distance ~6
+    * (per-bit counters hover near zero), outside any bucket-scalable
+    * simhash radius, while minhash recall at J>=0.9 with 16x4 bands is
+    * 1-4e-8 regardless of length. Both proposers keep bucket counts
+    * proportional to n, so the ensemble survives corpus scale where a
+    * wide-radius simhash banding (8-bit keys) cannot.
+    * Output: id_a, id_b, inter, uni (distinct). */
+  def nearDupVerifiedPairs(df: DataFrame, text: Column, id: Column,
+      k: Int = 3, threshold: Double = 0.9, bands: Int = 16,
+      rowsPerBand: Int = 4, bucketCap: Int = 5000): DataFrame = {
+    val sim = simhashVerifiedPairs(df, text, id, k, threshold,
+      nBands = 4, bucketCap = bucketCap)
+    val mh = minhashVerifiedPairs(df, TextOps.tokens(text), id, k, bands,
+      rowsPerBand, threshold, bucketCap)
+    sim.union(mh).distinct()
   }
 
   /** Exact n-gram (word k-shingle) Jaccard pairs within blocking keys.
