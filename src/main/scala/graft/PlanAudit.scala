@@ -37,10 +37,20 @@ object PlanAudit {
     sb.append("expressions sit inside WholeStageCodegen spans.\n")
     picks.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
-      sb.append(s"\n## $name\n\n```\n")
-      sb.append(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
-      sb.append("```\n")
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      // compact audit summary so a reviewer can check shuffle/broadcast
+      // discipline without reading the whole tree
+      def n(tok: String) = plan.sliding(tok.length).count(_ == tok)
+      val readSchemas = plan.linesIterator
+        .filter(_.trim.startsWith("ReadSchema")).map(_.trim).toSeq.distinct
+      sb.append(s"\n## $name\n\n")
+      sb.append(s"Summary: exchanges=${n("Exchange (")} " +
+        s"broadcastJoins=${n("BroadcastHashJoin") + n("BroadcastNestedLoopJoin")} " +
+        s"sortMergeJoins=${n("SortMergeJoin")} windows=${n("Window (")} " +
+        s"objectHashAggs=${n("ObjectHashAggregate")}\n")
+      readSchemas.foreach(rs => sb.append(s"- $rs\n"))
+      sb.append("\n```\n").append(plan).append("```\n")
     }
     Files.writeString(Paths.get(out), sb.toString)
     println(s"wrote $out")

@@ -158,6 +158,26 @@ object SparkEntry {
       s.table("graft_stream_distinct")
     }),
 
+    "streaming_windowed_distinct" -> ((s, dir) => {
+      // event-time tumbling windows over the stream: exact distinct per
+      // (day, event_type); complete mode so every window is emitted and
+      // the result equals the batch/DuckDB date_trunc answer
+      GraftFunctions.registerAll(s)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(api.cqf_agg(col("user_id"), 10, 64).as("sk"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          api.cqf_distinct(col("sk")).as("distinct_users"))
+        .writeStream.format("memory").queryName("graft_stream_windowed")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_stream_windowed")
+    }),
+
     "rollup_distinct_parts" -> ((s, dir) => {
       // grouping sets compose with sketch aggregates for free (mergeable
       // partial states under any grouping) — exact rollup distinct
@@ -558,6 +578,11 @@ object SparkEntry {
     "streaming_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS distinct_users
         |FROM events GROUP BY 1""".stripMargin,
+
+    "streaming_windowed_distinct" ->
+      """SELECT date_trunc('day', ts) AS window_start, event_type,
+        |count(DISTINCT user_id) AS distinct_users
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "rollup_distinct_parts" ->
       """SELECT l_returnflag, l_linestatus,
