@@ -269,9 +269,18 @@ object DedupOps {
     * (silent truncation would split duplicate clusters).
     *
     * Input: pairs (id_a, id_b); nodes: (id). Output: (id, component)
-    * where component = min id reachable. */
+    * where component = min id reachable.
+    *
+    * Adaptive small-graph path: when the (distinct) edge set fits the
+    * same budget Catalyst uses for broadcast sides, the exact solve is a
+    * single driver-side union-find over one collect — near-dup edge sets
+    * are usually tiny relative to the corpus (pairs above a high
+    * threshold), so at any corpus scale this avoids ~log(n) scheduled
+    * rounds; graphs above the threshold run the distributed log-round
+    * algorithm. Set localEdgeThreshold = 0 to force the distributed
+    * path. */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
-      maxRounds: Int = 30): DataFrame = {
+      maxRounds: Int = 30, localEdgeThreshold: Long = 1L << 20): DataFrame = {
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.select(col("u"), col("v"))
         .union(e.select(col("v").as("u"), col("u").as("v")))
@@ -308,6 +317,31 @@ object DedupOps {
       .distinct()
       .localCheckpoint()
     var sig = signature(edges)
+    if (sig._1 > 0 && sig._1 <= localEdgeThreshold) {
+      // broadcast-sized graph: exact union-find on the driver, one pass
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        var c = x
+        while (parent.getOrDefault(c, c) != c) {
+          val nx = parent.get(c); parent.put(c, r); c = nx
+        }
+        r
+      }
+      edges.collect().foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      val roots = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      parent.keySet().forEach(k => roots += ((k, find(k))))
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      val labelDf = roots.toSeq.toDF("id", "root")
+      return nodes.select(col("id"))
+        .join(broadcast(labelDf), Seq("id"), "left")
+        .select(col("id"), coalesce(col("root"), col("id")).as("component"))
+    }
     var round = 0
     var converged = sig._1 == 0L
     while (!converged && round < maxRounds) {

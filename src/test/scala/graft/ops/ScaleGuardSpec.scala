@@ -51,12 +51,18 @@ class ScaleGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def checkCc(n: Long, edges: Seq[(Long, Long)]): Unit = {
     val nodes = (0L until n).toDF("id")
     val pairs = edges.toDF("id_a", "id_b")
-    val got = DedupOps.connectedComponents(nodes, pairs)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val want = unionFind(n, edges)
-    assert(got.size == want.size)
-    want.foreach { case (id, root) =>
-      assert(got(id) == root, s"node $id: got ${got(id)}, want $root")
+    // distributed large-star/small-star path (threshold 0 forces it) AND
+    // the adaptive driver-side union-find path must both match the oracle
+    for (threshold <- Seq(0L, Long.MaxValue)) {
+      val got = DedupOps.connectedComponents(nodes, pairs,
+          localEdgeThreshold = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.size == want.size)
+      want.foreach { case (id, root) =>
+        assert(got(id) == root,
+          s"node $id (threshold $threshold): got ${got(id)}, want $root")
+      }
     }
   }
 
