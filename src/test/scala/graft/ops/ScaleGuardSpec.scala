@@ -159,6 +159,26 @@ class ScaleGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bpe-ish token count: words + digit runs + punctuation runs") {
+    val df = Seq(
+      (0L, "hello world"),            // 2 words, no digits/punct
+      (1L, "abc123 def456"),          // 2 words + 2 digit runs
+      (2L, "wait... what?! 99 times") // 4 words + 2 punct runs + 1 digit run
+    ).toDF("id", "text")
+    val got = df.select($"id", TextOps.bpeishTokenCount($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // independent oracle replicating Spark split semantics (limit -1)
+    def oracle(t: String): Int =
+      t.trim.split("\\s+", -1).length +
+        t.split("[0-9]+", -1).length - 1 +
+        t.split("[^\\w\\s]+", -1).length - 1
+    Seq(0L -> "hello world", 1L -> "abc123 def456",
+        2L -> "wait... what?! 99 times").foreach { case (id, t) =>
+      assert(got(id) == oracle(t), s"doc $id")
+    }
+    assert(got(0L) == 2)
+  }
+
   test("media codec: PNG/WAV synth -> decode round-trip; junk -> unknown") {
     val rnd = new scala.util.Random(3)
     for (_ <- 1 to 50) {
