@@ -260,8 +260,17 @@ case class CqfItems(child: Expression)
       val cqf = Cqf.deserialize(v.asInstanceOf[Array[Byte]])
       val inv = cqf.invertible
       val bits = cqf.hashBits
-      cqf.iterator.map { case (h, c) =>
-        InternalRow(h, if (inv) WangHash.unhash(h, bits) else null, c)
+      val cur = cqf.cursor // allocation-free kernel enumeration
+      new Iterator[InternalRow] {
+        private var has = cur.advance()
+        def hasNext: Boolean = has
+        def next(): InternalRow = {
+          val h = cur.hash
+          val row = InternalRow(h,
+            if (inv) WangHash.unhash(h, bits) else null, cur.count)
+          has = cur.advance()
+          row
+        }
       }
     }
   }

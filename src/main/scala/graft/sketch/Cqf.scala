@@ -383,29 +383,49 @@ final class Cqf private (
 
   // ---- iteration ------------------------------------------------------
 
-  /** In-order scan yielding (hash, count) in ascending hash order
-    * (semantics of /root/reference/src/cqf/u64_cqf.rs:559-600).
-    * Zero-count entries — left behind by `setCountHash(h, 0)` (deletion by
-    * overwrite) — are skipped, so rebuilds (grow/merge) re-encode a
-    * well-formed filter and never emit an entry whose runend bookkeeping
-    * would be dropped by the append cursor. */
-  def iterator: Iterator[(Long, Long)] = rawIterator.filter(_._2 != 0L)
-
-  private def rawIterator: Iterator[(Long, Long)] = new Iterator[(Long, Long)] {
+  /** Allocation-free in-order enumeration (the reference's ref iterator,
+    * /root/reference/src/cqf/u64_cqf.rs:559-600, as a primitive cursor):
+    * `advance()` steps to the next entry and exposes it via the `hash` /
+    * `count` fields — no per-entry tuple, for generator and stats hot
+    * paths. Zero-count entries — left behind by `setCountHash(h, 0)`
+    * (deletion by overwrite) — are skipped, so rebuilds (grow/merge)
+    * re-encode a well-formed filter and never emit an entry whose runend
+    * bookkeeping would be dropped by the append cursor. */
+  final class EntryCursor private[Cqf] () {
     private var curQ: Long = nextOccupiedQuotient(0L) // -1 if none
     private var pos: Long = curQ
-    def hasNext: Boolean = curQ >= 0
-    def next(): (Long, Long) = {
-      val qend = decodeEnd(pos)
-      val hash = (curQ << remainderBits) | decRemainder
-      val cnt = decCount
-      val end = isRunend(qend)
-      pos = qend + 1
-      if (end) {
-        curQ = nextOccupiedQuotient(curQ + 1)
-        if (curQ >= 0 && pos < curQ) pos = curQ
+    var hash: Long = 0L
+    var count: Long = 0L
+    def advance(): Boolean = {
+      while (curQ >= 0) {
+        val qend = decodeEnd(pos)
+        val h = (curQ << remainderBits) | decRemainder
+        val c = decCount
+        val end = isRunend(qend)
+        pos = qend + 1
+        if (end) {
+          curQ = nextOccupiedQuotient(curQ + 1)
+          if (curQ >= 0 && pos < curQ) pos = curQ
+        }
+        if (c != 0L) { hash = h; count = c; return true }
       }
-      (hash, cnt)
+      false
+    }
+  }
+
+  def cursor: EntryCursor = new EntryCursor
+
+  /** Tuple view of [[cursor]] in ascending hash order. */
+  def iterator: Iterator[(Long, Long)] = {
+    val cur = new EntryCursor
+    new Iterator[(Long, Long)] {
+      private var has = cur.advance()
+      def hasNext: Boolean = has
+      def next(): (Long, Long) = {
+        val t = (cur.hash, cur.count)
+        has = cur.advance()
+        t
+      }
     }
   }
 
@@ -431,16 +451,16 @@ final class Cqf private (
   /** Number of distinct stored hashes (O(#slots/64 + #entries)). */
   def distinctCount: Long = {
     var n = 0L
-    val it = iterator
-    while (it.hasNext) { it.next(); n += 1 }
+    val c = cursor
+    while (c.advance()) n += 1
     n
   }
 
   /** Sum of all multiplicities. */
   def totalCount: Long = {
     var n = 0L
-    val it = iterator
-    while (it.hasNext) { n += it.next()._2 }
+    val c = cursor
+    while (c.advance()) n += c.count
     n
   }
 
@@ -527,11 +547,8 @@ final class Cqf private (
         other._occupiedSlots * 8 <= _occupiedSlots &&
         _quotientBits >= other._quotientBits &&
         (_occupiedSlots + other._occupiedSlots) * 10 <= numSlots * 7) {
-      val it = other.iterator
-      while (it.hasNext) {
-        val (h, c) = it.next()
-        insertHash(h, c)
-      }
+      val cu = other.cursor
+      while (cu.advance()) insertHash(cu.hash, cu.count)
       return this
     }
     var q = math.max(_quotientBits, other._quotientBits)
