@@ -61,20 +61,24 @@ object Bench {
     // --- per-query timings over the sf dir (min of 2: the shared sandbox
     // host is noisy, and the second run also excludes codegen warm-up) ---
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      var err: String = null
-      val secs = (1 to 2).map { _ =>
+      // a failed query must not be silently timed as a success: per-rep
+      // ok flags; the reported timing is the min over SUCCESSFUL reps and
+      // the error is surfaced only when no rep succeeded (a transient
+      // first-rep failure still logs to stderr but doesn't poison timing)
+      val reps = (1 to 2).map { _ =>
         val q0 = System.nanoTime()
-        try { fn(spark, sfDir).collect() } catch {
+        val err = try { fn(spark, sfDir).collect(); null } catch {
           case e: Throwable =>
-            // a failed query must not be silently timed as a success: record
-            // it so the bench JSON shows which timings are meaningless
-            err = (e.getClass.getSimpleName + ": " +
+            val msg = (e.getClass.getSimpleName + ": " +
               String.valueOf(e.getMessage).take(200)).replaceAll("[\"\\\\\n\r\t]", " ")
-            System.err.println(s"[bench] $name FAILED: $err")
+            System.err.println(s"[bench] $name FAILED: $msg")
+            msg
         }
-        (System.nanoTime() - q0) / 1e9
+        ((System.nanoTime() - q0) / 1e9, err)
       }
-      (name, secs.min, err)
+      val good = reps.filter(_._2 == null).map(_._1)
+      if (good.nonEmpty) (name, good.min, null)
+      else (name, reps.map(_._1).min, reps.last._2)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + jsonNum(v) }
       .mkString("{", ",", "}")

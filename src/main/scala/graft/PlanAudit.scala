@@ -40,14 +40,20 @@ object PlanAudit {
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       // compact audit summary so a reviewer can check shuffle/broadcast
-      // discipline without reading the whole tree
-      def n(tok: String) = plan.sliding(tok.length).count(_ == tok)
+      // discipline without reading the whole tree. FormattedMode prints
+      // each operator twice (tree + numbered details), so count only the
+      // details headers "(N) OpName" — one per physical node.
+      val header = """^\(\d+\) (\w+)""".r
+      val opCounts = plan.linesIterator.flatMap(l =>
+        header.findFirstMatchIn(l.trim).map(_.group(1))).toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+      def n(op: String) = opCounts.getOrElse(op, 0)
       val readSchemas = plan.linesIterator
         .filter(_.trim.startsWith("ReadSchema")).map(_.trim).toSeq.distinct
       sb.append(s"\n## $name\n\n")
-      sb.append(s"Summary: exchanges=${n("Exchange (")} " +
+      sb.append(s"Summary: exchanges=${n("Exchange") + n("BroadcastExchange")} " +
         s"broadcastJoins=${n("BroadcastHashJoin") + n("BroadcastNestedLoopJoin")} " +
-        s"sortMergeJoins=${n("SortMergeJoin")} windows=${n("Window (")} " +
+        s"sortMergeJoins=${n("SortMergeJoin")} windows=${n("Window")} " +
         s"objectHashAggs=${n("ObjectHashAggregate")}\n")
       readSchemas.foreach(rs => sb.append(s"- $rs\n"))
       sb.append("\n```\n").append(plan).append("```\n")

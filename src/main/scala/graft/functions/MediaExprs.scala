@@ -61,15 +61,17 @@ object MediaDecode {
         bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
         bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') {
       var i = 12
-      while (i + 8 <= bytes.length) {
+      while (i + 8 <= bytes.length && i >= 0) {
         val size = le32(bytes, i + 4)
         if (bytes(i) == 'f' && bytes(i + 1) == 'm' && bytes(i + 2) == 't' &&
             bytes(i + 3) == ' ' && i + 8 + 16 <= bytes.length) {
           return InternalRow(UTF8String.fromString("wav"),
             0, 0, le16(bytes, i + 10), le32(bytes, i + 12), le16(bytes, i + 22), n)
         }
-        i += 8 + size + (size & 1) // chunks are word-aligned
-        if (size < 0) i = bytes.length // corrupt size: stop
+        // corrupt/hostile sizes (negative, or large enough to overflow the
+        // Int cursor) terminate the walk -> format 'unknown', never a throw
+        if (size < 0 || size > bytes.length - i - 8) i = bytes.length
+        else i += 8 + size + (size & 1) // chunks are word-aligned
       }
     }
     InternalRow(UTF8String.fromString("unknown"), 0, 0, 0, 0, 0, n)

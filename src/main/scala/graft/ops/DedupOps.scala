@@ -108,12 +108,18 @@ object DedupOps {
   private def minhashCandidatesFromSig(sigged: DataFrame,
       bands: Int, rowsPerBand: Int, threshold: Double, bucketCap: Int): DataFrame = {
     val nHashes = bands * rowsPerBand
-    val cachedSigs = sigged.select(col("id"), col("sig"))
-    val pairs = bucketPairs(bandSignatures(cachedSigs, bands, rowsPerBand),
+    // NOTE: the signature projection is deliberately recomputed per
+    // subplan reference (banding; the two payload re-joins) instead of
+    // persisted — Catalyst prunes each branch to the columns it needs and
+    // AQE reuses the banding exchange, while a .persist() would pin
+    // O(corpus x nHashes x 8B) in executor memory for the whole query.
+    // Callers that iterate can persist `sigged` themselves.
+    val sigs = sigged.select(col("id"), col("sig"))
+    val pairs = bucketPairs(bandSignatures(sigs, bands, rowsPerBand),
       Seq("band", "bucket"), bucketCap)
     pairs
-      .join(cachedSigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(cachedSigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (aggregate(zip_with(col("sig_a"), col("sig_b"),
             (x, y) => when(x === y, 1).otherwise(0)),
@@ -317,7 +323,12 @@ object DedupOps {
       .distinct()
       .localCheckpoint()
     var sig = signature(edges)
-    if (sig._1 > 0 && sig._1 <= localEdgeThreshold) {
+    // the local path materializes ids as Longs; non-long id types (int,
+    // string, ...) keep the type-agnostic distributed path so the output
+    // schema always matches the input id type
+    val idsAreLong = edges.schema.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    if (idsAreLong && sig._1 > 0 && sig._1 <= localEdgeThreshold) {
       // broadcast-sized graph: exact union-find on the driver, one pass
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {

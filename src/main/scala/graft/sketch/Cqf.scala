@@ -816,13 +816,16 @@ object Cqf {
       def hasNext: Boolean = i < m
       def next(): (Long, Long) = { val t = (hashes(i), counts(i)); i += 1; t }
     }
-    var q = 6
+    val compact = a.compact && b.compact
+    // compact slots are 32-bit: quotientBits must keep remainderBits <= 32
+    // or stored remainders would saturate and collapse distinct hashes
+    val minQ = math.max(4, if (compact) a.hashBits - 32 else 4)
+    var q = math.max(6, minQ)
     while ((LoadFactor * (1L << q)).toLong < 2L * m + 2 && q < a.hashBits) q += 1
-    q = math.max(q, 4)
     var res: Cqf = null
     while (res == null) {
       try res = fromSortedHashes(src, q, a.hashBits,
-        a.invertible && b.invertible, a.compact && b.compact)
+        a.invertible && b.invertible, compact)
       catch { case FullException => q += 1 }
     }
     res

@@ -108,6 +108,29 @@ class CqfRound2Spec extends AnyFunSuite {
       ma.getOrElse(k, 0L) + 2 * mb.getOrElse(k, 0L)).sum)
   }
 
+  test("mergeBy of compact filters keeps remainderBits <= 32 (no slot saturation)") {
+    // regression: the result-sizing loop used to start at q=6 even for
+    // compact (32-bit-slot) inputs with hashBits=40, giving remainderBits
+    // = 34 — stored remainders saturated at 2^32-1 and distinct hashes
+    // collapsed. A small intersection of two legal compact filters is
+    // exactly the shape that triggered it.
+    val a = Cqf(12, 40, invertible = true, compact = true)
+    val b = Cqf(12, 40, invertible = true, compact = true)
+    (1L to 200L).foreach(k => a.insert(k))
+    (150L to 350L).foreach(k => b.insert(k, 2L))
+    val inter = a.intersect(b)
+    assert(inter.compact)
+    assert(inter.hashBits - inter.quotientBits <= 32,
+      s"remainderBits ${inter.hashBits - inter.quotientBits} overflow 32-bit slots")
+    assert(inter.distinctCount == 51L)
+    (150L to 200L).foreach(k => assert(inter.count(k) == 1L, s"key $k"))
+    (1L to 149L).foreach(k => assert(inter.count(k) == 0L, s"key $k"))
+    (201L to 350L).foreach(k => assert(inter.count(k) == 0L, s"key $k"))
+    // diff on the same shapes
+    val d = a.diff(b)
+    assert(d.distinctCount == 149L && d.count(100L) == 1L && d.count(150L) == 0L)
+  }
+
   test("zipItems: aligned full-outer enumeration matches two-map join") {
     val rnd = new Random(7)
     val a = Cqf(8, 28)
