@@ -242,6 +242,51 @@ object SparkEntry {
           .as("running_distinct_users"))
     }),
 
+    "sketch_union_probes" -> ((s, dir) => {
+      // the binary union expressions + remaining probes, end-to-end:
+      // build each sketch over two disjoint halves, union them, and
+      // check against the whole-table sketch — exact equality where the
+      // kernel is order-invariant (HLL register-max, CMS cell-sum, Bloom
+      // bit-or, CQF content), bound checks where merge order matters
+      // (t-digest/KLL centroids/compactions), plus td_cdf / kll_rank /
+      // cqf_contains / wang_hash∘wang_unhash identities
+      val li = t(s, dir, "lineitem")
+      val lo = li.where(col("l_orderkey") % 2 === 0)
+      val hi = li.where(col("l_orderkey") % 2 === 1)
+      def sks(df: org.apache.spark.sql.DataFrame, suffix: String) =
+        df.agg(
+          api.cqf_agg(col("l_suppkey"), 12, 64).as(s"cqf_$suffix"),
+          api.hll_agg(col("l_suppkey"), 12).as(s"hll_$suffix"),
+          api.cms_agg(col("l_suppkey"), 5, 4096).as(s"cms_$suffix"),
+          api.bloom_agg(col("l_suppkey"), 1L << 17, 5).as(s"bloom_$suffix"),
+          api.td_agg(col("l_extendedprice"), 200.0).as(s"td_$suffix"),
+          api.kll_agg(col("l_extendedprice"), 256).as(s"kll_$suffix"),
+          count(lit(1)).as(s"n_$suffix"))
+      val joined = sks(lo, "a").crossJoin(sks(hi, "b")).crossJoin(sks(li, "w"))
+      joined.select(
+        (api.cqf_total(api.cqf_union(col("cqf_a"), col("cqf_b"))) ===
+          api.cqf_total(col("cqf_w")) &&
+         api.cqf_distinct(api.cqf_union(col("cqf_a"), col("cqf_b"))) ===
+          api.cqf_distinct(col("cqf_w"))).as("cqf_union_eq"),
+        (api.hll_estimate(api.hll_union(col("hll_a"), col("hll_b"))) ===
+          api.hll_estimate(col("hll_w"))).as("hll_union_eq"),
+        (api.cms_estimate(api.cms_union(col("cms_a"), col("cms_b")), lit(7L)) ===
+          api.cms_estimate(col("cms_w"), lit(7L)) &&
+         api.cms_total(api.cms_union(col("cms_a"), col("cms_b"))) ===
+          api.cms_total(col("cms_w"))).as("cms_union_eq"),
+        (api.bloom_might_contain(api.bloom_union(col("bloom_a"), col("bloom_b")), lit(7L)) &&
+         api.bloom_fpp(api.bloom_union(col("bloom_a"), col("bloom_b"))) >= 0.0).as("bloom_union_ok"),
+        // merged quantile sketches stay within (generous) rank bounds
+        (abs(api.td_cdf(api.td_union(col("td_a"), col("td_b")),
+            api.td_quantile(col("td_w"), lit(0.5))) - 0.5) <= 0.05).as("td_union_ok"),
+        (abs(api.kll_rank(api.kll_union(col("kll_a"), col("kll_b")),
+            api.kll_quantile(col("kll_w"), lit(0.5))).cast("double") /
+            (col("n_a") + col("n_b")) - 0.5) <= 0.05).as("kll_union_ok"),
+        api.cqf_contains(col("cqf_w"), lit(7L)).as("cqf_contains_7"),
+        (api.wang_unhash(api.wang_hash(lit(123456789L), 64), 64) ===
+          123456789L).as("wang_roundtrip_ok"))
+    }),
+
     // ---- count-min: heavy hitters with exact recheck (end-to-end exact) ----
     "cms_heavy_hitters" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -616,6 +661,13 @@ object SparkEntry {
         |count(DISTINCT user_id) OVER (PARTITION BY event_type ORDER BY event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_distinct_users
         |FROM events WHERE event_id < 3000""".stripMargin,
+
+    "sketch_union_probes" ->
+      """SELECT TRUE AS cqf_union_eq, TRUE AS hll_union_eq,
+        |TRUE AS cms_union_eq, TRUE AS bloom_union_ok,
+        |TRUE AS td_union_ok, TRUE AS kll_union_ok,
+        |(SELECT count(*) FILTER (WHERE l_suppkey = 7) > 0 FROM lineitem) AS cqf_contains_7,
+        |TRUE AS wang_roundtrip_ok""".stripMargin,
 
     "cms_heavy_hitters" ->
       """SELECT l_partkey AS partkey, count(*) AS cnt FROM lineitem GROUP BY 1
