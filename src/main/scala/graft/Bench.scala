@@ -37,10 +37,13 @@ object Bench {
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "750000").toLong
     val tokenDir = ScalingBench.materialize(nDocs)
     ScalingBench.registerTable(spark, nDocs, tokenDir)
+    // compact (u32-slot) sketches at hashBits=40: still exact-mode for
+    // 32-bit token ids, half the per-shard cache footprint — the same
+    // right-sizing the reference's own benchmark uses (U32Cqf)
     def buildJob(src: org.apache.spark.sql.DataFrame): Long =
       src
         .groupBy(col("source"), col("salt"))
-        .agg(api.cqf_agg(col("tokens"), 8, 64).as("partial"))
+        .agg(api.cqf_agg(col("tokens"), 8, 40, compact = true).as("partial"))
         .groupBy(col("source"))
         .agg(api.cqf_merge_agg(col("partial")).as("sk"))
         .select(col("source"), api.cqf_total(col("sk")).as("total"))

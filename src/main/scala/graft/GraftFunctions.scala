@@ -57,6 +57,8 @@ object GraftFunctions {
     // aggregates (sketch builders)
     "cqf_agg" -> (a => CqfAgg(a.head, litInt(a, 1, 10), litInt(a, 2, 64), litInt(a, 3, 0) == 1)),
     "cqf_merge_agg" -> (a => CqfMergeAgg(a.head)),
+    "cqf_agg_packed" -> (a => CqfPackedAgg(a.head, litInt(a, 1, 10), litInt(a, 2, 64), litInt(a, 3, 0) == 1)),
+    "pack_ints" -> (a => PackIntsLE(a.head)),
     "hll_agg" -> (a => HllAgg(a.head, litInt(a, 1, 12))),
     "hll_merge_agg" -> (a => HllMergeAgg(a.head)),
     "cms_agg" -> (a => CmsAgg(a.head, litInt(a, 1, 5), litInt(a, 2, 2048))),
@@ -143,6 +145,11 @@ object api {
     call_function("cqf_agg", col, lit(quotientBits), lit(hashBits),
       lit(if (compact) 1 else 0))
   def cqf_merge_agg(col: Column): Column = call_function("cqf_merge_agg", col)
+  def cqf_agg_packed(col: Column, quotientBits: Int = 10, hashBits: Int = 64,
+      compact: Boolean = false): Column =
+    call_function("cqf_agg_packed", col, lit(quotientBits), lit(hashBits),
+      lit(if (compact) 1 else 0))
+  def pack_ints(col: Column): Column = call_function("pack_ints", col)
   def hll_agg(col: Column, p: Int = 12): Column =
     call_function("hll_agg", col, lit(p))
   def hll_merge_agg(col: Column): Column = call_function("hll_merge_agg", col)

@@ -90,7 +90,9 @@ object ScalingBench {
     val nTokens = tokens.agg(sum(col("n_tok"))).head().getLong(0)
     def build(src: org.apache.spark.sql.DataFrame): Long = src
       .groupBy(col("source"), col("salt"))
-      .agg(api.cqf_agg(col("tokens"), 8, 64).as("partial"))
+      // compact u32 slots at hashBits=40: exact for 32-bit token ids,
+      // half the cache footprint (the reference bench's own U32 shape)
+      .agg(api.cqf_agg(col("tokens"), 8, 40, compact = true).as("partial"))
       .groupBy(col("source"))
       .agg(api.cqf_merge_agg(col("partial")).as("sk"))
       .select(col("source"), api.cqf_total(col("sk")).as("total"))

@@ -220,6 +220,49 @@ case class CqfAgg(
     copy(child = c.head)
 }
 
+/** CQF aggregate over PACKED tokens: a BinaryType column holding
+  * little-endian 4-byte ints (see graft.functions.PackIntsLE). Same
+  * kernel, same output bytes as CqfAgg over the equivalent array<int> —
+  * the binary layout exists so scan-bound builds can use parquet's
+  * vectorized primitive-binary read path instead of row-by-row nested
+  * array assembly (BASELINE.md scan-path analysis). */
+case class CqfPackedAgg(
+    child: Expression,
+    quotientBits: Int = 10,
+    hashBits: Int = 64,
+    compact: Boolean = false,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends SketchAggBase[Cqf] {
+  override def prettyName: String = "cqf_agg_packed"
+  override def createAggregationBuffer(): Cqf =
+    Cqf(quotientBits, hashBits, invertible = true, compact)
+  protected def makeUpdater: (Cqf, Any) => Unit = (s, v) => {
+    val b = v.asInstanceOf[Array[Byte]]
+    var i = 0
+    val n = b.length - 3
+    while (i < n) {
+      val t = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+        ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+      s.insert(t.toLong)
+      i += 4
+    }
+  }
+  override def merge(a: Cqf, b: Cqf): Cqf = a.mergeInPlace(b)
+  override def eval(buffer: Cqf): Any = buffer.serialize()
+  override def serialize(buffer: Cqf): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): Cqf = Cqf.deserialize(bytes)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cqf_agg_packed requires a binary packed-int column, got $other")
+  }
+  override def withNewMutableAggBufferOffset(o: Int): CqfPackedAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CqfPackedAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): CqfPackedAgg =
+    copy(child = c.head)
+}
+
 case class CqfMergeAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,

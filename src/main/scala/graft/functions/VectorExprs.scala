@@ -325,6 +325,43 @@ case class SortedLongOverlap(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Pack an int array into little-endian 4-byte-per-element BINARY — the
+  * physical layout trick for token columns: parquet reads primitive
+  * binary through the vectorized reader (one contiguous byte copy per
+  * row), where array<int> goes through row-by-row nested assembly. The
+  * logical schema stays array<int>; packing is an optional storage
+  * transform for scan-bound jobs (see BASELINE.md scan-path analysis). */
+case class PackIntsLE(child: Expression)
+    extends UnaryExpression {
+  override def prettyName: String = "pack_ints"
+  override def dataType: DataType = BinaryType
+  def compute(arr: ArrayData): Array[Byte] = {
+    val n = arr.numElements()
+    val out = new Array[Byte](4 * n)
+    var i = 0
+    while (i < n) {
+      val v = if (arr.isNullAt(i)) 0 else arr.getInt(i)
+      val o = 4 * i
+      out(o) = v.toByte
+      out(o + 1) = (v >>> 8).toByte
+      out(o + 2) = (v >>> 16).toByte
+      out(o + 3) = (v >>> 24).toByte
+      i += 1
+    }
+    out
+  }
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("packInts", this, classOf[PackIntsLE].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
+  }
+  override protected def withNewChildInternal(c: Expression): PackIntsLE =
+    copy(child = c)
+}
+
 /** Nearest-centroid assignment against a plan-embedded codebook: returns
   * the index (0-based) of the centroid with the highest cosine similarity
   * to the input vector, ties to the lowest index. The codebook is tiny

@@ -117,6 +117,25 @@ class Round2AggSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == oracle)
   }
 
+  test("packed-token aggregate equals the array<int> aggregate exactly") {
+    val df = (1 to 500).map { i =>
+      (i % 5, Array.tabulate(1 + i % 40)(d => (i * 31 + d * 7) % 997))
+    }.toDF("g", "tokens")
+    val both = df.groupBy($"g").agg(
+        api.cqf_agg($"tokens", 10, 64).as("a"),
+        api.cqf_agg_packed(api.pack_ints($"tokens"), 10, 64).as("b"))
+      .select($"g",
+        api.cqf_total($"a").as("ta"), api.cqf_total($"b").as("tb"),
+        api.cqf_distinct($"a").as("da"), api.cqf_distinct($"b").as("db"),
+        api.cqf_count($"a", lit(38L)).as("ca"), api.cqf_count($"b", lit(38L)).as("cb"))
+      .collect()
+    assert(both.length == 5)
+    both.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) && r.getLong(3) == r.getLong(4) &&
+        r.getLong(5) == r.getLong(6), s"packed != array: $r")
+    }
+  }
+
   test("vec_mean_agg equals exploded element-wise average") {
     val df = (1 to 200).map { i =>
       (i % 4, Array.tabulate(8)(d => (i * (d + 1)).toFloat / 7f))
