@@ -55,12 +55,47 @@ object CosineSim {
   }
 }
 
+/** Shared direct-call codegen: `ev.value = ref.compute(args...)` — keeps
+  * these compute-heavy expressions inside WholeStageCodegen without the
+  * per-row InternalRow boxing a CodegenFallback would add (they sit in
+  * the inner loops of the dedup/ANN pipelines). One thin trait per
+  * arity because defineCodeGen is protected in each base class. */
+private[functions] trait DirectCallCodegen extends UnaryExpression {
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("expr", this, getClass.getName)
+    defineCodeGen(ctx, ev, a => s"$ref.compute($a)")
+  }
+}
+
+private[functions] trait DirectCallCodegen2 extends BinaryExpression {
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("expr", this, getClass.getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$ref.compute($a, $b)")
+  }
+}
+
+private[functions] trait DirectCallCodegen3 extends TernaryExpression {
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("expr", this, getClass.getName)
+    defineCodeGen(ctx, ev, (a, b, c) => s"$ref.compute($a, $b, $c)")
+  }
+}
+
 /** Random-hyperplane LSH signature: `nPlanes` sign bits packed into a Long.
   * Plane j's component i is a deterministic pseudo-gaussian derived from
   * mix64(seed, j, i) (sum of two uniforms, good enough for sign-LSH).
   * Vectors with high cosine land in equal buckets with prob (1 - θ/π)^n. */
 case class VecLshBucket(left: Expression, right: Expression, seed: Long)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with DirectCallCodegen2 {
   override def prettyName: String = "vec_lsh_bucket"
   override def dataType: DataType = LongType
   @transient private lazy val get = CosineSim.getter(left.dataType)
@@ -81,9 +116,7 @@ case class VecLshBucket(left: Expression, right: Expression, seed: Long)
     }
     planeCache
   }
-  override def nullSafeEval(vec: Any, nPlanesAny: Any): Any = {
-    val x = vec.asInstanceOf[ArrayData]
-    val nPlanes = nPlanesAny.asInstanceOf[Int]
+  def compute(x: ArrayData, nPlanes: Int): Long = {
     val n = x.numElements()
     val ps = planes(nPlanes, n)
     var sig = 0L
@@ -98,6 +131,8 @@ case class VecLshBucket(left: Expression, right: Expression, seed: Long)
     }
     sig
   }
+  override def nullSafeEval(vec: Any, nPlanesAny: Any): Any =
+    compute(vec.asInstanceOf[ArrayData], nPlanesAny.asInstanceOf[Int])
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecLshBucket =
     copy(left = l, right = r)
 }
@@ -107,11 +142,10 @@ case class VecLshBucket(left: Expression, right: Expression, seed: Long)
   * token's hash). Near-identical documents differ in few bits. One pass:
   * per token one mix, then 64 counter updates. */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with DirectCallCodegen {
   override def prettyName: String = "simhash64"
   override def dataType: DataType = LongType
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  def compute(arr: ArrayData): Long = {
     val n = arr.numElements()
     val counts = new Array[Int](64)
     var i = 0
@@ -134,18 +168,17 @@ case class SimHash64(child: Expression)
     }
     sig
   }
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
 }
 
 /** MinHash signature: `nHashes` 64-bit minima over the token/shingle set,
   * hash j = mix64(tokenHash, seed_j). Returns array<long>. */
 case class MinHashSig(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with DirectCallCodegen2 {
   override def prettyName: String = "minhash_sig"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(v: Any, nh: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val nHashes = nh.asInstanceOf[Int]
+  def compute(arr: ArrayData, nHashes: Int): ArrayData = {
     val mins = Array.fill(nHashes)(Long.MaxValue)
     val n = arr.numElements()
     var i = 0
@@ -163,6 +196,8 @@ case class MinHashSig(left: Expression, right: Expression)
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
   }
+  override def nullSafeEval(v: Any, nh: Any): Any =
+    compute(v.asInstanceOf[ArrayData], nh.asInstanceOf[Int])
   override protected def withNewChildrenInternal(l: Expression, r: Expression): MinHashSig =
     copy(left = l, right = r)
 }
@@ -172,12 +207,10 @@ case class MinHashSig(left: Expression, right: Expression)
   * size(array_union), which materialize both result arrays — this is the
   * inner loop of blocked n-gram Jaccard over candidate pairs. */
 case class SetOverlap(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with DirectCallCodegen2 {
   override def prettyName: String = "set_overlap"
   override def dataType: DataType = SetOverlap.schema
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  def compute(x: ArrayData, y: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
     val sa = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
     var i = 0
     val nx = x.numElements()
@@ -201,6 +234,8 @@ case class SetOverlap(left: Expression, right: Expression)
     }
     org.apache.spark.sql.catalyst.InternalRow(inter, sa.size() + onlyB)
   }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SetOverlap =
     copy(left = l, right = r)
 }
@@ -215,13 +250,10 @@ object SetOverlap {
   * `nHashes` minima — no shingle strings are ever materialized (the
   * naive pipeline builds O(n·k) characters per document). */
 case class ShingleMinHash(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression with DirectCallCodegen3 {
   override def prettyName: String = "shingle_minhash"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(tokens: Any, kAny: Any, nhAny: Any): Any = {
-    val arr = tokens.asInstanceOf[ArrayData]
-    val k = kAny.asInstanceOf[Int]
-    val nHashes = nhAny.asInstanceOf[Int]
+  def compute(arr: ArrayData, k: Int, nHashes: Int): ArrayData = {
     val n = arr.numElements()
     val mins = Array.fill(nHashes)(Long.MaxValue)
     if (n >= k) {
@@ -251,6 +283,9 @@ case class ShingleMinHash(first: Expression, second: Expression, third: Expressi
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
   }
+  override def nullSafeEval(tokens: Any, kAny: Any, nhAny: Any): Any =
+    compute(tokens.asInstanceOf[ArrayData], kAny.asInstanceOf[Int],
+      nhAny.asInstanceOf[Int])
   override protected def withNewChildrenInternal(a: Expression, b: Expression,
       c: Expression): ShingleMinHash = copy(first = a, second = b, third = c)
 }
@@ -259,12 +294,10 @@ case class ShingleMinHash(first: Expression, second: Expression, third: Expressi
   * the per-row precomputation for exact Jaccard: each document is hashed
   * once, pairs then compare longs (see SortedLongOverlap). */
 case class ShingleHashSet(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with DirectCallCodegen2 {
   override def prettyName: String = "shingle_hash_set"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(tokens: Any, kAny: Any): Any = {
-    val arr = tokens.asInstanceOf[ArrayData]
-    val k = kAny.asInstanceOf[Int]
+  def compute(arr: ArrayData, k: Int): ArrayData = {
     val n = arr.numElements()
     if (n < k)
       return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
@@ -297,6 +330,8 @@ case class ShingleHashSet(left: Expression, right: Expression)
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
       .fromPrimitiveArray(java.util.Arrays.copyOf(out, w))
   }
+  override def nullSafeEval(tokens: Any, kAny: Any): Any =
+    compute(tokens.asInstanceOf[ArrayData], kAny.asInstanceOf[Int])
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ShingleHashSet =
     copy(left = l, right = r)
 }
@@ -304,12 +339,10 @@ case class ShingleHashSet(left: Expression, right: Expression)
 /** Overlap of two SORTED distinct long arrays by two-pointer walk:
   * struct(inter, uni). Zero allocation; ~1e6+ pairs/sec/core. */
 case class SortedLongOverlap(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with DirectCallCodegen2 {
   override def prettyName: String = "sorted_long_overlap"
   override def dataType: DataType = SetOverlap.schema
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  def compute(x: ArrayData, y: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
     val nx = x.numElements()
     val ny = y.numElements()
     var i = 0; var j = 0; var inter = 0
@@ -321,6 +354,8 @@ case class SortedLongOverlap(left: Expression, right: Expression)
     }
     org.apache.spark.sql.catalyst.InternalRow(inter, nx + ny - inter)
   }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedLongOverlap =
     copy(left = l, right = r)
 }
