@@ -99,6 +99,20 @@ class Round2AggSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("Dataset-typed Aggregator surface: groupByKey(...).agg(agg.toColumn)") {
+    import TypedAggregators._
+    val ds = (1 to 1000).map(i => ((i % 4).toString, (i % 97).toLong)).toDS()
+    val typed = ds.groupByKey(_._1).mapValues(_._2)
+      .agg(new CqfLongAggregator(10, 64).toColumn.name("sk"))
+      .map { case (g, bytes) =>
+        (g, graft.sketch.Cqf.deserialize(bytes).distinctCount)
+      }
+      .collect().toMap
+    val oracle = ds.collect().groupBy(_._1)
+      .map { case (g, rows) => g -> rows.map(_._2).distinct.length.toLong }
+    assert(typed == oracle)
+  }
+
   test("sketch aggregate over a window: running exact distinct") {
     val df = (1 to 300).map(i => ("t" + (i % 3), i.toLong, (i % 17).toLong))
       .toDF("typ", "seq", "user")
