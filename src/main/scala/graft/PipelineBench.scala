@@ -22,9 +22,12 @@ object PipelineBench {
 
   def corpus(spark: SparkSession, nDocs: Long): DataFrame = {
     // exact dup: id % 31 == 1 copies id-1; near dup: id % 37 == 1 copies
-    // id-1 and appends one marker word
-    val isExact = col("id") % 31 === 1
-    val isNear = col("id") % 37 === 1 && !isExact
+    // id-1 and appends one marker word. Chains are excluded (a dup whose
+    // PREDECESSOR is itself a dup would re-derive from the raw id-1 and
+    // copy nothing), so the planted rates are exact
+    val predIsDup = (col("id") - 1) % 31 === 1 || (col("id") - 1) % 37 === 1
+    val isExact = col("id") % 31 === 1 && !predIsDup
+    val isNear = col("id") % 37 === 1 && !(col("id") % 31 === 1) && !predIsDup
     val effId = when(isExact || isNear, col("id") - 1).otherwise(col("id"))
     val nTok = (lit(40) + pmod(xxhash64(effId, lit(43L)), lit(192))).cast("int")
     val words = transform(sequence(lit(1), nTok), i => {
@@ -38,21 +41,12 @@ object PipelineBench {
   }
 
   def materialize(nDocs: Long): String = {
-    val dir = s"/tmp/graft_pipeline_docs_$nDocs"
-    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
-      val active = SparkSession.getActiveSession
-      val spark = active.getOrElse {
-        SparkSession.builder().master("local[32]")
-          .config("spark.ui.enabled", "false")
-          .config("spark.local.dir", "/dev/shm/spark-graft")
-          .getOrCreate()
-      }
-      spark.sparkContext.setLogLevel("ERROR")
+    // v2: chain-free planted duplicates (dir name versions the corpus)
+    val dir = s"/tmp/graft_pipeline_docs_v2_$nDocs"
+    ScalingBench.materializeDir(dir) { spark =>
       corpus(spark, nDocs).repartition(64)
         .write.mode("overwrite").parquet(dir)
-      if (active.isEmpty) spark.stop()
     }
-    dir
   }
 
   private def runOnce(par: Int, dir: String): (Double, Double, Long, Long) = {

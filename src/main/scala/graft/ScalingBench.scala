@@ -35,33 +35,40 @@ object ScalingBench {
 
   def tableName(nDocs: Long) = s"graft_tokens_$nDocs"
 
-  def materialize(nDocs: Long): String = {
-    val dir = s"/tmp/graft_bucketed_tokens_$nDocs"
+  /** Idempotent bench-dataset materialization: runs `write` only when
+    * the dir's _SUCCESS marker is absent. Reuses the caller's active
+    * session when one exists (getOrCreate would return it anyway —
+    * stopping it afterwards would kill the caller); only owns-and-stops
+    * a session it created itself. Shared by ScalingBench/PipelineBench. */
+  def materializeDir(dir: String)(write: SparkSession => Unit): String = {
     if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
-      // reuse the caller's session when one is active (getOrCreate would
-      // return it anyway — stopping it afterwards would kill the caller);
-      // only own-and-stop a session we created ourselves
       val active = SparkSession.getActiveSession
       val spark = active.getOrElse {
         SparkSession.builder().master("local[32]")
           .config("spark.ui.enabled", "false")
-          .config("spark.local.dir", "/dev/shm/spark-graft")
+          .config("spark.local.dir",
+            sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-graft"))
           .getOrCreate()
       }
       spark.sparkContext.setLogLevel("ERROR")
-      TokenGen.generate(spark, nDocs, vocab = 50000, numPartitions = 64)
-        .withColumn("salt", saltCol)
-        .write.mode("overwrite")
-        .bucketBy(Buckets, "source", "salt")
-        .option("path", dir)
-        .saveAsTable(tableName(nDocs))
-      // saveAsTable leaves no _SUCCESS for bucketed external tables on
-      // some paths; write our own completion marker
+      write(spark)
+      // some writers (bucketed external saveAsTable) leave no _SUCCESS;
+      // write our own completion marker
       new java.io.File(s"$dir/_SUCCESS").createNewFile()
       if (active.isEmpty) spark.stop()
     }
     dir
   }
+
+  def materialize(nDocs: Long): String =
+    materializeDir(s"/tmp/graft_bucketed_tokens_$nDocs") { spark =>
+      TokenGen.generate(spark, nDocs, vocab = 50000, numPartitions = 64)
+        .withColumn("salt", saltCol)
+        .write.mode("overwrite")
+        .bucketBy(Buckets, "source", "salt")
+        .option("path", s"/tmp/graft_bucketed_tokens_$nDocs")
+        .saveAsTable(tableName(nDocs))
+    }
 
   /** Re-register the external bucketed table in this session's (in-memory)
     * catalog; data files are untouched. */

@@ -274,7 +274,11 @@ object SparkEntry {
           api.cms_estimate(col("cms_w"), lit(7L)) &&
          api.cms_total(api.cms_union(col("cms_a"), col("cms_b"))) ===
           api.cms_total(col("cms_w"))).as("cms_union_eq"),
-        (api.bloom_might_contain(api.bloom_union(col("bloom_a"), col("bloom_b")), lit(7L)) &&
+        // no-false-negative law: present(7) => might_contain(7). Holds on
+        // ANY dataset (unlike asserting might_contain directly, which
+        // would fail where key 7 is absent and no false positive occurs)
+        ((!api.cqf_contains(col("cqf_w"), lit(7L)) ||
+          api.bloom_might_contain(api.bloom_union(col("bloom_a"), col("bloom_b")), lit(7L))) &&
          api.bloom_fpp(api.bloom_union(col("bloom_a"), col("bloom_b"))) >= 0.0).as("bloom_union_ok"),
         // merged quantile sketches stay within (generous) rank bounds
         (abs(api.td_cdf(api.td_union(col("td_a"), col("td_b")),

@@ -239,6 +239,9 @@ case class CqfPackedAgg(
     Cqf(quotientBits, hashBits, invertible = true, compact)
   protected def makeUpdater: (Cqf, Any) => Unit = (s, v) => {
     val b = v.asInstanceOf[Array[Byte]]
+    require((b.length & 3) == 0,
+      s"cqf_agg_packed: binary length ${b.length} is not a multiple of 4 " +
+      "(truncated or non-pack_ints input)")
     var i = 0
     val n = b.length - 3
     while (i < n) {

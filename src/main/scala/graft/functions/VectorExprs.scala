@@ -16,7 +16,7 @@ import org.apache.spark.sql.types._
   * brute-force ANN scoring (|corpus| x |queries| evaluations), so the
   * generated code calls [[compute]] directly on unboxed ArrayData. */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with DirectCallCodegen2 {
   override def prettyName: String = "cosine_sim"
   override def dataType: DataType = DoubleType
   @transient private lazy val getL = CosineSim.getter(left.dataType)
@@ -34,13 +34,6 @@ case class CosineSim(left: Expression, right: Expression)
   }
   override def nullSafeEval(a: Any, b: Any): Any =
     compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-  override protected def doGenCode(
-      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
-    val ref = ctx.addReferenceObj("cosineSim", this, classOf[CosineSim].getName)
-    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
-  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
     copy(left = l, right = r)
 }
@@ -367,32 +360,43 @@ case class SortedLongOverlap(left: Expression, right: Expression)
   * logical schema stays array<int>; packing is an optional storage
   * transform for scan-bound jobs (see BASELINE.md scan-path analysis). */
 case class PackIntsLE(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with DirectCallCodegen {
   override def prettyName: String = "pack_ints"
   override def dataType: DataType = BinaryType
   def compute(arr: ArrayData): Array[Byte] = {
     val n = arr.numElements()
-    val out = new Array[Byte](4 * n)
+    // null elements are SKIPPED (not written as 0) so that
+    // cqf_agg_packed(pack_ints(x)) == cqf_agg(x) — the array aggregate
+    // skips nulls too
+    var cnt = 0
     var i = 0
+    while (i < n) { if (!arr.isNullAt(i)) cnt += 1; i += 1 }
+    val out = new Array[Byte](4 * cnt)
+    var o = 0
+    i = 0
     while (i < n) {
-      val v = if (arr.isNullAt(i)) 0 else arr.getInt(i)
-      val o = 4 * i
-      out(o) = v.toByte
-      out(o + 1) = (v >>> 8).toByte
-      out(o + 2) = (v >>> 16).toByte
-      out(o + 3) = (v >>> 24).toByte
+      if (!arr.isNullAt(i)) {
+        val v = arr.getInt(i)
+        out(o) = v.toByte
+        out(o + 1) = (v >>> 8).toByte
+        out(o + 2) = (v >>> 16).toByte
+        out(o + 3) = (v >>> 24).toByte
+        o += 4
+      }
       i += 1
     }
     out
   }
   override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
-  override protected def doGenCode(
-      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
-    val ref = ctx.addReferenceObj("packInts", this, classOf[PackIntsLE].getName)
-    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.compute($v);")
-  }
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pack_ints requires array<int>, got $other")
+    }
   override protected def withNewChildInternal(c: Expression): PackIntsLE =
     copy(child = c)
 }

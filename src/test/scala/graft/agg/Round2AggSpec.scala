@@ -134,7 +134,10 @@ class Round2AggSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("packed-token aggregate equals the array<int> aggregate exactly") {
     val df = (1 to 500).map { i =>
       (i % 5, Array.tabulate(1 + i % 40)(d => (i * 31 + d * 7) % 997))
-    }.toDF("g", "tokens")
+    }.toDF("g", "tokens0")
+      // null elements sprinkled in: both paths must SKIP them identically
+      .withColumn("tokens",
+        expr("transform(tokens0, (x, i) -> IF(i % 7 = 3, NULL, x))"))
     val both = df.groupBy($"g").agg(
         api.cqf_agg($"tokens", 10, 64).as("a"),
         api.cqf_agg_packed(api.pack_ints($"tokens"), 10, 64).as("b"))
