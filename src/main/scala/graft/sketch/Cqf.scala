@@ -728,30 +728,49 @@ object Cqf {
     cqf
   }
 
+  /** Two-pointer sorted merge of two filters straight into a fresh one —
+    * the reference's CqfMerge::merge (/root/reference/src/cqf.rs:218-334)
+    * driven by two allocation-free EntryCursors (no per-entry tuples on
+    * the partial-merge hot path). Counts sum on equal hashes; the
+    * one-element lookahead decides run boundaries exactly like
+    * fromSortedHashes. */
   private def mergedFrom(a: Cqf, b: Cqf, quotientBits: Int, hashBits: Int,
-      invertible: Boolean, compact: Boolean): Cqf =
-    fromSortedHashes(mergeSorted(a.iterator, b.iterator), quotientBits,
-      hashBits, invertible, compact)
-
-  /** Sorted two-pointer merge of (hash, count) streams, summing counts on
-    * equal hashes (semantics of /root/reference/src/cqf.rs:218-334). */
-  private[sketch] def mergeSorted(ia: Iterator[(Long, Long)],
-      ib: Iterator[(Long, Long)]): Iterator[(Long, Long)] =
-    new Iterator[(Long, Long)] {
-      private val pa = ia.buffered
-      private val pb = ib.buffered
-      def hasNext: Boolean = pa.hasNext || pb.hasNext
-      def next(): (Long, Long) = {
-        if (!pa.hasNext) pb.next()
-        else if (!pb.hasNext) pa.next()
-        else {
-          val cmp = java.lang.Long.compareUnsigned(pa.head._1, pb.head._1)
-          if (cmp == 0) { val x = pa.next(); val y = pb.next(); (x._1, x._2 + y._2) }
-          else if (cmp < 0) pa.next()
-          else pb.next()
-        }
+      invertible: Boolean, compact: Boolean): Cqf = {
+    val cqf = new Cqf(quotientBits, hashBits, invertible, compact,
+      new Array[Long](numBlocksFor(quotientBits) * strideOf(compact)), 0L)
+    val cur = new cqf.AppendCursor
+    val rBits = hashBits - quotientBits
+    val ca = a.cursor
+    val cb = b.cursor
+    var haveA = ca.advance()
+    var haveB = cb.advance()
+    // pending element (the lookahead buffer)
+    var haveP = false
+    var pHash = 0L
+    var pCount = 0L
+    while (haveA || haveB) {
+      // pull the smaller head; sum counts on ties
+      var h = 0L
+      var c = 0L
+      if (!haveB || (haveA &&
+          java.lang.Long.compareUnsigned(ca.hash, cb.hash) <= 0)) {
+        h = ca.hash; c = ca.count
+        if (haveB && cb.hash == h) { c += cb.count; haveB = cb.advance() }
+        haveA = ca.advance()
+      } else {
+        h = cb.hash; c = cb.count
+        haveB = cb.advance()
       }
+      if (haveP) {
+        cur.append(pHash >>> rBits, pHash & bitmask(rBits), pCount,
+          isLast = (h >>> rBits) != (pHash >>> rBits))
+      }
+      pHash = h; pCount = c; haveP = true
     }
+    if (haveP)
+      cur.append(pHash >>> rBits, pHash & bitmask(rBits), pCount, isLast = true)
+    cqf
+  }
 
   /** Merge two filters into a new one (inputs untouched); invertible /
     * compact flags reconcile by logical AND. */
