@@ -16,10 +16,12 @@ import org.apache.spark.sql.functions._
   * KLL) are oracled through the bound-check pattern — the query computes
   * the exact answer AND a boolean asserting the estimate sits inside its
   * published error bound, and the oracle reproduces the exact answer with
-  * a literal TRUE, so a broken estimator still fails the compare. Only the
-  * two deliberately-lossy ANN variants (ivf nProbe < nCells, single-band
-  * LSH) stay rows-only; their recall is spec-tested, and the exhaustive
-  * IVF variant (nProbe = nCells) hash-matches the brute-force oracle.
+  * a literal TRUE, so a broken estimator still fails the compare. The two
+  * deliberately-lossy ANN variants (ivf nProbe < nCells, multi-table LSH)
+  * are oracled the same way — in-query recall@k against the brute-force
+  * top-k with a threshold chosen with margin below the observed recall at
+  * every gate SF — and the exhaustive IVF variant (nProbe = nCells)
+  * hash-matches the brute-force oracle exactly.
   */
 object SparkEntry {
 
@@ -462,12 +464,25 @@ object SparkEntry {
     }),
 
     "ann_ivf_topk" -> ((s, dir) => {
-      // approximate: nProbe=4 of 16 cells (recall spec-tested, rows-only)
+      // approximate (nProbe=6 of 16 cells), oracled via the recall
+      // bound-check pattern: the query ALSO computes the exact brute-force
+      // top-k and asserts recall@3 >= 500 permille (observed 600-800 at
+      // sf0.001/0.01/0.1; a broken codebook/assignment/probe degrades to
+      // ~nProbe/nCells = 375). Exact output shape is covered by
+      // ann_brute_topk / ann_ivf_exhaustive (hash-matched oracles).
       val emb = t(s, dir, "embeddings")
-      AnnOps.ivfTopK(emb, col("vec_id"), col("embedding"),
-          emb.where(col("vec_id") < 10), col("vec_id"), col("embedding"),
-          k = 3, nCells = 16, nProbe = 4)
-        .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+      val qs = emb.where(col("vec_id") < 10)
+      val approx = AnnOps.ivfTopK(emb, col("vec_id"), col("embedding"),
+          qs, col("vec_id"), col("embedding"), k = 3, nCells = 16, nProbe = 6)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      val brute = AnnOps.bruteForceTopK(emb, col("vec_id"), col("embedding"),
+          qs, col("vec_id"), col("embedding"), k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      brute.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(countDistinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_pairs"),
+          (sum(coalesce(col("hit"), lit(0L))) * 1000 >=
+            count(lit(1)) * 500).as("recall_ok"))
     }),
 
     "ann_ivf_exhaustive" -> ((s, dir) => {
@@ -482,11 +497,23 @@ object SparkEntry {
     }),
 
     "ann_lsh_topk" -> ((s, dir) => {
+      // multi-table (OR-construction) LSH, oracled via the same recall
+      // bound-check: recall@3 >= 700 permille (observed 867-900 at all
+      // three gate SFs with 32 tables x 6 planes; a broken bucketing
+      // degrades to the random-collision fraction ~400).
       val emb = t(s, dir, "embeddings")
-      AnnOps.lshTopK(emb, col("vec_id"), col("embedding"),
-          emb.where(col("vec_id") < 10), col("vec_id"), col("embedding"),
-          k = 3, nPlanes = 6)
-        .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+      val qs = emb.where(col("vec_id") < 10)
+      val approx = AnnOps.lshTopK(emb, col("vec_id"), col("embedding"),
+          qs, col("vec_id"), col("embedding"), k = 3, nPlanes = 6, nTables = 32)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      val brute = AnnOps.bruteForceTopK(emb, col("vec_id"), col("embedding"),
+          qs, col("vec_id"), col("embedding"), k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      brute.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(countDistinct(col("query_id")).as("n_queries"),
+          count(lit(1)).as("n_pairs"),
+          (sum(coalesce(col("hit"), lit(0L))) * 1000 >=
+            count(lit(1)) * 700).as("recall_ok"))
     }),
 
     // ---- text analysis ----
@@ -822,6 +849,19 @@ object SparkEntry {
         |  SELECT query_id, neighbor_id,
         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
         |WHERE rank <= 3""".stripMargin,
+
+    // recall bound-check oracles for the deliberately-lossy ANN variants:
+    // the Spark query computes brute-force top-3 in-query and asserts the
+    // approximate recall sits above its threshold; the oracle reproduces
+    // the exact row counts plus literal TRUE, so a broken index flips
+    // recall_ok and fails the hash compare
+    "ann_ivf_topk" ->
+      """SELECT count(*) AS n_queries, 3 * count(*) AS n_pairs, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
+    "ann_lsh_topk" ->
+      """SELECT count(*) AS n_queries, 3 * count(*) AS n_pairs, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     "join_enrich_topsupp" ->
       """SELECT l_returnflag, s_name, count(*) AS cnt

@@ -133,17 +133,40 @@ object AnnOps {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
-  /** LSH-bucketed ANN: queries only scan their bucket. Same output shape
-    * as bruteForceTopK; recall < 1 by design (measured in tests). */
+  /** LSH-bucketed ANN: queries only scan the corpus vectors sharing a
+    * bucket in at least one of `nTables` independent hash tables (the
+    * standard OR-construction: per-pair hit probability
+    * 1 - (1 - (1-θ/π)^nPlanes)^nTables). `nTables = 1` is the classic
+    * single-table variant; more tables buy recall for candidate volume.
+    * Scale shape: the corpus side carries only (table, bucket, id) into
+    * the bucket join — bare (query, neighbor) pairs are deduplicated
+    * across tables BEFORE the corpus payload (the vectors) is re-joined,
+    * so vectors never ride through the multi-table explosion. Same output
+    * shape as bruteForceTopK; recall < 1 by design (measured in tests
+    * and bounded at the gate by the recall bound-check query). */
   def lshTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
       queries: DataFrame, queryId: Column, queryVec: Column,
-      k: Int, nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
-    val c = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("cv"),
-      lshBucket(corpusVec, nPlanes, seed).as("bucket"))
-    val q = queries.select(queryId.as("query_id"), queryVec.as("qv"),
-      lshBucket(queryVec, nPlanes, seed).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+      k: Int, nPlanes: Int = 8, nTables: Int = 1, seed: Long = 42L): DataFrame = {
+    require(nTables >= 1, s"nTables must be >= 1, got $nTables")
+    val c = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("cv"))
+    val q = queries.select(queryId.as("query_id"), queryVec.as("qv"))
+    def tableBuckets(vec: Column): Column = array((0 until nTables).map { t =>
+      // distinct plane sets per table: large odd stride keeps seeds apart
+      lshBucket(vec, nPlanes, seed + 0x9e3779b97f4a7c15L * (t + 1))
+    }: _*)
+    val cB = c.select(col("neighbor_id"),
+      posexplode(tableBuckets(col("cv"))).as(Seq("tbl", "bucket")))
+    val qB = q.select(col("query_id"),
+      posexplode(tableBuckets(col("qv"))).as(Seq("tbl", "bucket")))
+    val pairs = cB.join(broadcast(qB), Seq("tbl", "bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    // candidate volume is bounded by |queries| x the per-query bucket
+    // fraction — broadcast-sized whenever the query set is (the same
+    // contract bruteForceTopK places on `queries`)
+    val scored = c.join(broadcast(pairs), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)

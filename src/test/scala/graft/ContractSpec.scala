@@ -30,9 +30,9 @@ class ContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     val orphans = o.diff(q)
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
     val unoracled = q.diff(o)
-    // the deliberately-lossy ANN variants are the only rows-only queries
-    assert(unoracled == Set("ann_ivf_topk", "ann_lsh_topk"),
-      s"unexpected rows-only queries: $unoracled")
+    // every query carries an oracle (the lossy ANN variants via the
+    // recall bound-check pattern) — the gate must have zero rows-only rows
+    assert(unoracled.isEmpty, s"unexpected rows-only queries: $unoracled")
   }
 
   test("every query analyzes against the sf0.001 tables") {

@@ -122,6 +122,32 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(approx.size <= exact.size)
   }
 
+  test("multi-table LSH: more tables raise recall; planted near-dup always found") {
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(32)(rnd.nextGaussian().toFloat)
+    val base = vec()
+    val close = base.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+    // RANDOM corpus (the hard regime for single-table LSH) + one planted pair
+    val rows = (0L, base) +: (1L, close) +: Seq.tabulate(300)(i => ((i + 2).toLong, vec()))
+    val df = rows.toDF("vec_id", "embedding").cache()
+    val queries = df.where($"vec_id" < 10)
+    val exact = AnnOps.bruteForceTopK(df, $"vec_id", $"embedding",
+        queries, $"vec_id", $"embedding", k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallAt(nTables: Int): (Double, Set[(Long, Long)]) = {
+      val approx = AnnOps.lshTopK(df, $"vec_id", $"embedding",
+          queries, $"vec_id", $"embedding", k = 3, nPlanes = 6, nTables = nTables)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      ((exact & approx).size.toDouble / exact.size, approx)
+    }
+    val (r1, _) = recallAt(1)
+    val (r32, a32) = recallAt(32)
+    assert(r32 >= r1, s"OR-construction must not lower recall: 1 table $r1, 32 tables $r32")
+    assert(r32 >= 0.7, s"32-table recall $r32 below the gate threshold regime")
+    // a near-identical pair collides in (almost) every table: must be found
+    assert(a32.contains((0L, 1L)), "planted near-dup missed by 32-table LSH")
+  }
+
   test("IVF ANN: higher nProbe raises recall; full probe == brute force") {
     val rnd = new scala.util.Random(13)
     val centers = Array.fill(8)(Array.fill(32)(rnd.nextGaussian()))
