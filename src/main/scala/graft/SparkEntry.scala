@@ -76,15 +76,39 @@ object SparkEntry {
       val li = t(s, dir, "lineitem")
       def skFor(flag: String) = li.where(col("l_returnflag") === flag)
         .agg(api.cqf_agg(col("l_partkey"), 12, 64).as(s"sk_$flag"))
+      // each set-op result is bound once in its own projection (expensive
+      // aliases used more than once are not inlined by CollapseProject),
+      // so union/intersect/diff each run once per row, not per probe
       skFor("R").crossJoin(skFor("A"))
+        .withColumn("u", api.cqf_union(col("sk_R"), col("sk_A")))
+        .withColumn("i", api.cqf_intersect(col("sk_R"), col("sk_A")))
+        .withColumn("d", api.cqf_diff(col("sk_R"), col("sk_A")))
         .select(
-          api.cqf_distinct(api.cqf_union(col("sk_R"), col("sk_A"))).as("union_distinct"),
-          api.cqf_total(api.cqf_union(col("sk_R"), col("sk_A"))).as("union_total"),
+          api.cqf_distinct(col("u")).as("union_distinct"),
+          api.cqf_total(col("u")).as("union_total"),
           api.cqf_total(api.cqf_union(col("sk_R"), col("sk_A"), "max")).as("maxu_total"),
-          api.cqf_distinct(api.cqf_intersect(col("sk_R"), col("sk_A"))).as("inter_distinct"),
-          api.cqf_total(api.cqf_intersect(col("sk_R"), col("sk_A"))).as("inter_total"),
-          api.cqf_distinct(api.cqf_diff(col("sk_R"), col("sk_A"))).as("diff_distinct"),
-          api.cqf_total(api.cqf_diff(col("sk_R"), col("sk_A"))).as("diff_total"))
+          api.cqf_distinct(col("i")).as("inter_distinct"),
+          api.cqf_total(col("i")).as("inter_total"),
+          api.cqf_distinct(col("d")).as("diff_distinct"),
+          api.cqf_total(col("d")).as("diff_total"))
+    }),
+
+    "cqf_intersect_by_bucket" -> ((s, dir) => {
+      // row-heavy binary set-op: ONE sketch per order-bucket (~10k rows at
+      // sf0.01) each intersected with a single broadcast reference sketch.
+      // Exercises the two-slot operand cache: the reference side parses
+      // once per task (content-equality hit), not once per row, and the
+      // intersect runs inside whole-stage codegen (no CodegenFallback)
+      val li = t(s, dir, "lineitem")
+      val ref = li.where(col("l_returnflag") === "R")
+        .agg(api.cqf_agg(col("l_suppkey"), 10, 64).as("ref_sk"))
+      val buckets = li.groupBy(pmod(col("l_orderkey"), lit(16384)).as("bucket"))
+        .agg(api.cqf_agg(col("l_suppkey"), 6, 64).as("sk"))
+      buckets.crossJoin(broadcast(ref))
+        .withColumn("x", api.cqf_intersect(col("sk"), col("ref_sk")))
+        .select(col("bucket"),
+          api.cqf_distinct(col("x")).as("common_suppkeys"),
+          api.cqf_total(col("x")).as("min_total"))
     }),
 
     "cqf_zip_flags" -> ((s, dir) => {
@@ -627,6 +651,19 @@ object SparkEntry {
         |(SELECT CAST(coalesce(sum(least(a.c, b.c)),0) AS BIGINT) FROM a JOIN b USING (k)) AS inter_total,
         |(SELECT count(*) FROM a LEFT JOIN b USING (k) WHERE a.c > coalesce(b.c, 0)) AS diff_distinct,
         |(SELECT CAST(coalesce(sum(greatest(a.c - coalesce(b.c, 0), 0)),0) AS BIGINT) FROM a LEFT JOIN b USING (k)) AS diff_total""".stripMargin,
+
+    "cqf_intersect_by_bucket" ->
+      """WITH r AS (SELECT l_suppkey k, count(*) c FROM lineitem
+        |           WHERE l_returnflag = 'R' GROUP BY 1),
+        |g AS (SELECT l_orderkey % 16384 AS bucket, l_suppkey k, count(*) c
+        |      FROM lineitem GROUP BY 1, 2),
+        |j AS (SELECT g.bucket,
+        |        CASE WHEN r.c IS NULL THEN 0 ELSE 1 END AS hit,
+        |        least(g.c, coalesce(r.c, 0)) AS mc
+        |      FROM g LEFT JOIN r USING (k))
+        |SELECT bucket, CAST(sum(hit) AS BIGINT) AS common_suppkeys,
+        |  CAST(sum(CASE WHEN hit = 1 THEN mc ELSE 0 END) AS BIGINT) AS min_total
+        |FROM j GROUP BY 1""".stripMargin,
 
     "cqf_zip_flags" ->
       """WITH r AS (SELECT l_suppkey k, count(*) c FROM lineitem WHERE l_returnflag='R' GROUP BY 1),

@@ -40,6 +40,56 @@ private[functions] trait SketchCache[S <: AnyRef] {
   }
 }
 
+/** Two-slot variant of [[SketchCache]] for binary (sketch, sketch)
+  * expressions: each operand memoizes independently, so the common shapes —
+  * a varying per-group sketch column combined with a broadcast reference
+  * sketch, or a singleton pair probed repeatedly — deserialize each
+  * distinct byte image once instead of twice per row. Combines must NOT
+  * mutate the cached instances: use the non-mutating kernel surfaces
+  * (Cqf.merge / mergeBy / intersect / diff) or `copied` clones. */
+private[functions] trait SketchCache2[S <: AnyRef] {
+  protected def parse(bytes: Array[Byte]): S
+  @transient private var lBytes: Array[Byte] = _
+  @transient private var lSketch: S = _
+  @transient private var rBytes: Array[Byte] = _
+  @transient private var rSketch: S = _
+  /** Test hook: distinct deserializations observed by this instance. */
+  @transient private[graft] var parses: Long = 0L
+
+  protected final def cachedLeft(bytes: Array[Byte]): S = {
+    if (bytes eq lBytes) return lSketch
+    if (lSketch == null || !java.util.Arrays.equals(lBytes, bytes)) {
+      lSketch = parse(bytes); parses += 1L
+    }
+    lBytes = bytes
+    lSketch
+  }
+  protected final def cachedRight(bytes: Array[Byte]): S = {
+    if (bytes eq rBytes) return rSketch
+    if (rSketch == null || !java.util.Arrays.equals(rBytes, bytes)) {
+      rSketch = parse(bytes); parses += 1L
+    }
+    rBytes = bytes
+    rSketch
+  }
+}
+
+/** Whole-stage codegen for (sketch, sketch) binary ops: the generated code
+  * calls `compute(byte[], byte[])` directly — no CodegenFallback
+  * InternalRow boxing when the op runs down a row-heavy column. */
+private[functions] trait BinaryBytesCodegen { self: BinaryExpression =>
+  def compute(a: Array[Byte], b: Array[Byte]): Array[Byte]
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("expr", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+}
+
 private[functions] object KeyConv {
   /** Build a converter from a key expression's type to the canonical Long
     * key, or null-marker for byte-keys. */
@@ -174,45 +224,52 @@ object CqfStats {
   * (absent = 0), 'min' keeps the pointwise minimum (= multiset
   * intersection). Arbitrary Scala closures go through Cqf.mergeBy. */
 case class CqfUnion(left: Expression, right: Expression, mode: String = "sum")
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with SketchCache2[Cqf] with BinaryBytesCodegen {
   override def prettyName: String = "cqf_union"
   override def dataType: DataType = BinaryType
+  // invalid mode literals fail the query at analysis, not on the first row
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (!CqfUnion.Modes.contains(mode))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cqf_union mode must be one of ${CqfUnion.Modes.mkString("'", "', '", "'")}, got '$mode'")
+    else super.checkInputDataTypes()
+  protected def parse(bytes: Array[Byte]): Cqf = Cqf.deserialize(bytes)
   @transient private lazy val op: (Long, Long) => Long = mode match {
-    case "sum" => null // fast path: kernel mergeInPlace
+    case "sum" => null // fast path: kernel merge
     case "max" => (x, y) => math.max(x, y)
     case "min" => (x, y) => math.min(x, y)
-    case other => throw new IllegalArgumentException(
-      s"cqf_union mode must be 'sum', 'max' or 'min', got '$other'")
   }
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = Cqf.deserialize(a.asInstanceOf[Array[Byte]])
-    val y = Cqf.deserialize(b.asInstanceOf[Array[Byte]])
-    (if (op == null) x.mergeInPlace(y) else Cqf.mergeBy(x, y, op)).serialize()
+  def compute(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val x = cachedLeft(a)
+    val y = cachedRight(b)
+    // Cqf.merge / mergeBy build a fresh result — cached operands untouched
+    (if (op == null) Cqf.merge(x, y) else Cqf.mergeBy(x, y, op)).serialize()
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CqfUnion =
     copy(left = l, right = r)
 }
+object CqfUnion {
+  val Modes: Set[String] = Set("sum", "max", "min")
+}
 
 case class CqfIntersect(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with SketchCache2[Cqf] with BinaryBytesCodegen {
   override def prettyName: String = "cqf_intersect"
   override def dataType: DataType = BinaryType
-  override def nullSafeEval(a: Any, b: Any): Any =
-    Cqf.deserialize(a.asInstanceOf[Array[Byte]])
-      .intersect(Cqf.deserialize(b.asInstanceOf[Array[Byte]]))
-      .serialize()
+  protected def parse(bytes: Array[Byte]): Cqf = Cqf.deserialize(bytes)
+  def compute(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    cachedLeft(a).intersect(cachedRight(b)).serialize()
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CqfIntersect =
     copy(left = l, right = r)
 }
 
 case class CqfDiff(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with SketchCache2[Cqf] with BinaryBytesCodegen {
   override def prettyName: String = "cqf_diff"
   override def dataType: DataType = BinaryType
-  override def nullSafeEval(a: Any, b: Any): Any =
-    Cqf.deserialize(a.asInstanceOf[Array[Byte]])
-      .diff(Cqf.deserialize(b.asInstanceOf[Array[Byte]]))
-      .serialize()
+  protected def parse(bytes: Array[Byte]): Cqf = Cqf.deserialize(bytes)
+  def compute(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    cachedLeft(a).diff(cachedRight(b)).serialize()
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CqfDiff =
     copy(left = l, right = r)
 }
@@ -324,13 +381,12 @@ case class HllEstimate(child: Expression)
 }
 
 case class HllUnion(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with SketchCache2[HllSketch] with BinaryBytesCodegen {
   override def prettyName: String = "hll_union"
   override def dataType: DataType = BinaryType
-  override def nullSafeEval(a: Any, b: Any): Any =
-    HllSketch.deserialize(a.asInstanceOf[Array[Byte]])
-      .mergeInPlace(HllSketch.deserialize(b.asInstanceOf[Array[Byte]]))
-      .serialize()
+  protected def parse(bytes: Array[Byte]): HllSketch = HllSketch.deserialize(bytes)
+  def compute(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    cachedLeft(a).copied.mergeInPlace(cachedRight(b)).serialize()
   override protected def withNewChildrenInternal(l: Expression, r: Expression): HllUnion =
     copy(left = l, right = r)
 }
@@ -372,13 +428,12 @@ case class CmsTotal(child: Expression)
 }
 
 case class CmsUnion(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with SketchCache2[CountMinSketch] with BinaryBytesCodegen {
   override def prettyName: String = "cms_union"
   override def dataType: DataType = BinaryType
-  override def nullSafeEval(a: Any, b: Any): Any =
-    CountMinSketch.deserialize(a.asInstanceOf[Array[Byte]])
-      .mergeInPlace(CountMinSketch.deserialize(b.asInstanceOf[Array[Byte]]))
-      .serialize()
+  protected def parse(bytes: Array[Byte]): CountMinSketch = CountMinSketch.deserialize(bytes)
+  def compute(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    cachedLeft(a).copied.mergeInPlace(cachedRight(b)).serialize()
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CmsUnion =
     copy(left = l, right = r)
 }
@@ -408,13 +463,14 @@ case class TdCdf(left: Expression, right: Expression)
 }
 
 case class TdUnion(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with SketchCache2[TDigest] with BinaryBytesCodegen {
   override def prettyName: String = "td_union"
   override def dataType: DataType = BinaryType
-  override def nullSafeEval(a: Any, b: Any): Any =
-    TDigest.deserialize(a.asInstanceOf[Array[Byte]])
-      .mergeInPlace(TDigest.deserialize(b.asInstanceOf[Array[Byte]]))
-      .serialize()
+  protected def parse(bytes: Array[Byte]): TDigest = TDigest.deserialize(bytes)
+  // mergeInPlace compresses `other` in place — an idempotent
+  // canonicalization, safe on the cached right operand
+  def compute(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    cachedLeft(a).copied.mergeInPlace(cachedRight(b)).serialize()
   override protected def withNewChildrenInternal(l: Expression, r: Expression): TdUnion =
     copy(left = l, right = r)
 }
@@ -453,13 +509,12 @@ case class KllN(child: Expression)
 }
 
 case class KllUnion(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with SketchCache2[KllSketch] with BinaryBytesCodegen {
   override def prettyName: String = "kll_union"
   override def dataType: DataType = BinaryType
-  override def nullSafeEval(a: Any, b: Any): Any =
-    KllSketch.deserialize(a.asInstanceOf[Array[Byte]])
-      .mergeInPlace(KllSketch.deserialize(b.asInstanceOf[Array[Byte]]))
-      .serialize()
+  protected def parse(bytes: Array[Byte]): KllSketch = KllSketch.deserialize(bytes)
+  def compute(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    cachedLeft(a).copied.mergeInPlace(cachedRight(b)).serialize()
   override protected def withNewChildrenInternal(l: Expression, r: Expression): KllUnion =
     copy(left = l, right = r)
 }
@@ -501,13 +556,12 @@ case class BloomFpp(child: Expression)
 }
 
 case class BloomUnion(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with SketchCache2[BloomSketch] with BinaryBytesCodegen {
   override def prettyName: String = "bloom_union"
   override def dataType: DataType = BinaryType
-  override def nullSafeEval(a: Any, b: Any): Any =
-    BloomSketch.deserialize(a.asInstanceOf[Array[Byte]])
-      .mergeInPlace(BloomSketch.deserialize(b.asInstanceOf[Array[Byte]]))
-      .serialize()
+  protected def parse(bytes: Array[Byte]): BloomSketch = BloomSketch.deserialize(bytes)
+  def compute(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    cachedLeft(a).copied.mergeInPlace(cachedRight(b)).serialize()
   override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomUnion =
     copy(left = l, right = r)
 }

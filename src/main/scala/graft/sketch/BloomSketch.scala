@@ -58,6 +58,10 @@ final class BloomSketch private (
     math.pow(set.toDouble / numBits.toDouble, numHashes.toDouble)
   }
 
+  /** Independent deep copy (bitset clone) — lets callers combine
+    * cached/shared instances without mutating them. */
+  def copied: BloomSketch = new BloomSketch(numBits, numHashes, words.clone())
+
   def mergeInPlace(other: BloomSketch): BloomSketch = {
     require(other.numBits == numBits && other.numHashes == numHashes,
       "Bloom shape mismatch")

@@ -59,6 +59,10 @@ final class CountMinSketch private (
       WangHash.mixBytes(b, CountMinSketch.Seed2))
   }
 
+  /** Independent deep copy (cell-table clone) — lets callers combine
+    * cached/shared instances without mutating them. */
+  def copied: CountMinSketch = new CountMinSketch(depth, width, table.clone(), _total)
+
   def mergeInPlace(other: CountMinSketch): CountMinSketch = {
     require(other.depth == depth && other.width == width,
       s"CMS shape mismatch: ${depth}x$width vs ${other.depth}x${other.width}")

@@ -524,13 +524,18 @@ final class Cqf private (
     require(other.hashBits == hashBits,
       s"cannot merge CQFs with hashBits $hashBits vs ${other.hashBits}")
     if (other._occupiedSlots == 0) return this
-    // flag reconciliation: keys stay recoverable only if BOTH sides were
-    // built invertibly; the container stays compact only if both are
-    _invertible = _invertible && other._invertible
-    val outCompact = _compact && other._compact
-    if (_occupiedSlots == 0 && other._quotientBits >= _quotientBits &&
-        other._compact == _compact) {
+    // flag reconciliation: keys stay recoverable only if BOTH non-empty
+    // sides were built invertibly; the container stays compact only if
+    // both are. An EMPTY side contributes no flags (here: an empty
+    // accumulator adopts other's; above: an empty delta is a no-op) —
+    // the same semantic as Cqf.merge/reconciledFlags, so both merge
+    // surfaces produce identical metadata for identical inputs.
+    val wasEmpty = _occupiedSlots == 0
+    _invertible = if (wasEmpty) other._invertible else _invertible && other._invertible
+    val outCompact = if (wasEmpty) other._compact else _compact && other._compact
+    if (wasEmpty && other._quotientBits >= _quotientBits) {
       _quotientBits = other._quotientBits
+      _compact = other._compact
       blocks = other.blocks.clone()
       _occupiedSlots = other._occupiedSlots
       refreshDerived()
@@ -773,13 +778,27 @@ object Cqf {
   }
 
   /** Merge two filters into a new one (inputs untouched); invertible /
-    * compact flags reconcile by logical AND. */
+    * compact flags reconcile by logical AND over the NON-EMPTY inputs —
+    * the same semantic as mergeInPlace's empty-`other` early return, so
+    * both merge surfaces produce identical metadata (and identical
+    * serialized bytes) for the same inputs. */
   def merge(a: Cqf, b: Cqf): Cqf = {
-    val r = Cqf(math.max(a.quotientBits, b.quotientBits), a.hashBits,
-      a.invertible && b.invertible, a.compact && b.compact)
+    val (inv, comp) = reconciledFlags(a, b)
+    val r = Cqf(math.max(a.quotientBits, b.quotientBits), a.hashBits, inv, comp)
     r.mergeInPlace(a)
     r.mergeInPlace(b)
     r
+  }
+
+  /** Invertible/compact reconciliation with empty inputs contributing no
+    * flags: AND over the non-empty operands; both empty keeps `a`'s. */
+  private[sketch] def reconciledFlags(a: Cqf, b: Cqf): (Boolean, Boolean) = {
+    val aE = a.occupiedSlots == 0
+    val bE = b.occupiedSlots == 0
+    if (aE && bE) (a.invertible, a.compact)
+    else if (aE) (b.invertible, b.compact)
+    else if (bE) (a.invertible, a.compact)
+    else (a.invertible && b.invertible, a.compact && b.compact)
   }
 
   /** Aligned full-outer enumeration of two filters: ascending (hash,
@@ -835,7 +854,8 @@ object Cqf {
       def hasNext: Boolean = i < m
       def next(): (Long, Long) = { val t = (hashes(i), counts(i)); i += 1; t }
     }
-    val compact = a.compact && b.compact
+    // empty inputs contribute no flags (same rule as merge/mergeInPlace)
+    val (inv, compact) = reconciledFlags(a, b)
     // compact slots are 32-bit: quotientBits must keep remainderBits <= 32
     // or stored remainders would saturate and collapse distinct hashes
     val minQ = math.max(4, if (compact) a.hashBits - 32 else 4)
@@ -843,8 +863,7 @@ object Cqf {
     while ((LoadFactor * (1L << q)).toLong < 2L * m + 2 && q < a.hashBits) q += 1
     var res: Cqf = null
     while (res == null) {
-      try res = fromSortedHashes(src, q, a.hashBits,
-        a.invertible && b.invertible, compact)
+      try res = fromSortedHashes(src, q, a.hashBits, inv, compact)
       catch { case FullException => q += 1 }
     }
     res

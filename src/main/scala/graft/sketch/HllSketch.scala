@@ -49,6 +49,10 @@ final class HllSketch private (val p: Int, private val registers: Array[Byte])
 
   def cardinality: Long = math.round(estimate)
 
+  /** Independent deep copy (register-array clone) — lets callers combine
+    * cached/shared instances without mutating them. */
+  def copied: HllSketch = new HllSketch(p, registers.clone())
+
   def mergeInPlace(other: HllSketch): HllSketch = {
     require(other.p == p, s"HLL precision mismatch: $p vs ${other.p}")
     var i = 0

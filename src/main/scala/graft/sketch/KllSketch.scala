@@ -123,6 +123,11 @@ final class KllSketch private (
     sorted.last._1
   }
 
+  /** Independent deep copy (per-level buffer clones) — lets callers combine
+    * cached/shared instances without mutating them. */
+  def copied: KllSketch =
+    new KllSketch(k, levels.map(_.clone()), _n, rngState)
+
   def mergeInPlace(other: KllSketch): KllSketch = {
     require(other.k == k, s"KLL k mismatch: $k vs ${other.k}")
     while (levels.length < other.levels.length) levels += new ArrayBuffer[Double]

@@ -39,6 +39,11 @@ final class TDigest private (
     if (x > _max) _max = x
   }
 
+  /** Independent deep copy — lets callers combine cached/shared instances
+    * without mutating them (mergeInPlace compresses + appends in place). */
+  def copied: TDigest = new TDigest(compression, means.clone(), weights.clone(),
+    nCentroids, bufMeans.clone(), bufWeights.clone(), nBuf, _totalWeight, _min, _max)
+
   def mergeInPlace(other: TDigest): TDigest = {
     other.compress()
     var i = 0
