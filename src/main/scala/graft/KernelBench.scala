@@ -159,8 +159,36 @@ object KernelBench {
     }
   }
 
+  /** t-digest insert throughput (compress() dominates: every ~bufferSize
+    * inserts triggers a buffer sort + centroid merge). Lognormal-ish
+    * values via exp of a crude uniform sum keep centroid churn realistic. */
+  def tdBench(reps: Int): Unit = {
+    val n = 20_000_000L
+    var best = Double.MaxValue
+    for (r <- 1 to reps) {
+      val td = graft.sketch.TDigest(200.0)
+      var seed = 0xdeadbeefL + r
+      val t0 = System.nanoTime()
+      var i = 0L
+      while (i < n) {
+        seed = xorshift(seed)
+        // uniform in [0,1) -> mildly skewed positive value
+        val u = (seed >>> 11).toDouble / (1L << 53).toDouble
+        td.add(u * u * 1000.0)
+        i += 1
+      }
+      val q = td.quantile(0.5)
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(q > 0 && q < 1000.0, s"bad median $q")
+      println(f"[kernelbench] td rep $r: ${n / sec / 1e6}%.2f M inserts/s (${sec}%.2f s, p50=$q%.2f)")
+      best = math.min(best, sec)
+    }
+    println(f"[kernelbench] TD BEST: ${n / best / 1e6}%.2f M inserts/s (compression=200)")
+  }
+
   def main(args: Array[String]): Unit = {
     val mode = if (args.nonEmpty) args(0) else "all"
+    if (mode == "td") tdBench(reps = 3)
     if (mode == "insert" || mode == "all") insertBench(reps = 3)
     if (mode == "membw" || mode == "all") membwBench()
     if (mode == "copybw" || mode == "all") copybwBench()

@@ -60,21 +60,68 @@ final class TDigest private (
   @inline private def kScale(q: Double): Double =
     compression / (2.0 * math.Pi) * math.asin(2.0 * math.min(1.0, math.max(0.0, q)) - 1.0)
 
-  /** Merge buffer + centroids into a fresh centroid list. */
+  /** In-place dual-array quicksort by (mean, weight) — primitive arrays
+    * only, no boxed index sort on the compaction hot path. The (mean,
+    * weight) tie-break makes the order (and thus the resulting centroid
+    * list) deterministic: items with identical pairs are interchangeable. */
+  private def dualSort(ms: Array[Double], ws: Array[Double], lo0: Int, hi0: Int): Unit = {
+    var lo = lo0
+    var hi = hi0
+    while (lo < hi) {
+      // median-of-three pivot guards the sorted/reverse-sorted buffers
+      val mid = (lo + hi) >>> 1
+      @inline def less(i: Int, j: Int): Boolean =
+        ms(i) < ms(j) || (ms(i) == ms(j) && ws(i) < ws(j))
+      @inline def swap(i: Int, j: Int): Unit = {
+        val tm = ms(i); ms(i) = ms(j); ms(j) = tm
+        val tw = ws(i); ws(i) = ws(j); ws(j) = tw
+      }
+      if (less(mid, lo)) swap(mid, lo)
+      if (less(hi, lo)) swap(hi, lo)
+      if (less(hi, mid)) swap(hi, mid)
+      val pm = ms(mid)
+      val pw = ws(mid)
+      var i = lo
+      var j = hi
+      while (i <= j) {
+        while (ms(i) < pm || (ms(i) == pm && ws(i) < pw)) i += 1
+        while (ms(j) > pm || (ms(j) == pm && ws(j) > pw)) j -= 1
+        if (i <= j) { swap(i, j); i += 1; j -= 1 }
+      }
+      // recurse into the smaller half, loop on the larger (O(log n) stack)
+      if (j - lo < hi - i) {
+        if (lo < j) dualSort(ms, ws, lo, j)
+        lo = i
+      } else {
+        if (i < hi) dualSort(ms, ws, i, hi)
+        hi = j
+      }
+    }
+  }
+
+  /** Merge buffer + centroids into a fresh centroid list. The existing
+    * centroid list is already mean-sorted, so only the insert buffer is
+    * sorted (primitive dual-array quicksort) and the two runs are merged
+    * with two cursors — no index boxing, sort cost on the buffer only. */
   def compress(): Unit = {
     if (nBuf == 0) return
+    dualSort(bufMeans, bufWeights, 0, nBuf - 1)
     val n = nCentroids + nBuf
-    val ms = new Array[Double](n)
-    val ws = new Array[Double](n)
-    System.arraycopy(means, 0, ms, 0, nCentroids)
-    System.arraycopy(weights, 0, ws, 0, nCentroids)
-    System.arraycopy(bufMeans, 0, ms, nCentroids, nBuf)
-    System.arraycopy(bufWeights, 0, ws, nCentroids, nBuf)
-    // sort (mean, weight) pairs by mean
-    val idx = (0 until n).sortBy(ms(_)).toArray
-    val sm = idx.map(ms(_))
-    val sw = idx.map(ws(_))
-    val total = sw.sum
+    val sm = new Array[Double](n)
+    val sw = new Array[Double](n)
+    var ci = 0
+    var bi = 0
+    var oi = 0
+    var total = 0.0
+    while (ci < nCentroids || bi < nBuf) {
+      val takeC = bi >= nBuf || (ci < nCentroids &&
+        (means(ci) < bufMeans(bi) ||
+          (means(ci) == bufMeans(bi) && weights(ci) <= bufWeights(bi))))
+      if (takeC) { sm(oi) = means(ci); sw(oi) = weights(ci); ci += 1 }
+      else { sm(oi) = bufMeans(bi); sw(oi) = bufWeights(bi); bi += 1 }
+      total += sw(oi)
+      oi += 1
+    }
     val outM = new Array[Double](n)
     val outW = new Array[Double](n)
     var out = 0
