@@ -277,16 +277,18 @@ object DedupOps {
     * Input: pairs (id_a, id_b); nodes: (id). Output: (id, component)
     * where component = min id reachable.
     *
-    * Adaptive small-graph path: when the (distinct) edge set fits the
-    * same budget Catalyst uses for broadcast sides, the exact solve is a
-    * single driver-side union-find over one collect — near-dup edge sets
-    * are usually tiny relative to the corpus (pairs above a high
-    * threshold), so at any corpus scale this avoids ~log(n) scheduled
-    * rounds; graphs above the threshold run the distributed log-round
-    * algorithm. Set localEdgeThreshold = 0 to force the distributed
-    * path. */
+    * Adaptive small-graph path: when the (distinct) edge set is tiny, the
+    * exact solve is a single driver-side union-find over one collect —
+    * near-dup edge sets are usually tiny relative to the corpus (pairs
+    * above a high threshold), so at any corpus scale this avoids ~log(n)
+    * scheduled rounds; graphs above the threshold run the distributed
+    * log-round algorithm. The default 2^17 edges costs the driver ~5 MB
+    * of specialized (Long, Long) tuples plus an open-addressing primitive
+    * long->long map (~2x2^18 slots x 17 B ≈ 9 MB) — the same order as a
+    * Catalyst broadcast side, safe on small-driver deployments. Set
+    * localEdgeThreshold = 0 to force the distributed path. */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
-      maxRounds: Int = 30, localEdgeThreshold: Long = 1L << 20): DataFrame = {
+      maxRounds: Int = 30, localEdgeThreshold: Long = 1L << 17): DataFrame = {
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.select(col("u"), col("v"))
         .union(e.select(col("v").as("u"), col("u").as("v")))
@@ -329,25 +331,17 @@ object DedupOps {
     val idsAreLong = edges.schema.forall(
       _.dataType == org.apache.spark.sql.types.LongType)
     if (idsAreLong && sig._1 > 0 && sig._1 <= localEdgeThreshold) {
-      // broadcast-sized graph: exact union-find on the driver, one pass
-      val parent = new java.util.HashMap[Long, Long]()
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
-        var c = x
-        while (parent.getOrDefault(c, c) != c) {
-          val nx = parent.get(c); parent.put(c, r); c = nx
-        }
-        r
-      }
-      edges.collect().foreach { row =>
-        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
-        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
-      }
-      val roots = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-      parent.keySet().forEach(k => roots += ((k, find(k))))
+      // broadcast-sized graph: exact union-find on the driver, one pass.
+      // Primitive collection end-to-end: the collect yields specialized
+      // (Long, Long) tuples (no Row objects) and the parent map is an
+      // open-addressing long->long table (no boxed HashMap entries).
       val spark = nodes.sparkSession
       import spark.implicits._
+      val collected = edges.select(col("u"), col("v")).as[(Long, Long)].collect()
+      val uf = new LongUnionFind(collected.length * 2)
+      collected.foreach { case (a, b) => uf.union(a, b) }
+      val roots = new scala.collection.mutable.ArrayBuffer[(Long, Long)](collected.length)
+      uf.foreachRoot((k, r) => roots += ((k, r)))
       val labelDf = roots.toSeq.toDF("id", "root")
       return nodes.select(col("id"))
         .join(broadcast(labelDf), Seq("id"), "left")
@@ -401,5 +395,84 @@ object DedupOps {
       .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .where(AnnOps.cosine(col("v_a"), col("v_b")) >= minCos)
       .select(col("id_a"), col("id_b"))
+  }
+}
+
+/** Open-addressing long -> long parent table with union-find on top:
+  * path-halving find + union-by-min (the component label IS the minimum
+  * id, matching the distributed algorithm's output). Absent keys are
+  * their own parent. No boxing anywhere — two primitive arrays plus an
+  * occupancy bitmap-equivalent. */
+private[ops] final class LongUnionFind(expectedKeys: Int) {
+  private var cap = {
+    var c = 16
+    while (c < expectedKeys * 2 && c < (1 << 30)) c <<= 1
+    c
+  }
+  private var mask = cap - 1
+  private var keys = new Array[Long](cap)
+  private var vals = new Array[Long](cap)
+  private var occ = new Array[Boolean](cap)
+  private var size = 0
+
+  @inline private def mix(k: Long): Int = {
+    // fibonacci hash of the id into the table
+    (((k * 0x9e3779b97f4a7c15L) >>> 40) & mask).toInt
+  }
+  private def slot(k: Long): Int = {
+    var i = mix(k)
+    while (occ(i) && keys(i) != k) i = (i + 1) & mask
+    i
+  }
+  private def parentOf(k: Long): Long = {
+    val i = slot(k)
+    if (occ(i)) vals(i) else k
+  }
+  private def setParent(k: Long, v: Long): Unit = {
+    val i = slot(k)
+    if (!occ(i)) {
+      if ((size + 1) * 4 > cap * 3) { grow(); setParent(k, v); return }
+      occ(i) = true; keys(i) = k; size += 1
+    }
+    vals(i) = v
+  }
+  private def grow(): Unit = {
+    val ok = keys; val ov = vals; val oo = occ; val oc = cap
+    cap <<= 1; mask = cap - 1
+    keys = new Array[Long](cap); vals = new Array[Long](cap)
+    occ = new Array[Boolean](cap); size = 0
+    var i = 0
+    while (i < oc) {
+      if (oo(i)) setParent(ok(i), ov(i))
+      i += 1
+    }
+  }
+
+  def find(x: Long): Long = {
+    var r = x
+    var p = parentOf(r)
+    while (p != r) {
+      // path halving: point r at its grandparent as we walk
+      val gp = parentOf(p)
+      if (gp != p) setParent(r, gp)
+      r = p
+      p = parentOf(r)
+    }
+    r
+  }
+
+  def union(a: Long, b: Long): Unit = {
+    val ra = find(a)
+    val rb = find(b)
+    if (ra != rb) setParent(math.max(ra, rb), math.min(ra, rb))
+  }
+
+  /** Visit every key that appears in the table with its final root. */
+  def foreachRoot(f: (Long, Long) => Unit): Unit = {
+    var i = 0
+    while (i < cap) {
+      if (occ(i)) f(keys(i), find(keys(i)))
+      i += 1
+    }
   }
 }
