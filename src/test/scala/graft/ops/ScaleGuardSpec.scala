@@ -109,6 +109,55 @@ class ScaleGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.length == 1 && kept.head.getAs[Long]("kept_id") == 0L)
   }
 
+  test("LSH gate configs reproduce exact all-pairs on data the gate never saw") {
+    // The gate queries assert exact equality with an all-pairs Jaccard
+    // oracle, which requires recall ~1 at the threshold for the chosen
+    // band configuration. This spec pins that property on SYNTHETIC docs
+    // with planted pairs straddling the thresholds, so regenerating the
+    // gate datasets cannot silently change what a green gate row means.
+    def words(n: Int, tag: String) = Seq.tabulate(n)(i => s"w${tag}_$i")
+    val docs = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    var id = 0L
+    for (fPct <- Seq(40, 60, 75, 85, 92, 100); rep <- 0 until 5) {
+      val base = words(60, s"${fPct}_$rep")
+      val keep = 60 * fPct / 100
+      val mutated = base.take(keep) ++ words(60 - keep, s"m${fPct}_$rep")
+      docs += ((id, base.mkString(" ")))
+      docs += ((id + 1L, mutated.mkString(" ")))
+      id += 2L
+    }
+    val df = docs.toSeq.toDF("id", "text")
+
+    // exact all-pairs word-3-shingle Jaccard, computed independently in Scala
+    def shingles(t: String): Set[String] = {
+      val ws = t.trim.split("\\s+").toSeq
+      if (ws.length < 3) Set(ws.mkString(" "))
+      else ws.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sets = docs.map { case (i, t) => i -> shingles(t) }.toMap
+    def exactPairs(thr: Double): Set[(Long, Long)] = (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      inter = (sets(a) & sets(b)).size
+      uni = (sets(a) | sets(b)).size
+      if uni > 0 && inter.toDouble / uni >= thr
+    } yield (a, b)).toSet
+
+    // minhash gate config (minhash_lsh_candidates): k=3, 16x4, thr 0.8
+    val mh = DedupOps.minhashVerifiedPairs(df, TextOps.tokens($"text"), $"id",
+        k = 3, bands = 16, rowsPerBand = 4, threshold = 0.8)
+      .select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh == exactPairs(0.8),
+      s"minhash gate config lost pairs: got ${mh.size}, want ${exactPairs(0.8).size}")
+
+    // simhash+minhash ensemble gate config (simhash_near_dups): thr 0.9
+    val nd = DedupOps.nearDupVerifiedPairs(df, $"text", $"id", k = 3, threshold = 0.9)
+      .select($"id_a", $"id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd == exactPairs(0.9),
+      s"near-dup ensemble lost pairs: got ${nd.size}, want ${exactPairs(0.9).size}")
+  }
+
   test("IVF exhaustive (nProbe = nCells) equals brute force exactly") {
     val rnd = new scala.util.Random(5)
     val emb = (0L until 300L).map { i =>
