@@ -204,6 +204,37 @@ object SparkEntry {
       s.table("graft_stream_windowed")
     }),
 
+    "streaming_append_windowed" -> ((s, dir) => {
+      // watermarked APPEND-mode streaming: only windows the watermark has
+      // closed are emitted, and each exactly once — the long-running-
+      // stream shape (complete mode re-emits all state per trigger and
+      // cannot survive an unbounded stream). With AvailableNow the final
+      // no-data batch advances the watermark to max(ts) - delay and
+      // flushes every closed window; the last (still-open) day stays in
+      // state and is NOT emitted, which the oracle reproduces.
+      GraftFunctions.registerAll(s)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        // watermarks require TIMESTAMP; the table stores TIMESTAMP_NTZ.
+        // The session timezone is pinned to UTC (Verify/Bench builders),
+        // so the cast out and back is wall-value identity
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val agg = graft.streaming.StreamingSketch.windowedAgg(
+        src, col("ts"), "1 hour", "1 day",
+        Seq(col("event_type")), api.cqf_agg(col("user_id"), 10, 64))
+      val q = agg
+        .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+          col("event_type"),
+          api.cqf_distinct(col("sketch")).as("distinct_users"))
+        .writeStream.format("memory").queryName("graft_stream_append")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_stream_append")
+    }),
+
     "rollup_distinct_parts" -> ((s, dir) => {
       // grouping sets compose with sketch aggregates for free (mergeable
       // partial states under any grouping) — exact rollup distinct
@@ -700,6 +731,17 @@ object SparkEntry {
       """SELECT date_trunc('day', ts) AS window_start, event_type,
         |count(DISTINCT user_id) AS distinct_users
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // append mode emits exactly the windows the final watermark
+    // (max event time - 1 hour) has closed: window end <= watermark.
+    // The still-open last day stays in state and is not emitted.
+    "streaming_append_windowed" ->
+      """WITH m AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events)
+        |SELECT date_trunc('day', ts) AS window_start, event_type,
+        |count(DISTINCT user_id) AS distinct_users
+        |FROM events, m
+        |WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= wm
+        |GROUP BY 1, 2""".stripMargin,
 
     "rollup_distinct_parts" ->
       """SELECT l_returnflag, l_linestatus,

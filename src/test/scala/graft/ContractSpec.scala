@@ -39,7 +39,8 @@ class ContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dir = "/root/testdata/sf0.001"
     // streaming queries execute on construction (start/awaitTermination);
     // analyzing them here would run them — they are covered by the gate
-    val deferred = Set("streaming_distinct_users", "streaming_windowed_distinct")
+    val deferred = Set("streaming_distinct_users", "streaming_windowed_distinct",
+      "streaming_append_windowed")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!deferred(name)) {
         val df = fn(spark, dir)
