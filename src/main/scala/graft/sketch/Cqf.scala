@@ -872,6 +872,239 @@ object Cqf {
   /** Back-compat alias for [[mergeBy]]. */
   def zipOp(a: Cqf, b: Cqf, op: (Long, Long) => Long): Cqf = mergeBy(a, b, op)
 
+  // ---- reference byte-layout interop ---------------------------------
+  //
+  // The reference serializes the raw mmap image: a 7-u64 Metadata header
+  // (/root/reference/src/cqf.rs:16-26, 41-58) followed by num_blocks
+  // repr(C) blocks of { occupieds u64, runends u64, counts u64,
+  // remainders [64]u64, offset u64 } (/root/reference/src/blocks/
+  // u64_blocks.rs:9-16), little-endian; serialize_to_bytes/new_file dump
+  // exactly this (/root/reference/src/cqf/u64_cqf.rs:361-370). Slot
+  // semantics: quotient = high bits, remainder = low bits
+  // (u64_cqf.rs:346-352); a key with count 1 takes one slot, count >= 2
+  // takes two (remainder, then the raw count in the next slot with its
+  // `counts` bit set — u64_cqf.rs:433-523, decode at
+  // blocks/u64_blocks.rs:43-62); the runend bit sits on the LAST slot of
+  // each run; block offsets obey the exact run_end invariant of
+  // /root/reference/src/blocks.rs:31-81: offset_b = E - 64b + 1 where E
+  // is the runend of the last run of any quotient < 64b when E >= 64b,
+  // else 0. Canonical placement (runs in quotient order, run b starts at
+  // max(q, prev_end + 1)) reproduces what sequential sorted insertion
+  // through the reference produces.
+
+  private final val RefMetadataLongs = 7
+  private final val RefBlockLongs = 3 + 64 + 1 // occ, run, cnt, slots, offset
+
+  private def refRealSlots(q: Int): Long = {
+    val n = (1L << q).toDouble
+    (n + 10.0 * math.sqrt(n)).toLong // cqf.rs:43-44, same f64 truncation
+  }
+
+  /** Serialize this filter's CONTENT into the reference's on-disk/in-memory
+    * byte layout (see layout notes above). The exported quotient_bits is
+    * the smallest >= cqf.quotientBits whose canonical placement fits
+    * num_real_slots. */
+  def exportRefLayout(c: Cqf): Array[Byte] = {
+    // (hash, count) content, ascending hash == ascending (quotient, rem)
+    var n = 0
+    var hashes = new Array[Long](math.max(16, c.occupiedSlots.toInt))
+    var counts = new Array[Long](hashes.length)
+    val cur = c.cursor
+    while (cur.advance()) {
+      if (n == hashes.length) {
+        hashes = java.util.Arrays.copyOf(hashes, n * 2)
+        counts = java.util.Arrays.copyOf(counts, n * 2)
+      }
+      hashes(n) = cur.hash; counts(n) = cur.count; n += 1
+    }
+    var q = math.min(c.quotientBits, c.hashBits - 1)
+    var out: Array[Byte] = null
+    while (out == null) {
+      out = tryExport(c, hashes, counts, n, q)
+      if (out == null) {
+        require(q + 1 < c.hashBits,
+          s"content does not fit any reference layout below hashBits=${c.hashBits}")
+        q += 1
+      }
+    }
+    out
+  }
+
+  /** One placement attempt at quotient_bits = q; null when it overflows
+    * num_real_slots. */
+  private def tryExport(c: Cqf, hashes: Array[Long], counts: Array[Long],
+      n: Int, q: Int): Array[Byte] = {
+    val remBits = c.hashBits - q
+    val realSlots = refRealSlots(q)
+    val numBlocks = ((realSlots + 63) / 64).toInt
+    val occ = new Array[Long](numBlocks)
+    val run = new Array[Long](numBlocks)
+    val cnt = new Array[Long](numBlocks)
+    val slots = new Array[Long](numBlocks * 64)
+    val off = new Array[Long](numBlocks)
+    // runs in ascending quotient order; greedy canonical placement
+    var occupiedSlots = 0L
+    var i = 0
+    var prevEnd = -1L
+    // (quotient, runEnd) per run, for the offset sweep
+    val runQ = new scala.collection.mutable.ArrayBuffer[Long]()
+    val runE = new scala.collection.mutable.ArrayBuffer[Long]()
+    while (i < n) {
+      val quotient = (hashes(i) >>> remBits) & bitmask(q)
+      var pos = math.max(quotient, prevEnd + 1)
+      occ((quotient >>> 6).toInt) |= 1L << (quotient & 63)
+      // all keys of this quotient (ascending remainder follows from
+      // ascending hash with high-bit quotients)
+      while (i < n && ((hashes(i) >>> remBits) & bitmask(q)) == quotient) {
+        val rem = hashes(i) & bitmask(remBits)
+        if (pos >= realSlots) return null
+        slots(pos.toInt) = rem
+        occupiedSlots += 1
+        if (counts(i) != 1L) {
+          if (pos + 1 >= realSlots) return null
+          slots(pos.toInt + 1) = counts(i)
+          cnt(((pos + 1) >>> 6).toInt) |= 1L << ((pos + 1) & 63)
+          occupiedSlots += 1
+          pos += 2
+        } else pos += 1
+        i += 1
+      }
+      val end = pos - 1
+      run((end >>> 6).toInt) |= 1L << (end & 63)
+      runQ += quotient
+      runE += end
+      prevEnd = end
+    }
+    // offsets: E_b = runend of the last run with quotient < 64b
+    var r = 0
+    var b = 1
+    var lastE = -1L
+    while (b < numBlocks) {
+      while (r < runQ.length && runQ(r) < 64L * b) { lastE = runE(r); r += 1 }
+      off(b) = math.max(0L, lastE - 64L * b + 1)
+      b += 1
+    }
+    val total = 8 * (RefMetadataLongs + numBlocks.toLong * RefBlockLongs)
+    val buf = ByteBuffer.allocate(total.toInt).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putLong(total) // total_size_bytes
+    buf.putLong(realSlots) // num_real_slots
+    buf.putLong(occupiedSlots) // num_occupied_slots (incl. count slots)
+    buf.putLong(numBlocks.toLong)
+    buf.putLong(q.toLong)
+    buf.putLong(remBits.toLong)
+    buf.putLong(if (c.invertible) 1L else 0L)
+    var bi = 0
+    while (bi < numBlocks) {
+      buf.putLong(occ(bi))
+      buf.putLong(run(bi))
+      buf.putLong(cnt(bi))
+      var s = 0
+      while (s < 64) { buf.putLong(slots(bi * 64 + s)); s += 1 }
+      buf.putLong(off(bi))
+      bi += 1
+    }
+    buf.array()
+  }
+
+  /** Parse a reference-layout image back into a [[Cqf]] with identical
+    * content (hash multiset), reading only the occupieds/runends/counts
+    * invariants — offsets are not trusted, so any valid image decodes. */
+  def importRefLayout(bytes: Array[Byte], compact: Boolean = false): Cqf = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val total = buf.getLong()
+    require(total == bytes.length,
+      s"reference image truncated: header says $total, got ${bytes.length}")
+    buf.getLong() // num_real_slots (implied by quotient_bits)
+    buf.getLong() // num_occupied_slots (recomputed)
+    val numBlocks = buf.getLong().toInt
+    val q = buf.getLong().toInt
+    val remBits = buf.getLong().toInt
+    val invertible = buf.getLong() == 1L
+    require(q >= 1 && remBits >= 0 && q + remBits <= 64,
+      s"bad reference metadata: q=$q remainderBits=$remBits")
+    val hashBits = q + remBits
+    val occ = new Array[Long](numBlocks)
+    val run = new Array[Long](numBlocks)
+    val cnt = new Array[Long](numBlocks)
+    val slots = new Array[Long](numBlocks * 64)
+    var bi = 0
+    while (bi < numBlocks) {
+      occ(bi) = buf.getLong(); run(bi) = buf.getLong(); cnt(bi) = buf.getLong()
+      var s = 0
+      while (s < 64) { slots(bi * 64 + s) = buf.getLong(); s += 1 }
+      buf.getLong() // offset — derived, ignored
+      bi += 1
+    }
+    @inline def bit(a: Array[Long], pos: Long): Boolean =
+      (a((pos >>> 6).toInt) & (1L << (pos & 63))) != 0L
+    // decode: the k-th occupied quotient's run ends at the k-th runend;
+    // run k starts at max(quotient, end(k-1) + 1)
+    var hs = new Array[Long](16)
+    var cs = new Array[Long](16)
+    var m = 0
+    val totalSlots = numBlocks * 64L
+    var runendCursor = -1L
+    def nextRunend(from: Long): Long = {
+      var p = from
+      while (p < totalSlots && !bit(run, p)) p += 1
+      require(p < totalSlots, "reference image missing a runend")
+      p
+    }
+    var prevEnd = -1L
+    var quotient = 0L
+    while (quotient < totalSlots) {
+      if (bit(occ, quotient)) {
+        val start = math.max(quotient, prevEnd + 1)
+        runendCursor = nextRunend(math.max(start, runendCursor + 1))
+        val end = runendCursor
+        var pos = start
+        // within-run remainders may be in any order in a foreign image:
+        // collect, then sort per run before emitting
+        val runStart = m
+        while (pos <= end) {
+          val rem = slots(pos.toInt)
+          var c = 1L
+          if (pos + 1 <= end && bit(cnt, pos + 1)) {
+            c = slots(pos.toInt + 1); pos += 2
+          } else pos += 1
+          if (m == hs.length) {
+            hs = java.util.Arrays.copyOf(hs, m * 2)
+            cs = java.util.Arrays.copyOf(cs, m * 2)
+          }
+          hs(m) = (quotient << remBits) | rem
+          cs(m) = c
+          m += 1
+        }
+        // insertion-sort the run slice by hash (runs are tiny)
+        var a = runStart + 1
+        while (a < m) {
+          val h = hs(a); val c0 = cs(a)
+          var bpos = a - 1
+          while (bpos >= runStart && java.lang.Long.compareUnsigned(hs(bpos), h) > 0) {
+            hs(bpos + 1) = hs(bpos); cs(bpos + 1) = cs(bpos); bpos -= 1
+          }
+          hs(bpos + 1) = h; cs(bpos + 1) = c0
+          a += 1
+        }
+        prevEnd = end
+      }
+      quotient += 1
+    }
+    val mm = m
+    def src = new Iterator[(Long, Long)] {
+      private var idx = 0
+      def hasNext: Boolean = idx < mm
+      def next(): (Long, Long) = { val t = (hs(idx), cs(idx)); idx += 1; t }
+    }
+    var myQ = math.max(4, if (compact) hashBits - 32 else math.min(q, hashBits - 1))
+    var res: Cqf = null
+    while (res == null) {
+      try res = fromSortedHashes(src, myQ, hashBits, invertible, compact)
+      catch { case FullException => myQ += 1 }
+    }
+    res
+  }
+
   def deserialize(bytes: Array[Byte]): Cqf = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val magic = buf.getLong()

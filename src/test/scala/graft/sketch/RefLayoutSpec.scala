@@ -1,0 +1,127 @@
+package graft.sketch
+
+import java.nio.{ByteBuffer, ByteOrder}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden + round-trip tests for the reference byte-layout interop
+  * (SURVEY.md §1.2): exportRefLayout must produce exactly the Metadata ‖
+  * Blocks image documented at /root/reference/src/cqf.rs:16-26 +
+  * /root/reference/src/blocks/u64_blocks.rs:9-16 (field values derived BY
+  * HAND from the documented layout rules, not from this implementation),
+  * and importRefLayout must decode any valid image back to identical
+  * content. */
+class RefLayoutSpec extends AnyFunSuite {
+
+  private def le(bytes: Array[Byte]): ByteBuffer =
+    ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+
+  private def metaOf(img: Array[Byte]): (Long, Long, Long, Long, Long, Long, Long) = {
+    val b = le(img)
+    (b.getLong, b.getLong, b.getLong, b.getLong, b.getLong, b.getLong, b.getLong)
+  }
+
+  /** (occupieds, runends, counts, slots[64], offset) of block `i`. */
+  private def blockOf(img: Array[Byte], i: Int): (Long, Long, Long, Array[Long], Long) = {
+    val b = le(img)
+    b.position(56 + i * 544)
+    val occ = b.getLong; val run = b.getLong; val cnt = b.getLong
+    val slots = Array.fill(64)(b.getLong)
+    (occ, run, cnt, slots, b.getLong)
+  }
+
+  test("golden: simple runs, counts, metadata (hand-derived bytes)") {
+    // q=6, hashBits=12: num_real_slots = 64 + 10*sqrt(64) = 144 -> 3 blocks
+    // keys: hash 323 = (q5, rem3) x1; 327 = (q5, rem7) x3; 577 = (q9, rem1) x1
+    val c = Cqf(6, 12, invertible = false, compact = false)
+    c.insertHash(323L, 1L)
+    c.insertHash(327L, 3L)
+    c.insertHash(577L, 1L)
+    val img = Cqf.exportRefLayout(c)
+
+    // Metadata: total=56+3*544=1688, real=144, occupied SLOTS=4 (rem3,
+    // rem7, its count slot, rem1), blocks=3, q=6, rem_bits=6, invertable=0
+    assert(img.length == 1688)
+    assert(metaOf(img) == ((1688L, 144L, 4L, 3L, 6L, 6L, 0L)))
+
+    // Placement (canonical run layout): run q=5 -> slots 5 (rem 3),
+    // 6 (rem 7), 7 (count 3, counts bit, runend); run q=9 -> slot 9
+    // (rem 1, runend). No spill into blocks 1-2 -> offsets 0.
+    val (occ0, run0, cnt0, slots0, off0) = blockOf(img, 0)
+    assert(occ0 == ((1L << 5) | (1L << 9)))
+    assert(run0 == ((1L << 7) | (1L << 9)))
+    assert(cnt0 == (1L << 7))
+    assert(slots0(5) == 3L && slots0(6) == 7L && slots0(7) == 3L && slots0(9) == 1L)
+    assert(slots0.zipWithIndex.forall { case (v, i) => Set(5, 6, 7, 9)(i) || v == 0L })
+    assert(off0 == 0L)
+    for (i <- 1 to 2) {
+      val (o, r, ct, s, f) = blockOf(img, i)
+      assert(o == 0L && r == 0L && ct == 0L && f == 0L && s.forall(_ == 0L))
+    }
+  }
+
+  test("golden: run spilling across a block boundary pins the offset rule") {
+    // q=7 (num_real_slots = 128 + 10*sqrt(128) = 241 -> 4 blocks),
+    // hashBits=13. Quotient 62 holds 5 singleton keys -> run at slots
+    // 62..66, spilling 3 slots into block 1 (runend at 66 = block1 bit 2).
+    // Quotient 65 -> run pushed to slot 67 (runend block1 bit 3).
+    // Block 1 offset must be E - 64 + 1 = 66 - 64 + 1 = 3
+    // (/root/reference/src/blocks.rs:31-45 empty-rank branch).
+    val c = Cqf(7, 13, invertible = false, compact = false)
+    for (rem <- 1L to 5L) c.insertHash((62L << 6) | rem, 1L)
+    c.insertHash((65L << 6) | 9L, 1L)
+    val img = Cqf.exportRefLayout(c)
+    assert(metaOf(img) == ((56L + 4 * 544, 241L, 6L, 4L, 7L, 6L, 0L)))
+    val (occ0, run0, cnt0, slots0, off0) = blockOf(img, 0)
+    assert(occ0 == (1L << 62))
+    assert(run0 == 0L && cnt0 == 0L && off0 == 0L)
+    assert(slots0(62) == 1L && slots0(63) == 2L)
+    val (occ1, run1, cnt1, slots1, off1) = blockOf(img, 1)
+    assert(occ1 == (1L << 1)) // quotient 65
+    assert(run1 == ((1L << 2) | (1L << 3))) // runends at 66 and 67
+    assert(cnt1 == 0L)
+    assert(slots1(0) == 3L && slots1(1) == 4L && slots1(2) == 5L && slots1(3) == 9L)
+    assert(off1 == 3L, s"spill offset must follow the run_end invariant, got $off1")
+  }
+
+  test("round-trip: random multisets survive export -> import exactly") {
+    val rnd = new scala.util.Random(21)
+    for (trial <- 0 until 8) {
+      val hashBits = Seq(12, 20, 32, 64)(trial % 4)
+      val c = Cqf(8, hashBits, invertible = hashBits == 64, compact = false)
+      val keys = Seq.fill(200 + trial * 50)(rnd.nextLong())
+      keys.foreach(k => c.insert(k, 1L + (k & 3L).abs))
+      val img = Cqf.exportRefLayout(c)
+      val back = Cqf.importRefLayout(img)
+      assert(back.hashBits == c.hashBits && back.invertible == c.invertible)
+      assert(back.iterator.toList == c.iterator.toList,
+        s"trial $trial: content diverged after reference-layout round-trip")
+      // a second export of the re-imported filter is byte-identical:
+      // the canonical placement is a pure function of content
+      assert(java.util.Arrays.equals(Cqf.exportRefLayout(back), img))
+    }
+  }
+
+  test("round-trip: empty filter and heavy duplicates") {
+    val empty = Cqf(6, 16, invertible = false, compact = false)
+    val imgE = Cqf.exportRefLayout(empty)
+    assert(Cqf.importRefLayout(imgE).iterator.isEmpty)
+
+    // the reference benchmark's own regime: few keys, huge counts
+    val c = Cqf(10, 46, invertible = true, compact = false)
+    (0L until 500L).foreach(k => c.insert(k % 37L))
+    val back = Cqf.importRefLayout(Cqf.exportRefLayout(c))
+    assert(back.iterator.toList == c.iterator.toList)
+    assert(back.totalCount == 500L && back.distinctCount == 37L)
+  }
+
+  test("import grows past reference load levels my container would refuse") {
+    // build a dense filter, export at its natural q, then import — the
+    // importer must pick a quotient that satisfies MY 95% load cap even
+    // when the image is packed tighter
+    val c = Cqf(6, 20, invertible = false, compact = false)
+    val rnd = new scala.util.Random(5)
+    (0 until 60).foreach(_ => c.insertHash(rnd.nextLong() & 0xfffffL, 2L))
+    val back = Cqf.importRefLayout(Cqf.exportRefLayout(c))
+    assert(back.iterator.toList == c.iterator.toList)
+  }
+}
