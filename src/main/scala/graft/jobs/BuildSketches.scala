@@ -35,6 +35,7 @@ object BuildSketches {
       groupFirst: Boolean = true,
       quotientBits: Int = 12,
       hashBits: Int = 64,
+      compact: Boolean = false,
       hllP: Int = 12,
       cmsDepth: Int = 5,
       cmsWidth: Int = 8192,
@@ -44,7 +45,7 @@ object BuildSketches {
       kllK: Int = 200)
 
   private def buildAgg(cfg: Config, tokens: Column): Column = cfg.kind match {
-    case "cqf" => api.cqf_agg(tokens, cfg.quotientBits, cfg.hashBits)
+    case "cqf" => api.cqf_agg(tokens, cfg.quotientBits, cfg.hashBits, cfg.compact)
     case "hll" => api.hll_agg(tokens, cfg.hllP)
     case "cms" => api.cms_agg(tokens, cfg.cmsDepth, cfg.cmsWidth)
     case "bloom" => api.bloom_agg(tokens, cfg.bloomBits, cfg.bloomHashes)
@@ -71,10 +72,17 @@ object BuildSketches {
     val distributed =
       if (cfg.groupFirst) salted.repartition(col("source"), col("salt"))
       else salted
+    // DEFAULT fast path: a `packed` BINARY column (pack_ints layout) keeps
+    // the scan on parquet's vectorized primitive path — used automatically
+    // for CQF builds when the input table carries it
+    val agg0 =
+      if (cfg.kind == "cqf" && df.columns.contains("packed"))
+        api.cqf_agg_packed(col("packed"), cfg.quotientBits, cfg.hashBits, cfg.compact)
+      else buildAgg(cfg, col("tokens"))
     distributed
       .groupBy(col("source"), col("salt"))
       .agg(
-        buildAgg(cfg, col("tokens")).as("sketch_bytes"),
+        agg0.as("sketch_bytes"),
         count(lit(1)).as("n_rows"),
         sum(col("n_tok").cast("long")).as("n_tokens"),
         // order-insensitive input hash (xor of row hashes) — idempotence

@@ -73,6 +73,29 @@ class BuildSketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == fullRun)
   }
 
+  test("packed input column drives the build and matches the array path exactly") {
+    // TokenGen emits `packed` (the default fast scan layout); the build
+    // must use it automatically AND produce content-identical sketches to
+    // the array<int> path on the same rows
+    val input = TokenGen.generate(spark, 800, vocab = 2000).cache()
+    assert(input.columns.contains("packed"))
+    val cfg = BuildSketches.Config(kind = "cqf", salts = 4, quotientBits = 8)
+    val dirP = Files.createTempDirectory("graft_ckpt_p").toString
+    val viaPacked = BuildSketches.run(spark, input, dirP, cfg)
+      .orderBy("source").collect()
+    val dirQ = Files.createTempDirectory("graft_ckpt_q").toString
+    val viaArray = BuildSketches.run(spark, input.drop("packed"), dirQ, cfg)
+      .orderBy("source").collect()
+    assert(viaPacked.length == viaArray.length && viaPacked.nonEmpty)
+    viaPacked.zip(viaArray).foreach { case (p, q) =>
+      assert(p.getString(0) == q.getString(0))
+      assert(itemsOf(p.getAs[Array[Byte]]("sketch_bytes")) ==
+        itemsOf(q.getAs[Array[Byte]]("sketch_bytes")),
+        s"packed/array sketch content diverged for source ${p.getString(0)}")
+      assert(p.getLong(2) == q.getLong(2) && p.getLong(3) == q.getLong(3))
+    }
+  }
+
   test("lineage rows carry exact per-shard counts and input hashes") {
     val input = TokenGen.generate(spark, 800, vocab = 500)
     val cfg = BuildSketches.Config(kind = "cqf", salts = 4, quotientBits = 10)
