@@ -28,10 +28,18 @@ object BuildSketches {
     * each shard's sketch is built by exactly one task (cache-resident
     * working set, no k-way partial re-merge) — the right plan when group
     * sketches are large relative to per-task slices; disable to use
-    * Catalyst's default map-side partial aggregation. */
+    * Catalyst's default map-side partial aggregation.
+    * salts is the MEAN shard count per source; with autoSalt (default)
+    * the per-source counts are derived from observed row counts (one
+    * cheap pre-pass over the `source` column), so one hot source holding
+    * most of the corpus gets most of the shard budget instead of the
+    * same fixed count as a cold source — at 100x data a fixed count
+    * would leave the hot source's shards 100x the others and the stage
+    * wall clock would be that one task. */
   final case class Config(
       kind: String = "cqf",
       salts: Int = 16,
+      autoSalt: Boolean = true,
       groupFirst: Boolean = true,
       quotientBits: Int = 12,
       hashBits: Int = 64,
@@ -64,11 +72,38 @@ object BuildSketches {
     case other => throw new IllegalArgumentException(s"unknown sketch kind $other")
   }
 
+  /** Per-source shard counts: the total shard budget (cfg.salts x
+    * #sources) split proportionally to observed per-source row counts,
+    * clamped to [1, 4096]. Deterministic for a given input, so the
+    * resume anti-join recomputes identical salts. */
+  def saltCounts(df: DataFrame, cfg: Config): Map[String, Int] = {
+    val counts = df.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = math.max(1L, counts.values.sum)
+    val budget = cfg.salts.toDouble * counts.size
+    counts.map { case (s, n) =>
+      s -> math.min(4096, math.max(1, math.round(budget * n / total).toInt))
+    }
+  }
+
+  /** The salt expression shared by stage 1 and the resume anti-join. */
+  private[jobs] def saltExpr(df: DataFrame, cfg: Config) = {
+    val perSource: Column =
+      if (cfg.autoSalt) {
+        // plan-embedded map literal: one codegen'd lookup per row
+        coalesce(element_at(typedLit(saltCounts(df, cfg)), col("source")),
+          lit(cfg.salts))
+      } else lit(cfg.salts)
+    pmod(xxhash64(col("doc_id")), perSource).cast("int")
+  }
+
   /** Stage 1: per-(source, salt) sketch partials with lineage columns
-    * (F4 fixture schema). */
-  def buildPartials(df: DataFrame, cfg: Config): DataFrame = {
-    val salted = df.withColumn("salt",
-      pmod(xxhash64(col("doc_id")), lit(cfg.salts)).cast("int"))
+    * (F4 fixture schema). `salt` overrides the salt expression — the
+    * resume path passes the FULL input's expression so a partially-built
+    * checkpoint and its resume agree on every row's shard. */
+  def buildPartials(df: DataFrame, cfg: Config,
+      salt: Option[Column] = None): DataFrame = {
+    val salted = df.withColumn("salt", salt.getOrElse(saltExpr(df, cfg)))
     val distributed =
       if (cfg.groupFirst) salted.repartition(col("source"), col("salt"))
       else salted
@@ -111,18 +146,21 @@ object BuildSketches {
       count(lit(1)).as("rows_in"),
       sum(col("n_tok").cast("long")).as("tokens_in"))
 
+    // salts derive from the FULL input (not the resume remainder), so a
+    // partially-built checkpoint and its resume agree on every row's shard
+    val salt = saltExpr(input, cfg)
     val remaining = existing match {
       case None => observed
       case Some(ck) =>
         val done = ck.select(col("source"), col("salt")).distinct()
         observed
-          .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(cfg.salts)).cast("int"))
+          .withColumn("salt", salt)
           .join(broadcast(done), Seq("source", "salt"), "left_anti")
           .drop("salt")
     }
 
     if (remaining.take(1).nonEmpty) {
-      buildPartials(remaining, cfg)
+      buildPartials(remaining, cfg, Some(salt))
         .write.mode(SaveMode.Append).partitionBy("salt").parquet(checkpointDir)
     }
 

@@ -51,13 +51,16 @@ class BuildSketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getString(0) ->
         ((itemsOf(r.getAs[Array[Byte]](1)), r.getLong(2), r.getLong(3)))).toMap
 
-    // interrupted run: only salts 0-2 got checkpointed before the "crash"
+    // interrupted run: only salts 0-2 got checkpointed before the "crash".
+    // The simulation must shard with the FULL input's (auto-tuned) salt
+    // expression, exactly as the interrupted run itself would have
     val dirB = Files.createTempDirectory("graft_ckpt_b").toString
+    val salt = BuildSketches.saltExpr(input, cfg)
     val prefix = input
-      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(cfg.salts)).cast("int"))
+      .withColumn("salt", salt)
       .where(col("salt") < 3)
       .drop("salt")
-    BuildSketches.buildPartials(prefix, cfg)
+    BuildSketches.buildPartials(prefix, cfg, Some(salt))
       .write.mode("append").partitionBy("salt").parquet(dirB)
     // resume processes only the missing shards
     val resumed = BuildSketches.run(spark, input, dirB, cfg)
@@ -94,6 +97,40 @@ class BuildSketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"packed/array sketch content diverged for source ${p.getString(0)}")
       assert(p.getLong(2) == q.getLong(2) && p.getLong(3) == q.getLong(3))
     }
+  }
+
+  test("auto-salting keeps stage-1 shards balanced under 90% source skew") {
+    // adversarial skew: one source holds 90% of the rows. With a fixed
+    // per-source salt count the hot source's shards would be ~63x the
+    // cold ones and the stage wall clock = the hottest task; the
+    // auto-tuned salts (proportional to observed rows) must keep every
+    // shard within a small factor of the mean. Shard sizes are read from
+    // the checkpoint's exact n_rows lineage column.
+    import spark.implicits._
+    val n = 20000
+    val rows = (0 until n).map { i =>
+      val src = if (i % 10 != 0) "hot" else Seq("a", "b", "c")(i % 3)
+      (f"doc_$i%08d", Seq(i % 97, i % 31), 2, src)
+    }
+    val input = rows.toDF("doc_id", "tokens", "n_tok", "source")
+    val cfg = BuildSketches.Config(kind = "cqf", salts = 8, quotientBits = 8)
+
+    val saltMap = BuildSketches.saltCounts(input, cfg)
+    assert(saltMap("hot") > 20, s"hot source under-sharded: $saltMap")
+    assert(Seq("a", "b", "c").forall(saltMap(_) >= 1))
+
+    val dir = Files.createTempDirectory("graft_ckpt_skew").toString
+    BuildSketches.run(spark, input, dir, cfg).collect()
+    val shardRows = spark.read.parquet(dir)
+      .select(col("n_rows")).collect().map(_.getLong(0))
+    val mean = shardRows.sum.toDouble / shardRows.length
+    assert(shardRows.max <= 4 * mean,
+      s"skewed shard: max ${shardRows.max} vs mean $mean (${shardRows.length} shards)")
+    // the fixed-salt plan for comparison: hot shards ~9x the mean
+    val fixed = BuildSketches.buildPartials(input, cfg.copy(autoSalt = false))
+      .select(col("n_rows")).collect().map(_.getLong(0))
+    assert(fixed.max > 3 * (fixed.sum.toDouble / fixed.length),
+      "skew fixture lost its skew — tighten the test data")
   }
 
   test("lineage rows carry exact per-shard counts and input hashes") {
