@@ -27,7 +27,11 @@ object PlanAudit {
       // codebook expression); near-dup pipelines are banded bucket joins
       // with bare-id pair dedup before payload re-joins
       "ann_ivf_exhaustive", "minhash_lsh_candidates", "embedding_near_dups",
-      "window_running_distinct", "multimodal_decode", "cqf_zip_flags")
+      "window_running_distinct", "multimodal_decode", "cqf_zip_flags",
+      // round 3: the row-heavy binary set-op (codegen'd, broadcast
+      // reference) and the lossy-ANN recall bound-checks (in-query
+      // brute force + multi-table LSH candidate dedup before payload)
+      "cqf_intersect_by_bucket", "ann_lsh_topk")
     val sb = new StringBuilder
     sb.append("# EXPLAIN — formatted physical plans (sf=" + sfDir + ")\n\n")
     sb.append("Audit notes per plan: parquet scans must show pruned ")

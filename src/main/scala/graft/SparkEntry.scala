@@ -533,7 +533,7 @@ object SparkEntry {
       val brute = AnnOps.bruteForceTopK(emb, col("vec_id"), col("embedding"),
           qs, col("vec_id"), col("embedding"), k = 3)
         .select(col("query_id"), col("neighbor_id"))
-      brute.join(approx, Seq("query_id", "neighbor_id"), "left")
+      brute.join(broadcast(approx), Seq("query_id", "neighbor_id"), "left")
         .agg(countDistinct(col("query_id")).as("n_queries"),
           count(lit(1)).as("n_pairs"),
           (sum(coalesce(col("hit"), lit(0L))) * 1000 >=
@@ -564,7 +564,7 @@ object SparkEntry {
       val brute = AnnOps.bruteForceTopK(emb, col("vec_id"), col("embedding"),
           qs, col("vec_id"), col("embedding"), k = 3)
         .select(col("query_id"), col("neighbor_id"))
-      brute.join(approx, Seq("query_id", "neighbor_id"), "left")
+      brute.join(broadcast(approx), Seq("query_id", "neighbor_id"), "left")
         .agg(countDistinct(col("query_id")).as("n_queries"),
           count(lit(1)).as("n_pairs"),
           (sum(coalesce(col("hit"), lit(0L))) * 1000 >=
