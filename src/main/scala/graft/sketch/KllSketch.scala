@@ -53,6 +53,7 @@ final class KllSketch private (
     require(!x.isNaN, "cannot add NaN to KLL")
     levels(0) += x
     _n += 1
+    _version += 1
     if (totalItems > totalCapacity) compact()
   }
 
@@ -100,27 +101,73 @@ final class KllSketch private (
     r
   }
 
-  /** Quantile at q in [0,1]. */
-  def quantile(q: Double): Double = {
-    if (_n == 0) return Double.NaN
-    val items = new ArrayBuffer[(Double, Long)](totalItems)
+  // quantile scratch, memoized across calls on an unmodified sketch (the
+  // probe expressions cache the parsed sketch and may ask for many
+  // quantiles); invalidated by add/merge/compact via _version
+  @transient private var qVersion: Long = -1L
+  @transient private var qValues: Array[Double] = _
+  @transient private var qCumW: Array[Long] = _
+  private var _version: Long = 0L
+
+  private def sortedCumulative(): Unit = {
+    if (qVersion == _version && qValues != null) return
+    val m = totalItems
+    val vs = new Array[Double](m)
+    val ws = new Array[Long](m)
+    var o = 0
     var lvl = 0
     while (lvl < levels.length) {
       val w = 1L << lvl
-      levels(lvl).foreach(v => items += ((v, w)))
+      val buf = levels(lvl)
+      var i = 0
+      while (i < buf.length) { vs(o) = buf(i); ws(o) = w; o += 1; i += 1 }
       lvl += 1
     }
-    val sorted = items.sortBy(_._1)
-    val totalW = sorted.iterator.map(_._2).sum
-    val target = math.min(totalW.toDouble, math.max(0.0, q * totalW))
+    // primitive dual-array sort by value (weights ride along)
+    def sortRange(lo0: Int, hi0: Int): Unit = {
+      var lo = lo0
+      var hi = hi0
+      while (lo < hi) {
+        val p = vs((lo + hi) >>> 1)
+        var i = lo
+        var j = hi
+        while (i <= j) {
+          while (vs(i) < p) i += 1
+          while (vs(j) > p) j -= 1
+          if (i <= j) {
+            val tv = vs(i); vs(i) = vs(j); vs(j) = tv
+            val tw = ws(i); ws(i) = ws(j); ws(j) = tw
+            i += 1; j -= 1
+          }
+        }
+        if (j - lo < hi - i) { if (lo < j) sortRange(lo, j); lo = i }
+        else { if (i < hi) sortRange(i, hi); hi = j }
+      }
+    }
+    if (m > 1) sortRange(0, m - 1)
     var cum = 0L
     var i = 0
-    while (i < sorted.length) {
-      cum += sorted(i)._2
-      if (cum >= target) return sorted(i)._1
-      i += 1
+    while (i < m) { cum += ws(i); ws(i) = cum; i += 1 }
+    qValues = vs
+    qCumW = ws
+    qVersion = _version
+  }
+
+  /** Quantile at q in [0,1]: binary search over the memoized cumulative
+    * weights (no boxed tuple sort per call). */
+  def quantile(q: Double): Double = {
+    if (_n == 0) return Double.NaN
+    sortedCumulative()
+    val totalW = qCumW(qCumW.length - 1)
+    val target = math.min(totalW.toDouble, math.max(0.0, q * totalW))
+    // first index with cumW >= target
+    var lo = 0
+    var hi = qCumW.length - 1
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (qCumW(mid) >= target) hi = mid else lo = mid + 1
     }
-    sorted.last._1
+    qValues(lo)
   }
 
   /** Independent deep copy (per-level buffer clones) — lets callers combine
@@ -130,6 +177,7 @@ final class KllSketch private (
 
   def mergeInPlace(other: KllSketch): KllSketch = {
     require(other.k == k, s"KLL k mismatch: $k vs ${other.k}")
+    _version += 1
     while (levels.length < other.levels.length) levels += new ArrayBuffer[Double]
     var lvl = 0
     while (lvl < other.levels.length) {
