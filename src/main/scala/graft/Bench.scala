@@ -30,11 +30,11 @@ object Bench {
     GraftFunctions.registerAll(spark)
 
     // --- headline: distributed CQF build over the stored token table ---
-    // (~10^8 tokens at the default; scale via SPARK_GRAFT_BENCH_DOCS).
-    // The table is bucketed by (source, salt) — the production layout —
-    // so the build is a shuffle-free scan -> aggregate; one task per
-    // bucket builds that shard's sketch (see ScalingBench scaladoc).
-    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "750000").toLong
+    // (~4x10^8 tokens at the default; scale via SPARK_GRAFT_BENCH_DOCS).
+    // The files are bucket-CLUSTERED by (source, salt) — the production
+    // layout — and read with size-balanced splits + partial sketch
+    // aggregation (ScalingBench.buildJob): raw tokens never shuffle.
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "3000000").toLong
     val tokenDir = ScalingBench.materialize(nDocs)
     // DEFAULT build path (see ScalingBench.buildJob): packed-binary token
     // column (vectorized primitive scan) + size-balanced splits over the

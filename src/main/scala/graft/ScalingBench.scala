@@ -9,12 +9,13 @@ import org.apache.spark.sql.functions._
   * local[N] and local[4N]; reports tokens/sec at both and the scaling
   * efficiency (T_4N / T_N) / 4, target >= 0.8.
   *
-  * Job shape: the token table is stored BUCKETED BY (source, salt) —
-  * the production layout (Iceberg/bucketed parquet co-located with the
-  * aggregation key) — so the build is a shuffle-free scan -> aggregate:
-  * one task per bucket builds that shard's sketch, then 60 tiny sketch
-  * rows merge per source. Skew is pre-handled by proportional salting
-  * (the hot source gets 32 shards, cold sources 4).
+  * Job shape: the token table is stored bucket-CLUSTERED by (source,
+  * salt) (Iceberg/bucketed parquet co-located with the aggregation key)
+  * and read with size-balanced splits + partial sketch aggregation
+  * ([[buildJob]]): each split emits ~1 sketch partial, raw tokens never
+  * shuffle, and no hash-collided bucket task can carry multiple shards.
+  * Skew is pre-handled by proportional salting (web holds ~half the
+  * rows and gets 64 shards; cold sources 8).
   *
   * No real cluster exists in this sandbox; local parallelism levels stand
   * in for executor counts (each local thread = one executor core; the job
@@ -151,7 +152,7 @@ object ScalingBench {
   def main(args: Array[String]): Unit = {
     val lo = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "8").toInt
     val hi = sys.env.getOrElse("SPARK_GRAFT_SCALE_HI", (lo * 4).toString).toInt
-    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "750000").toLong
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "3000000").toLong
     val dir = materialize(nDocs)
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
     var tok = 0L
