@@ -83,6 +83,55 @@ class RefLayoutSpec extends AnyFunSuite {
     assert(off1 == 3L, s"spill offset must follow the run_end invariant, got $off1")
   }
 
+  private def fixture(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/$name")
+    require(in != null, s"missing test resource $name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("cross-implementation golden A: reference-built file, explicit hashes") {
+    // /tmp/refbuild (the offline-shimmed reference build, see
+    // docs/ROUND1_NOTES.md §9) generated this file through the REAL
+    // reference implementation: U64Cqf::new_file(8, 20, false, ...) +
+    // insert_by_hash of 90 xorshift hashes with counts 1..16 inserted in
+    // UNSORTED order (generator source: tools/refgold_generator.rs).
+    // Byte-identical export proves placement, counters, bitvectors,
+    // offsets and metadata all match the native engine.
+    val img = fixture("refgold_a.cqf")
+    // replicate the generator's content in the JVM kernel
+    val c = Cqf(8, 20, invertible = false, compact = false)
+    var seed = 0x243f6a8885a308d3L
+    val seen = scala.collection.mutable.HashSet[Long]()
+    var n = 0
+    while (n < 90) {
+      seed ^= seed << 13; seed ^= seed >>> 7; seed ^= seed << 17
+      val h = seed & ((1L << 20) - 1)
+      if (seen.add(h)) {
+        c.insertHash(h, 1L + (seed >>> 60))
+        n += 1
+      }
+    }
+    assert(java.util.Arrays.equals(Cqf.exportRefLayout(c), img),
+      "exportRefLayout does not reproduce the reference-built file")
+    val back = Cqf.importRefLayout(img)
+    assert(back.iterator.toList == c.iterator.toList)
+  }
+
+  test("cross-implementation golden B: reference-built file via keyed inserts") {
+    // reference: U64Cqf::new_file(8, 30, true, BuildReversableHasher<30>)
+    // + insert(k % 61, 1) for k in 0 until 300 — exercises invertible
+    // Wang-hash parity AND the heavy-duplicate count encoding
+    val img = fixture("refgold_b.cqf")
+    val c = Cqf(8, 30, invertible = true, compact = false)
+    (0L until 300L).foreach(k => c.insert(k % 61L))
+    assert(java.util.Arrays.equals(Cqf.exportRefLayout(c), img),
+      "keyed-insert export does not reproduce the reference-built file")
+    val back = Cqf.importRefLayout(img)
+    assert(back.invertible && back.hashBits == 30)
+    assert(back.iterator.toList == c.iterator.toList)
+    assert(back.totalCount == 300L && back.distinctCount == 61L)
+  }
+
   test("round-trip: random multisets survive export -> import exactly") {
     val rnd = new scala.util.Random(21)
     for (trial <- 0 until 8) {
