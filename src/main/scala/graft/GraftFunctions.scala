@@ -79,6 +79,8 @@ object GraftFunctions {
     "cqf_intersect" -> (a => CqfIntersect(a(0), a(1))),
     "cqf_diff" -> (a => CqfDiff(a(0), a(1))),
     "cqf_set_count" -> (a => CqfSetCount(a(0), a(1), a(2))),
+    "cqf_to_ref" -> (a => CqfToRef(a.head)),
+    "cqf_from_ref" -> (a => CqfFromRef(a.head)),
     "cqf_items" -> (a => CqfItems(a.head)),
     "cqf_zip_items" -> (a => CqfZipItems(a(0), a(1))),
     "hll_estimate" -> (a => HllEstimate(a.head)),
@@ -180,6 +182,9 @@ object api {
   def cqf_set_count(sketch: Column, key: Column, count: Column): Column =
     call_function("cqf_set_count", sketch, key, count)
   def cqf_items(sketch: Column): Column = call_function("cqf_items", sketch)
+  /** Reference-engine byte-image interop (see Cqf.exportRefLayout). */
+  def cqf_to_ref(sketch: Column): Column = call_function("cqf_to_ref", sketch)
+  def cqf_from_ref(image: Column): Column = call_function("cqf_from_ref", image)
   def hll_estimate(sketch: Column): Column = call_function("hll_estimate", sketch)
   def hll_union(a: Column, b: Column): Column = call_function("hll_union", a, b)
   def cms_estimate(sketch: Column, key: Column): Column = call_function("cms_estimate", sketch, key)

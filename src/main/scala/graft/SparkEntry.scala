@@ -124,6 +124,22 @@ object SparkEntry {
           col("count_a").as("cnt_r"), col("count_b").as("cnt_a"))
     }),
 
+    "ref_layout_roundtrip" -> ((s, dir) => {
+      // reference-engine interop surface: per-group sketches serialized
+      // into the reference's exact Metadata‖Blocks byte image and parsed
+      // back must carry identical content (cross-implementation byte
+      // goldens live in RefLayoutSpec; this keeps the SQL surface oracled)
+      val li = t(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(api.cqf_agg(col("l_suppkey"), 10, 64).as("sk"))
+        .withColumn("rt", api.cqf_from_ref(api.cqf_to_ref(col("sk"))))
+        .select(col("l_returnflag"),
+          api.cqf_distinct(col("rt")).as("distinct_suppkeys"),
+          api.cqf_total(col("rt")).as("total_rows"),
+          (api.cqf_count(col("rt"), lit(7L)) ===
+            api.cqf_count(col("sk"), lit(7L))).as("probe_eq"))
+    }),
+
     "cqf_set_count_probe" -> ((s, dir) => {
       // set_count end-to-end: overwrite (12345), then true deletion (0);
       // neighbors and distinct counts must be unaffected / decremented
@@ -702,6 +718,11 @@ object SparkEntry {
         |SELECT coalesce(r.k, a.k) AS suppkey,
         |coalesce(r.c, 0) AS cnt_r, coalesce(a.c, 0) AS cnt_a
         |FROM r FULL JOIN a ON r.k = a.k""".stripMargin,
+
+    "ref_layout_roundtrip" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS distinct_suppkeys,
+        |count(*) AS total_rows, TRUE AS probe_eq
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     "cqf_set_count_probe" ->
       """SELECT l_returnflag,

@@ -566,6 +566,49 @@ case class BloomUnion(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+// --------------------------------------------------- reference interop
+
+/** Re-serialize a graft CQF into the reference engine's exact byte image
+  * (Metadata ‖ Blocks, /root/reference/src/cqf/u64_cqf.rs:361-430) — the
+  * bytes a `new_file` checkpoint holds, so reference users can hand
+  * sketches back and forth without re-building. */
+case class CqfToRef(child: Expression)
+    extends UnaryExpression with SketchCache[Cqf] {
+  override def prettyName: String = "cqf_to_ref"
+  override def dataType: DataType = BinaryType
+  protected def parse(bytes: Array[Byte]): Cqf = Cqf.deserialize(bytes)
+  def compute(a: Array[Byte]): Array[Byte] =
+    Cqf.exportRefLayout(cached(a))
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("expr", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+  override protected def withNewChildInternal(c: Expression): CqfToRef = copy(child = c)
+}
+
+/** Parse a reference-engine byte image (e.g. a file written by the
+  * reference's `new_file`) into a graft CQF. */
+case class CqfFromRef(child: Expression)
+    extends UnaryExpression {
+  override def prettyName: String = "cqf_from_ref"
+  override def dataType: DataType = BinaryType
+  def compute(a: Array[Byte]): Array[Byte] =
+    Cqf.importRefLayout(a).serialize()
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("expr", this, getClass.getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+  override protected def withNewChildInternal(c: Expression): CqfFromRef = copy(child = c)
+}
+
 // ------------------------------------------------------------------ hash
 
 case class WangHashExpr(left: Expression, right: Expression)
