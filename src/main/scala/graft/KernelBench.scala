@@ -186,9 +186,52 @@ object KernelBench {
     println(f"[kernelbench] TD BEST: ${n / best / 1e6}%.2f M inserts/s (compression=200)")
   }
 
+  /** Kernel-only replica of the headline build's per-shard workload:
+    * PRE-MATERIALIZED zipf^2.5 tokens over a 50k vocab (pow paid outside
+    * the timed loop — a generator in the loop halves apparent
+    * throughput) into grown compact shards. The 32-thread figure is the
+    * build's kernel ceiling cited in BASELINE.md round 3. */
+  def zipfBench(): Unit = {
+    val perShard = 1700000
+    def mkTokens(tid: Int): Array[Int] = {
+      val a = new Array[Int](perShard)
+      var seed = 0x9e3779b97f4a7c15L * (tid + 1)
+      var i = 0
+      while (i < perShard) {
+        seed = xorshift(seed)
+        val u = (seed >>> 11).toDouble / 9007199254740992.0
+        a(i) = (math.pow(u, 2.5) * 50000).toInt
+        i += 1
+      }
+      a
+    }
+    val tokenSets = (0 until 32).map(mkTokens).toArray
+    def run(threads: Int): Double = {
+      val t0 = System.nanoTime()
+      val ts = (0 until threads).map { tid =>
+        val t = new Thread(() => {
+          val c = Cqf(16, 40, invertible = true, compact = true)
+          val toks = tokenSets(tid)
+          var i = 0
+          while (i < toks.length) { c.insert(toks(i).toLong); i += 1 }
+          require(c.totalCount == perShard)
+        })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      threads.toDouble * perShard / ((System.nanoTime() - t0) / 1e9) / 1e6
+    }
+    run(2)
+    for (t <- Seq(1, 8, 32)) {
+      val best = (1 to 3).map(_ => run(t)).max
+      println(f"[kernel-zipf] $t%2d threads: $best%.1f M inserts/s (zipf 50k-vocab shards)")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val mode = if (args.nonEmpty) args(0) else "all"
     if (mode == "td") tdBench(reps = 3)
+    if (mode == "zipf") zipfBench()
     if (mode == "insert" || mode == "all") insertBench(reps = 3)
     if (mode == "membw" || mode == "all") membwBench()
     if (mode == "copybw" || mode == "all") copybwBench()

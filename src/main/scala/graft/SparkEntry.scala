@@ -251,6 +251,33 @@ object SparkEntry {
       s.table("graft_stream_append")
     }),
 
+    "streaming_stateful_distinct" -> ((s, dir) => {
+      // custom state lifecycle surface: a serialized CQF kernel as
+      // explicit mapGroupsWithState state (the checkpoint byte format IS
+      // the state format), emitting (key, distinct, total) per update.
+      // AvailableNow over the single events file = one batch, so update
+      // mode emits exactly one final row per key — exactly oracle-able
+      GraftFunctions.registerAll(s)
+      import s.implicits._
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .select(col("event_type"), col("user_id").cast("int"))
+        .as[(String, Int)]
+        .map { case (k, u) => (k, Array(u)) }
+      val q = src.groupByKey(_._1)
+        .mapGroupsWithState(
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())(
+          graft.streaming.StreamingSketch.cqfStateFn(10))
+        .toDF("event_type", "distinct_users", "n_events")
+        .writeStream.format("memory").queryName("graft_stream_state")
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_stream_state")
+    }),
+
     "rollup_distinct_parts" -> ((s, dir) => {
       // grouping sets compose with sketch aggregates for free (mergeable
       // partial states under any grouping) — exact rollup distinct
@@ -763,6 +790,10 @@ object SparkEntry {
         |FROM events, m
         |WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= wm
         |GROUP BY 1, 2""".stripMargin,
+
+    "streaming_stateful_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS distinct_users,
+        |count(*) AS n_events FROM events GROUP BY 1""".stripMargin,
 
     "rollup_distinct_parts" ->
       """SELECT l_returnflag, l_linestatus,

@@ -40,7 +40,7 @@ class ContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     // streaming queries execute on construction (start/awaitTermination);
     // analyzing them here would run them — they are covered by the gate
     val deferred = Set("streaming_distinct_users", "streaming_windowed_distinct",
-      "streaming_append_windowed")
+      "streaming_append_windowed", "streaming_stateful_distinct")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!deferred(name)) {
         val df = fn(spark, dir)
