@@ -32,14 +32,13 @@ object ScalingBench {
   // clock is the hottest task. Over-provisioning buckets keeps almost
   // every shard alone in its bucket (~1.9 M tokens max instead of ~5 M)
   final val Buckets = 512
-  // `packed` is the DEFAULT build input: the same token ids as `tokens`
-  // but packed little-endian into one BINARY cell per doc (pack_ints), so
-  // the scan rides parquet's vectorized primitive path instead of the
-  // nested-array assembly path (measured 4-6x scan throughput; the
-  // array<int> column stays for operators that genuinely need elements)
-  final val TableDdlCols =
-    "doc_id STRING, tokens ARRAY<INT>, n_tok INT, source STRING, packed BINARY, salt INT"
-
+  // `packed` is the DEFAULT build input (table columns: doc_id STRING,
+  // tokens ARRAY<INT>, n_tok INT, source STRING, packed BINARY,
+  // salt INT): the same token ids as `tokens` but packed little-endian
+  // into one BINARY cell per doc (pack_ints), so the scan rides
+  // parquet's vectorized primitive path instead of the nested-array
+  // assembly path (measured 4-6x scan throughput; the array<int> column
+  // stays for operators that genuinely need elements)
   def saltCol = when(col("source") === "web",
     pmod(xxhash64(col("doc_id")), lit(64)))
     .otherwise(pmod(xxhash64(col("doc_id")), lit(8))).cast("int")
@@ -85,15 +84,6 @@ object ScalingBench {
         .option("path", s"/tmp/graft_bucketed_tokens_v2_$nDocs")
         .saveAsTable(tableName(nDocs))
     }
-
-  /** Re-register the external bucketed table in this session's (in-memory)
-    * catalog; data files are untouched. */
-  def registerTable(spark: SparkSession, nDocs: Long, dir: String): Unit =
-    spark.sql(
-      s"""CREATE TABLE IF NOT EXISTS ${tableName(nDocs)} ($TableDdlCols)
-         |USING parquet
-         |CLUSTERED BY (source, salt) INTO $Buckets BUCKETS
-         |LOCATION '$dir'""".stripMargin)
 
   /** The headline build plan (BASELINE.json metric: CQF insert+merge
     * tokens/sec). Reads the bucket-CLUSTERED files as plain parquet with

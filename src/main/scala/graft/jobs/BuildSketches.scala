@@ -86,24 +86,55 @@ object BuildSketches {
     }
   }
 
-  /** The salt expression shared by stage 1 and the resume anti-join. */
-  private[jobs] def saltExpr(df: DataFrame, cfg: Config) = {
+  /** Canonical string encoding of a salt scheme — written into every
+    * checkpoint partial so a resume can (a) detect that the checkpoint
+    * was sharded under a different scheme (old code, changed config, or
+    * drifted per-source row counts) and (b) re-shard remaining rows
+    * under the CHECKPOINT's scheme rather than a freshly derived one. */
+  private[jobs] def schemeString(map: Map[String, Int], default: Int): String =
+    map.toSeq.sortBy(_._1).map { case (s, n) => s"$s=$n" }
+      .mkString(s"default=$default;", ",", "")
+
+  private[jobs] def parseScheme(s: String): (Map[String, Int], Int) = {
+    val Array(head, rest @ _*) = s.split(";", 2)
+    val default = head.stripPrefix("default=").toInt
+    val map = rest.headOption.filter(_.nonEmpty).map(_.split(",").map { kv =>
+      val i = kv.lastIndexOf('=')
+      kv.substring(0, i) -> kv.substring(i + 1).toInt
+    }.toMap).getOrElse(Map.empty)
+    (map, default)
+  }
+
+  /** Salt expression for a concrete scheme. try_element_at (not
+    * element_at): under ANSI mode a source unseen when the scheme was
+    * derived must fall back to the default, not throw. */
+  private[jobs] def saltExprFor(map: Map[String, Int], default: Int): Column = {
     val perSource: Column =
-      if (cfg.autoSalt) {
-        // plan-embedded map literal: one codegen'd lookup per row
-        coalesce(element_at(typedLit(saltCounts(df, cfg)), col("source")),
-          lit(cfg.salts))
-      } else lit(cfg.salts)
+      if (map.nonEmpty)
+        coalesce(try_element_at(typedLit(map), col("source")), lit(default))
+      else lit(default)
     pmod(xxhash64(col("doc_id")), perSource).cast("int")
   }
 
+  /** Derive this run's salt scheme from the input (see [[saltCounts]]). */
+  private[jobs] def deriveScheme(df: DataFrame, cfg: Config): (Map[String, Int], Int) =
+    (if (cfg.autoSalt) saltCounts(df, cfg) else Map.empty[String, Int], cfg.salts)
+
+  /** The salt expression shared by stage 1 and the resume anti-join. */
+  private[jobs] def saltExpr(df: DataFrame, cfg: Config): Column = {
+    val (map, default) = deriveScheme(df, cfg)
+    saltExprFor(map, default)
+  }
+
   /** Stage 1: per-(source, salt) sketch partials with lineage columns
-    * (F4 fixture schema). `salt` overrides the salt expression — the
-    * resume path passes the FULL input's expression so a partially-built
-    * checkpoint and its resume agree on every row's shard. */
+    * (F4 fixture schema). `scheme` overrides the salt scheme — the
+    * resume path passes the CHECKPOINT's recorded scheme so a
+    * partially-built checkpoint and its resume agree on every row's
+    * shard even if per-source row proportions drifted in between. */
   def buildPartials(df: DataFrame, cfg: Config,
-      salt: Option[Column] = None): DataFrame = {
-    val salted = df.withColumn("salt", salt.getOrElse(saltExpr(df, cfg)))
+      scheme: Option[(Map[String, Int], Int)] = None): DataFrame = {
+    val (saltMap, saltDefault) = scheme.getOrElse(deriveScheme(df, cfg))
+    val salted = df.withColumn("salt", saltExprFor(saltMap, saltDefault))
     val distributed =
       if (cfg.groupFirst) salted.repartition(col("source"), col("salt"))
       else salted
@@ -125,6 +156,8 @@ object BuildSketches {
         // under ANSI mode, unlike sum
         expr("bit_xor(xxhash64(doc_id, n_tok))").as("input_hash"))
       .withColumn("sketch_kind", lit(cfg.kind))
+      // the scheme every row was sharded under — resume validates/reuses it
+      .withColumn("salt_scheme", lit(schemeString(saltMap, saltDefault)))
   }
 
   /** Run (or resume) the build. Returns the per-source final sketches:
@@ -146,9 +179,26 @@ object BuildSketches {
       count(lit(1)).as("rows_in"),
       sum(col("n_tok").cast("long")).as("tokens_in"))
 
-    // salts derive from the FULL input (not the resume remainder), so a
-    // partially-built checkpoint and its resume agree on every row's shard
-    val salt = saltExpr(input, cfg)
+    // A resume MUST shard under the scheme the checkpoint was built with:
+    // recomputing salts from this run's input (autoSalt counts can drift,
+    // config can change) would silently drop/double-count rows against
+    // the recorded (source, salt) done-set. The scheme travels inside the
+    // checkpoint itself; a checkpoint without it is rejected loudly.
+    val scheme: (Map[String, Int], Int) = existing match {
+      case Some(ck) if ck.columns.contains("salt_scheme") =>
+        val recorded = ck.select(col("salt_scheme")).distinct()
+          .collect().map(_.getString(0))
+        require(recorded.length == 1,
+          s"checkpoint at $checkpointDir mixes salt schemes: ${recorded.mkString(" | ")}")
+        parseScheme(recorded.head)
+      case Some(_) =>
+        throw new IllegalStateException(
+          s"checkpoint at $checkpointDir predates salt-scheme tracking — " +
+          "its shard assignment cannot be reproduced safely; rebuild it " +
+          "from scratch (delete the checkpoint dir)")
+      case None => deriveScheme(input, cfg)
+    }
+    val salt = saltExprFor(scheme._1, scheme._2)
     val remaining = existing match {
       case None => observed
       case Some(ck) =>
@@ -160,7 +210,7 @@ object BuildSketches {
     }
 
     if (remaining.take(1).nonEmpty) {
-      buildPartials(remaining, cfg, Some(salt))
+      buildPartials(remaining, cfg, Some(scheme))
         .write.mode(SaveMode.Append).partitionBy("salt").parquet(checkpointDir)
     }
 

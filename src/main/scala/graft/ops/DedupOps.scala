@@ -415,10 +415,13 @@ private[ops] final class LongUnionFind(expectedKeys: Int) {
   private var occ = new Array[Boolean](cap)
   private var size = 0
 
-  @inline private def mix(k: Long): Int = {
-    // fibonacci hash of the id into the table
-    (((k * 0x9e3779b97f4a7c15L) >>> 40) & mask).toInt
-  }
+  // log2(cap), maintained through grow() so fibonacci-hashed home slots
+  // span the WHOLE table (a fixed shift would cluster every key into a
+  // prefix of large tables and degrade probing toward O(n))
+  private var shift = 64 - java.lang.Integer.numberOfTrailingZeros(cap)
+
+  @inline private def mix(k: Long): Int =
+    ((k * 0x9e3779b97f4a7c15L) >>> shift).toInt & mask
   private def slot(k: Long): Int = {
     var i = mix(k)
     while (occ(i) && keys(i) != k) i = (i + 1) & mask
@@ -438,7 +441,7 @@ private[ops] final class LongUnionFind(expectedKeys: Int) {
   }
   private def grow(): Unit = {
     val ok = keys; val ov = vals; val oo = occ; val oc = cap
-    cap <<= 1; mask = cap - 1
+    cap <<= 1; mask = cap - 1; shift -= 1
     keys = new Array[Long](cap); vals = new Array[Long](cap)
     occ = new Array[Boolean](cap); size = 0
     var i = 0

@@ -531,8 +531,8 @@ final class Cqf private (
     // the same semantic as Cqf.merge/reconciledFlags, so both merge
     // surfaces produce identical metadata for identical inputs.
     val wasEmpty = _occupiedSlots == 0
-    _invertible = if (wasEmpty) other._invertible else _invertible && other._invertible
-    val outCompact = if (wasEmpty) other._compact else _compact && other._compact
+    val (inv, outCompact) = Cqf.reconciledFlags(this, other)
+    _invertible = inv
     if (wasEmpty && other._quotientBits >= _quotientBits) {
       _quotientBits = other._quotientBits
       _compact = other._compact

@@ -55,12 +55,12 @@ class BuildSketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     // The simulation must shard with the FULL input's (auto-tuned) salt
     // expression, exactly as the interrupted run itself would have
     val dirB = Files.createTempDirectory("graft_ckpt_b").toString
-    val salt = BuildSketches.saltExpr(input, cfg)
+    val scheme = BuildSketches.deriveScheme(input, cfg)
     val prefix = input
-      .withColumn("salt", salt)
+      .withColumn("salt", BuildSketches.saltExprFor(scheme._1, scheme._2))
       .where(col("salt") < 3)
       .drop("salt")
-    BuildSketches.buildPartials(prefix, cfg, Some(salt))
+    BuildSketches.buildPartials(prefix, cfg, Some(scheme))
       .write.mode("append").partitionBy("salt").parquet(dirB)
     // resume processes only the missing shards
     val resumed = BuildSketches.run(spark, input, dirB, cfg)
@@ -131,6 +131,46 @@ class BuildSketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("n_rows")).collect().map(_.getLong(0))
     assert(fixed.max > 3 * (fixed.sum.toDouble / fixed.length),
       "skew fixture lost its skew — tighten the test data")
+  }
+
+  test("resume reuses the checkpoint's recorded scheme; untracked checkpoints are rejected") {
+    import spark.implicits._
+    val input = TokenGen.generate(spark, 1000, vocab = 500).cache()
+    val cfg = BuildSketches.Config(kind = "cqf", salts = 4, quotientBits = 8)
+
+    // a resume against a DRIFTED input (different per-source proportions)
+    // must shard under the checkpoint's scheme, not a freshly derived one
+    val dir = Files.createTempDirectory("graft_ckpt_scheme").toString
+    val scheme = BuildSketches.deriveScheme(input, cfg)
+    val prefix = input
+      .withColumn("salt", BuildSketches.saltExprFor(scheme._1, scheme._2))
+      .where(col("salt") === 0).drop("salt")
+    BuildSketches.buildPartials(prefix, cfg, Some(scheme))
+      .write.mode("append").partitionBy("salt").parquet(dir)
+    // drift: drop most of the head source's rows — a re-derived scheme
+    // would assign it fewer salts and misalign with the done-set
+    val drifted = input.where(col("source") =!= TokenGen.Sources.head ||
+      xxhash64(col("doc_id")) % 10 === 0)
+    val resumed = BuildSketches.run(spark, drifted, dir, cfg)
+      .agg(sum(col("n_rows"))).head().getLong(0)
+    // prefix rows (full input, salt 0) + drifted rows not in salt 0:
+    // every drifted row outside the done shards processed exactly once
+    val prefixRows = prefix.count()
+    val driftedOutside = drifted
+      .withColumn("salt", BuildSketches.saltExprFor(scheme._1, scheme._2))
+      .where(col("salt") =!= 0).count()
+    assert(resumed == prefixRows + driftedOutside,
+      s"resume under drifted input mis-sharded: $resumed != $prefixRows + $driftedOutside")
+
+    // a checkpoint without the scheme column must be rejected loudly
+    val dirOld = Files.createTempDirectory("graft_ckpt_old").toString
+    BuildSketches.buildPartials(prefix, cfg, Some(scheme))
+      .drop("salt_scheme")
+      .write.mode("append").partitionBy("salt").parquet(dirOld)
+    val ex = intercept[IllegalStateException] {
+      BuildSketches.run(spark, input, dirOld, cfg).collect()
+    }
+    assert(ex.getMessage.contains("salt-scheme"))
   }
 
   test("lineage rows carry exact per-shard counts and input hashes") {
