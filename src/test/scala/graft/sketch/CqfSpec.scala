@@ -259,23 +259,41 @@ class CqfSpec extends AnyFunSuite {
     assert(s.count(5L) == 0xffffffffL)
   }
 
-  test("false positives bounded when hash is lossy") {
-    // keys beyond 2^hashBits collide through the masked hash; FP rate for
-    // *random absent* keys must stay ≈ n / 2^hashBits (paper bound)
-    val hb = 20
-    val cqf = Cqf(10, hb, invertible = false)
-    val rnd = new Random(3)
-    val present = mutable.Set.empty[Long]
-    for (_ <- 1 to 900) { val k = rnd.nextLong(); cqf.insertHash(WangHash.hash(k, hb), 1); present += (WangHash.hash(k, hb)) }
-    var fp = 0; var trials = 0
-    for (_ <- 1 to 20000) {
-      val k = rnd.nextLong()
-      val h = WangHash.hash(k, hb)
-      if (!present.contains(h)) { trials += 1 } // true negative at hash level
-      else if (cqf.queryHash(h) == 0) fail("false negative!")
+  test("false-positive rate measured against the published bound") {
+    // CQF paper (Pandey et al. SIGMOD'17): for random absent keys the
+    // false-positive probability is δ ≈ n / 2^hash_bits. MEASURE the
+    // rate at two hash widths and pin it inside [bound/2, 2x bound]
+    // (δ·trials in the hundreds-to-thousands, so Poisson noise is a few
+    // percent); also assert zero false negatives
+    for ((hb, nKeys) <- Seq((16, 900), (20, 900))) {
+      val cqf = Cqf(10, hb, invertible = false)
+      val rnd = new Random(3 + hb)
+      val present = mutable.Set.empty[Long]
+      for (_ <- 1 to nKeys) {
+        val k = rnd.nextLong()
+        cqf.insertHash(WangHash.hash(k, hb), 1)
+        present += WangHash.hash(k, hb)
+      }
+      present.foreach(h => assert(cqf.queryHash(h) > 0, "false negative!"))
+      val bound = present.size.toDouble / (1L << hb).toDouble
+      val trials = 200000
+      var fp = 0
+      for (_ <- 1 to trials) {
+        // a fresh random 64-bit key is absent with probability ~1: the
+        // filter claiming presence IS the false positive (its masked
+        // hash collided with a present key's). The filter must also be
+        // exact at the hash level: presence claims match the hash set
+        val h = WangHash.hash(rnd.nextLong(), hb)
+        val claimed = cqf.queryHash(h) > 0
+        assert(claimed == present.contains(h),
+          s"hash-level exactness violated at hb=$hb hash=$h")
+        if (claimed) fp += 1
+      }
+      val rate = fp.toDouble / trials
+      assert(rate <= 2.0 * bound,
+        f"hb=$hb: FP rate $rate%.6f above 2x published bound $bound%.6f")
+      assert(rate >= bound / 2.0,
+        f"hb=$hb: FP rate $rate%.6f implausibly below bound $bound%.6f — test is vacuous")
     }
-    // no false negatives for present hashes
-    present.foreach(h => assert(cqf.queryHash(h) > 0))
-    assert(trials > 0)
   }
 }
