@@ -8,17 +8,10 @@ import java.nio.file.{Files, Paths}
   * broadcast, aggregates split partial/final, and codegen spans are wide.
   */
 object PlanAudit {
-  def main(args: Array[String]): Unit = {
-    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
-    val out = if (args.length > 1) args(1) else "EXPLAIN.md"
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    GraftFunctions.registerAll(spark)
-    val picks = Seq(
+  /** The audited queries — PlanGuardSpec asserts shuffle/broadcast
+    * discipline over exactly this list, so a plan regression fails the
+    * build, not just a reviewer reading EXPLAIN.md. */
+  val picks: Seq[String] = Seq(
       "cqf_count_by_flag", "cqf_merge_two_stage", "cqf_multiplicity_hist",
       "cms_heavy_hitters", "bloom_membership", "ann_brute_topk",
       "ann_ivf_topk", "ngram_jaccard_hist", "dedup_exact_fingerprint",
@@ -32,6 +25,17 @@ object PlanAudit {
       // reference) and the lossy-ANN recall bound-checks (in-query
       // brute force + multi-table LSH candidate dedup before payload)
       "cqf_intersect_by_bucket", "ann_lsh_topk")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val out = if (args.length > 1) args(1) else "EXPLAIN.md"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftFunctions.registerAll(spark)
     val sb = new StringBuilder
     sb.append("# EXPLAIN — formatted physical plans (sf=" + sfDir + ")\n\n")
     sb.append("Audit notes per plan: parquet scans must show pruned ")

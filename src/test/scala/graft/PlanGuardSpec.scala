@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guard: the EXPLAIN.md audit as executable
+  * assertions. Every audited query (PlanAudit.picks) must keep its
+  * shuffle/broadcast discipline — a silent fallback to a sort-merge
+  * join or a cartesian corpus scan fails here, not in a review. */
+class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-planguard")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    GraftFunctions.registerAll(s)
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("audited plans: no sort-merge joins, no unbounded cartesian scans") {
+    PlanAudit.picks.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name regressed to a sort-merge join:\n$plan")
+      // BroadcastNestedLoopJoin is legitimate ONLY as a singleton-sketch /
+      // broadcast-probe fan-out; a CartesianProduct never is
+      assert(!plan.contains("CartesianProduct"),
+        s"$name contains a cartesian product:\n$plan")
+    }
+  }
+
+  test("sketch aggregates split partial/final as ObjectHashAggregate") {
+    for (name <- Seq("cqf_count_by_flag", "cqf_merge_two_stage",
+        "cqf_intersect_by_bucket")) {
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+      assert(plan.contains("ObjectHashAggregate"),
+        s"$name lost its ObjectHashAggregate plan:\n$plan")
+    }
+  }
+
+  test("scans prune to the referenced columns") {
+    // token_counts reads only (source, text) of documents' 6+ columns
+    val plan = SparkEntry.queries("token_counts")(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    val readSchemas = plan.linesIterator
+      .filter(_.trim.startsWith("ReadSchema")).toSeq
+    assert(readSchemas.nonEmpty)
+    readSchemas.foreach { rs =>
+      assert(!rs.contains("doc_id") && !rs.contains("lang"),
+        s"token_counts scan reads unneeded columns: $rs")
+    }
+  }
+}
