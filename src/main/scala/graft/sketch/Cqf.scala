@@ -1017,6 +1017,12 @@ object Cqf {
     buf.getLong() // num_real_slots (implied by quotient_bits)
     buf.getLong() // num_occupied_slots (recomputed)
     val numBlocks = buf.getLong().toInt
+    // the metadata header is identical across the reference's block
+    // variants; only the u64-slot block size distinguishes them. Reject
+    // u32/SoA images instead of misparsing their slots as u64s
+    require(total == 8L * (RefMetadataLongs + numBlocks.toLong * RefBlockLongs),
+      s"not a u64-block reference image (u32/SoA variants have a " +
+      s"different block size): $numBlocks blocks cannot span $total bytes")
     val q = buf.getLong().toInt
     val remBits = buf.getLong().toInt
     val invertible = buf.getLong() == 1L
