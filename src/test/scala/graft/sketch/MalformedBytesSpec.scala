@@ -1,0 +1,71 @@
+package graft.sketch
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hostile/corrupt byte images must fail with a clear exception from the
+  * deserializer, never an opaque index/buffer error deep in a probe —
+  * sketch bytes cross checkpoints and shuffles, so truncation and
+  * cross-kind mixups are real user mistakes. */
+class MalformedBytesSpec extends AnyFunSuite {
+
+  private val deserializers: Seq[(String, Array[Byte] => Any)] = Seq(
+    "cqf" -> (b => Cqf.deserialize(b)),
+    "cqf_ref" -> (b => Cqf.importRefLayout(b)),
+    "hll" -> (b => HllSketch.deserialize(b)),
+    "cms" -> (b => CountMinSketch.deserialize(b)),
+    "bloom" -> (b => BloomSketch.deserialize(b)),
+    "td" -> (b => TDigest.deserialize(b)),
+    "kll" -> (b => KllSketch.deserialize(b)))
+
+  private def wellFormed: Map[String, Array[Byte]] = {
+    val c = Cqf(6, 20); (1L to 50L).foreach(c.insert(_))
+    val h = HllSketch(10); (1L to 50L).foreach(h.add)
+    val cm = CountMinSketch(3, 64); (1L to 50L).foreach(cm.add(_))
+    val bl = BloomSketch(1 << 10, 3); (1L to 50L).foreach(bl.add)
+    val td = TDigest(50.0); (1 to 50).foreach(i => td.add(i.toDouble))
+    val kl = KllSketch(64); (1 to 50).foreach(i => kl.add(i.toDouble))
+    Map("cqf" -> c.serialize(), "cqf_ref" -> Cqf.exportRefLayout(c),
+      "hll" -> h.serialize(), "cms" -> cm.serialize(),
+      "bloom" -> bl.serialize(), "td" -> td.serialize(),
+      "kll" -> kl.serialize())
+  }
+
+  private def expectClean(name: String, f: => Any): Unit = {
+    val e = intercept[Exception](f)
+    assert(e.isInstanceOf[IllegalArgumentException] ||
+      e.isInstanceOf[java.nio.BufferUnderflowException] ||
+      e.isInstanceOf[IllegalStateException],
+      s"$name threw ${e.getClass.getName}: ${e.getMessage}")
+  }
+
+  test("garbage bytes are rejected by every deserializer") {
+    val rnd = new scala.util.Random(9)
+    val garbage = Array.fill(200)(rnd.nextInt().toByte)
+    deserializers.foreach { case (n, d) => expectClean(n, d(garbage)) }
+    deserializers.foreach { case (n, d) => expectClean(n, d(Array.emptyByteArray)) }
+  }
+
+  test("truncated images are rejected, not misread") {
+    val ok = wellFormed
+    deserializers.foreach { case (n, d) =>
+      val whole = ok(n)
+      // a valid header with the payload cut off must not yield a sketch
+      // that silently lost content
+      for (cut <- Seq(whole.length / 2, whole.length - 4)) {
+        val t = java.util.Arrays.copyOf(whole, cut)
+        try {
+          d(t) // acceptable only if it throws; reaching here means parsed
+          fail(s"$n accepted a truncated image (${cut}/${whole.length} bytes)")
+        } catch { case _: Exception => () }
+      }
+    }
+  }
+
+  test("cross-kind bytes are rejected (magic mismatch)") {
+    val ok = wellFormed
+    for ((na, _) <- deserializers; (nb, db) <- deserializers
+         if na != nb && !(na == "cqf_ref" || nb == "cqf_ref")) {
+      expectClean(s"$nb <- $na bytes", db(ok(na)))
+    }
+  }
+}
