@@ -1016,18 +1016,25 @@ object Cqf {
       s"reference image truncated: header says $total, got ${bytes.length}")
     buf.getLong() // num_real_slots (implied by quotient_bits)
     buf.getLong() // num_occupied_slots (recomputed)
-    val numBlocks = buf.getLong().toInt
+    // validate the RAW u64 header fields before any .toInt narrowing —
+    // a corrupt high word must be rejected, not silently truncated
+    val numBlocksL = buf.getLong()
+    require(numBlocksL >= 0L && numBlocksL <= (Int.MaxValue / 64).toLong,
+      s"bad reference metadata: num_blocks=$numBlocksL")
+    val numBlocks = numBlocksL.toInt
     // the metadata header is identical across the reference's block
     // variants; only the u64-slot block size distinguishes them. Reject
     // u32/SoA images instead of misparsing their slots as u64s
     require(total == 8L * (RefMetadataLongs + numBlocks.toLong * RefBlockLongs),
       s"not a u64-block reference image (u32/SoA variants have a " +
       s"different block size): $numBlocks blocks cannot span $total bytes")
-    val q = buf.getLong().toInt
-    val remBits = buf.getLong().toInt
+    val qL = buf.getLong()
+    val remBitsL = buf.getLong()
     val invertible = buf.getLong() == 1L
-    require(q >= 1 && remBits >= 0 && q + remBits <= 64,
-      s"bad reference metadata: q=$q remainderBits=$remBits")
+    require(qL >= 1L && remBitsL >= 0L && qL + remBitsL <= 64L,
+      s"bad reference metadata: q=$qL remainderBits=$remBitsL")
+    val q = qL.toInt
+    val remBits = remBitsL.toInt
     val hashBits = q + remBits
     val occ = new Array[Long](numBlocks)
     val run = new Array[Long](numBlocks)

@@ -50,21 +50,23 @@ class MalformedBytesSpec extends AnyFunSuite {
     deserializers.foreach { case (n, d) =>
       val whole = ok(n)
       // a valid header with the payload cut off must not yield a sketch
-      // that silently lost content
+      // that silently lost content. intercept (NOT a catch-all around
+      // fail()) so an accepting deserializer actually fails the test
       for (cut <- Seq(whole.length / 2, whole.length - 4)) {
         val t = java.util.Arrays.copyOf(whole, cut)
-        try {
-          d(t) // acceptable only if it throws; reaching here means parsed
-          fail(s"$n accepted a truncated image (${cut}/${whole.length} bytes)")
-        } catch { case _: Exception => () }
+        withClue(s"$n accepted a truncated image ($cut/${whole.length} bytes): ") {
+          intercept[Exception](d(t))
+        }
       }
     }
   }
 
-  test("cross-kind bytes are rejected (magic mismatch)") {
+  test("cross-kind bytes are rejected") {
+    // includes cqf_ref in BOTH directions: the reference image has no
+    // magic word, so it is the deserializer most at risk of misparsing
+    // foreign bytes (its guards are the size equation + header sanity)
     val ok = wellFormed
-    for ((na, _) <- deserializers; (nb, db) <- deserializers
-         if na != nb && !(na == "cqf_ref" || nb == "cqf_ref")) {
+    for ((na, _) <- deserializers; (nb, db) <- deserializers if na != nb) {
       expectClean(s"$nb <- $na bytes", db(ok(na)))
     }
   }
