@@ -228,10 +228,141 @@ object KernelBench {
     }
   }
 
+  /** Candidate insert-path restructurings vs the direct per-token insert,
+    * on the zipf shard workload (same tokens, same shard shape):
+    *
+    *  - `sort`: buffer every hash, Arrays.sort, run-length-collapse equal
+    *    hashes, build via the sequential AppendCursor (streaming writes,
+    *    no rank/select walk per token);
+    *  - `table`: bounded open-addressing table (hash -> count) as a
+    *    pre-aggregation layer, flushed into the CQF when full and at the
+    *    end (one CQF insert per DISTINCT key per flush epoch, not per
+    *    token).
+    *
+    * Both produce a Cqf with content identical to the direct path
+    * (asserted). The winner informs whether the Spark aggregate grows a
+    * batched update path. */
+  def altBuildBench(): Unit = {
+    val perShard = 1700000
+    val hashBits = 40
+    def mkTokens(tid: Int): Array[Int] = {
+      val a = new Array[Int](perShard)
+      var seed = 0x9e3779b97f4a7c15L * (tid + 1)
+      var i = 0
+      while (i < perShard) {
+        seed = xorshift(seed)
+        val u = (seed >>> 11).toDouble / 9007199254740992.0
+        a(i) = (math.pow(u, 2.5) * 50000).toInt
+        i += 1
+      }
+      a
+    }
+    val tokenSets = (0 until 32).map(mkTokens).toArray
+
+    def directBuild(toks: Array[Int]): Cqf = {
+      val c = Cqf(16, hashBits, invertible = true, compact = true)
+      var i = 0
+      while (i < toks.length) { c.insert(toks(i).toLong); i += 1 }
+      c
+    }
+    def sortBuild(toks: Array[Int]): Cqf = {
+      val hs = new Array[Long](toks.length)
+      var i = 0
+      while (i < toks.length) { hs(i) = WangHash.hash(toks(i).toLong, hashBits); i += 1 }
+      java.util.Arrays.sort(hs)
+      // run-length collapse in place: hs(j) = hash, cs(j) = count
+      val cs = new Array[Long](toks.length)
+      var j = -1
+      i = 0
+      while (i < hs.length) {
+        if (j >= 0 && hs(j) == hs(i)) cs(j) += 1L
+        else { j += 1; hs(j) = hs(i); cs(j) = 1L }
+        i += 1
+      }
+      val m = j + 1
+      // def, not val: a FullException retry must restart the stream
+      def it = new Iterator[(Long, Long)] {
+        private var k = 0
+        def hasNext: Boolean = k < m
+        def next(): (Long, Long) = { val t = (hs(k), cs(k)); k += 1; t }
+      }
+      var q = 16
+      var res: Cqf = null
+      while (res == null) {
+        try res = Cqf.fromSortedHashesPublic(it, q, hashBits, invertible = true, compact = true)
+        catch { case _: RuntimeException => q += 1 }
+      }
+      res
+    }
+    def tableBuild(toks: Array[Int]): Cqf = {
+      // 2^17-slot open-addressing table: 1 MiB keys + 1 MiB counts
+      val bits = 17
+      val cap = 1 << bits
+      val mask = cap - 1
+      val keys = new Array[Long](cap) // hash+1 (0 = empty)
+      val cnts = new Array[Long](cap)
+      val c = Cqf(16, hashBits, invertible = true, compact = true)
+      var used = 0
+      val flushAt = (cap * 0.7).toInt
+      def flush(): Unit = {
+        var s = 0
+        while (s < cap) {
+          if (keys(s) != 0L) { c.insertHash(keys(s) - 1L, cnts(s)); keys(s) = 0L; cnts(s) = 0L }
+          s += 1
+        }
+        used = 0
+      }
+      var i = 0
+      while (i < toks.length) {
+        val h = WangHash.hash(toks(i).toLong, hashBits)
+        val k = h + 1L
+        var s = (WangHash.mix64(h, 0x9e3779b97f4a7c15L) & mask.toLong).toInt
+        var done = false
+        while (!done) {
+          val cur = keys(s)
+          if (cur == k) { cnts(s) += 1L; done = true }
+          else if (cur == 0L) {
+            keys(s) = k; cnts(s) = 1L; used += 1; done = true
+            if (used >= flushAt) flush()
+          } else s = (s + 1) & mask
+        }
+        i += 1
+      }
+      flush()
+      c
+    }
+
+    // content identity vs the direct path (one shard)
+    val ref = directBuild(tokenSets(0))
+    require(sortBuild(tokenSets(0)).iterator.sameElements(ref.iterator), "sortBuild content mismatch")
+    require(tableBuild(tokenSets(0)).iterator.sameElements(ref.iterator), "tableBuild content mismatch")
+
+    def run(threads: Int, build: Array[Int] => Cqf): Double = {
+      val t0 = System.nanoTime()
+      val ts = (0 until threads).map { tid =>
+        val t = new Thread(() => {
+          val c = build(tokenSets(tid))
+          require(c.totalCount == perShard)
+        })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      threads.toDouble * perShard / ((System.nanoTime() - t0) / 1e9) / 1e6
+    }
+    for ((name, b) <- Seq(("direct", directBuild _), ("sort", sortBuild _), ("table", tableBuild _))) {
+      run(2, b)
+      for (t <- Seq(1, 8, 32)) {
+        val best = (1 to 3).map(_ => run(t, b)).max
+        println(f"[altbuild-$name] $t%2d threads: $best%.1f M inserts/s")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val mode = if (args.nonEmpty) args(0) else "all"
     if (mode == "td") tdBench(reps = 3)
     if (mode == "zipf") zipfBench()
+    if (mode == "altbuild") altBuildBench()
     if (mode == "insert" || mode == "all") insertBench(reps = 3)
     if (mode == "membw" || mode == "all") membwBench()
     if (mode == "copybw" || mode == "all") copybwBench()

@@ -198,21 +198,21 @@ case class CqfAgg(
     compact: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0
-) extends SketchAggBase[Cqf] {
+) extends SketchAggBase[CqfBuilder] {
   override def prettyName: String = "cqf_agg"
-  override def createAggregationBuffer(): Cqf = {
+  override def createAggregationBuffer(): CqfBuilder = {
     val invertible = child.dataType match {
       case StringType | BinaryType | ArrayType(StringType, _) => false
       case _ => true
     }
-    Cqf(quotientBits, hashBits, invertible, compact)
+    CqfBuilder(quotientBits, hashBits, invertible, compact)
   }
-  protected def makeUpdater: (Cqf, Any) => Unit =
-    keyedUpdater((s, k) => s.insert(k), (s, b) => s.insertBytes(b))
-  override def merge(a: Cqf, b: Cqf): Cqf = a.mergeInPlace(b)
-  override def eval(buffer: Cqf): Any = buffer.serialize()
-  override def serialize(buffer: Cqf): Array[Byte] = buffer.serialize()
-  override def deserialize(bytes: Array[Byte]): Cqf = Cqf.deserialize(bytes)
+  protected def makeUpdater: (CqfBuilder, Any) => Unit =
+    keyedUpdater((s, k) => s.add(k), (s, b) => s.addBytes(b))
+  override def merge(a: CqfBuilder, b: CqfBuilder): CqfBuilder = a.mergeInPlace(b)
+  override def eval(buffer: CqfBuilder): Any = buffer.result().serialize()
+  override def serialize(buffer: CqfBuilder): Array[Byte] = buffer.result().serialize()
+  override def deserialize(bytes: Array[Byte]): CqfBuilder = CqfBuilder.deserialize(bytes)
   override def checkInputDataTypes(): TypeCheckResult = checkKeyedInput
   override def withNewMutableAggBufferOffset(o: Int): CqfAgg = copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): CqfAgg = copy(inputAggBufferOffset = o)
@@ -233,11 +233,11 @@ case class CqfPackedAgg(
     compact: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0
-) extends SketchAggBase[Cqf] {
+) extends SketchAggBase[CqfBuilder] {
   override def prettyName: String = "cqf_agg_packed"
-  override def createAggregationBuffer(): Cqf =
-    Cqf(quotientBits, hashBits, invertible = true, compact)
-  protected def makeUpdater: (Cqf, Any) => Unit = (s, v) => {
+  override def createAggregationBuffer(): CqfBuilder =
+    CqfBuilder(quotientBits, hashBits, invertible = true, compact)
+  protected def makeUpdater: (CqfBuilder, Any) => Unit = (s, v) => {
     val b = v.asInstanceOf[Array[Byte]]
     require((b.length & 3) == 0,
       s"cqf_agg_packed: binary length ${b.length} is not a multiple of 4 " +
@@ -247,14 +247,14 @@ case class CqfPackedAgg(
     while (i < n) {
       val t = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
         ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
-      s.insert(t.toLong)
+      s.add(t.toLong)
       i += 4
     }
   }
-  override def merge(a: Cqf, b: Cqf): Cqf = a.mergeInPlace(b)
-  override def eval(buffer: Cqf): Any = buffer.serialize()
-  override def serialize(buffer: Cqf): Array[Byte] = buffer.serialize()
-  override def deserialize(bytes: Array[Byte]): Cqf = Cqf.deserialize(bytes)
+  override def merge(a: CqfBuilder, b: CqfBuilder): CqfBuilder = a.mergeInPlace(b)
+  override def eval(buffer: CqfBuilder): Any = buffer.result().serialize()
+  override def serialize(buffer: CqfBuilder): Array[Byte] = buffer.result().serialize()
+  override def deserialize(bytes: Array[Byte]): CqfBuilder = CqfBuilder.deserialize(bytes)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(

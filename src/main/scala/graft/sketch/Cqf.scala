@@ -706,6 +706,15 @@ object Cqf {
       new Array[Long](numBlocksFor(quotientBits) * strideOf(compact)), 0L)
   }
 
+  /** Build from an ascending (hash, count) stream — the sequential
+    * append path (no per-entry rank/select), public for batched builders
+    * that pre-sort their input. Throws when the content does not fit at
+    * `quotientBits` (callers retry with a larger q). */
+  def fromSortedHashesPublic(items: Iterator[(Long, Long)],
+      quotientBits: Int, hashBits: Int, invertible: Boolean,
+      compact: Boolean): Cqf =
+    fromSortedHashes(items, quotientBits, hashBits, invertible, compact)
+
   /** Build from an ascending (hash, count) stream. */
   private[sketch] def fromSortedHashes(items: Iterator[(Long, Long)],
       quotientBits: Int, hashBits: Int, invertible: Boolean,

@@ -1,0 +1,116 @@
+package graft.sketch
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The pre-aggregation builder must be observably indistinguishable from
+  * direct per-token inserts — same content AND same serialized bytes
+  * (CQF placement is canonical in content, so the bytes only diverge if
+  * the builder loses or double-counts something). */
+class CqfBuilderSpec extends AnyFunSuite {
+
+  private def xorshift(s0: Long): Long = {
+    var s = s0
+    s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+    s
+  }
+
+  private def zipfTokens(n: Int, vocab: Int, seed0: Long): Array[Long] = {
+    val a = new Array[Long](n)
+    var seed = seed0
+    var i = 0
+    while (i < n) {
+      seed = xorshift(seed)
+      val u = (seed >>> 11).toDouble / 9007199254740992.0
+      a(i) = (math.pow(u, 2.5) * vocab).toLong
+      i += 1
+    }
+    a
+  }
+
+  test("byte-identical to direct inserts (zipf, wide and compact)") {
+    for (compact <- Seq(false, true)) {
+      val toks = zipfTokens(400000, 50000, 0xfeedbeefL)
+      val direct = Cqf(10, 40, invertible = true, compact = compact)
+      toks.foreach(direct.insert(_))
+      val b = CqfBuilder(10, 40, invertible = true, compact = compact)
+      toks.foreach(b.add)
+      val built = b.result()
+      assert(built.totalCount == toks.length)
+      assert(java.util.Arrays.equals(built.serialize(), direct.serialize()),
+        s"compact=$compact builder bytes differ from direct bytes")
+    }
+  }
+
+  test("high-distinct stream crosses the max-table drain epochs") {
+    // 300k distinct keys >> the 2^17-slot table: forces several full
+    // drain+refill cycles; every count must survive them
+    val n = 600000
+    val direct = Cqf(10, 64)
+    val b = CqfBuilder(10, 64)
+    var i = 0
+    while (i < n) {
+      val k = i % 300000 // every key exactly twice
+      direct.insert(k.toLong)
+      b.add(k.toLong)
+      i += 1
+    }
+    val built = b.result()
+    assert(built.distinctCount == 300000L)
+    assert(built.totalCount == n.toLong)
+    assert(java.util.Arrays.equals(built.serialize(), direct.serialize()))
+  }
+
+  test("string keys route through the same byte-fold hash") {
+    val keys = (0 until 5000).map(i => s"doc-${i % 700}".getBytes("UTF-8"))
+    val direct = Cqf(8, 64, invertible = false)
+    keys.foreach(direct.insertBytes(_))
+    val b = CqfBuilder(8, 64, invertible = false)
+    keys.foreach(b.addBytes)
+    assert(java.util.Arrays.equals(b.result().serialize(), direct.serialize()))
+  }
+
+  test("result() keeps the builder usable (window-frame eval pattern)") {
+    val b = CqfBuilder(8, 64)
+    val direct = Cqf(8, 64)
+    var i = 0
+    while (i < 2000) {
+      b.add(i % 37L)
+      direct.insert(i % 37L)
+      if (i % 100 == 0) {
+        // eval mid-stream, as running window frames do
+        assert(java.util.Arrays.equals(b.result().serialize(), direct.serialize()))
+      }
+      i += 1
+    }
+    assert(java.util.Arrays.equals(b.result().serialize(), direct.serialize()))
+  }
+
+  test("builder merge == sequential build (content)") {
+    // bytes can differ here: mergeInPlace sizes the rebuild from the SUM
+    // of both sides' occupancy (overlap double-counted), so its q may
+    // exceed the sequential build's by one — a pre-existing Cqf merge
+    // property, not a builder one. Content must be identical.
+    val toksA = zipfTokens(120000, 20000, 1L)
+    val toksB = zipfTokens(120000, 20000, 2L)
+    val seq = Cqf(10, 40)
+    (toksA ++ toksB).foreach(seq.insert(_))
+    val a = CqfBuilder(10, 40)
+    toksA.foreach(a.add)
+    val b = CqfBuilder(10, 40)
+    toksB.foreach(b.add)
+    a.mergeInPlace(b)
+    assert(a.result().iterator.sameElements(seq.iterator))
+  }
+
+  test("explicit counts sum; count=0 is a no-op; all-bits hashes are valid keys") {
+    val b = CqfBuilder(8, 64)
+    b.addHash(-1L, 3L) // 0xFFFF... must not collide with any empty marker
+    b.addHash(0L, 2L)
+    b.addHash(-1L, 0L)
+    b.addHash(-1L, 4L)
+    val c = b.result()
+    assert(c.queryHash(-1L) == 7L)
+    assert(c.queryHash(0L) == 2L)
+    assert(c.distinctCount == 2L)
+  }
+}
