@@ -1,6 +1,6 @@
 package graft
 
-import graft.sketch.{Cqf, WangHash}
+import graft.sketch.{Cqf, CqfBuilder, WangHash}
 
 /** Single-JVM microbenchmarks backing BASELINE.md:
   *
@@ -56,6 +56,27 @@ object KernelBench {
     }
     println(f"[kernelbench] BEST: ${n / best / 1e6}%.2f M inserts/s at q=$q " +
       f"hashBits=$hashBits compact; iteration ${bestIter * 1000}%.1f ms")
+    // same workload through the CqfBuilder pre-agg layer (the production
+    // build path): content asserted identical to the direct kernel
+    var bestB = Double.MaxValue
+    for (r <- 1 to reps) {
+      val b = CqfBuilder(q, hashBits, invertible = true, compact = true)
+      var seed = 0x9e3779b97f4a7c15L + r
+      val t0 = System.nanoTime()
+      var i = 0L
+      while (i < n) {
+        seed = xorshift(seed)
+        b.add((seed & mask) % 10000L)
+        i += 1
+      }
+      val c = b.result()
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(c.totalCount == n, s"builder lost inserts: ${c.totalCount} != $n")
+      println(f"[kernelbench] builder rep $r: ${n / sec / 1e6}%.2f M inserts/s (${sec}%.2f s)")
+      bestB = math.min(bestB, sec)
+    }
+    println(f"[kernelbench] BUILDER BEST: ${n / bestB / 1e6}%.2f M inserts/s " +
+      f"(pre-agg table on the identical workload)")
   }
 
   def membwBench(): Unit = {
