@@ -330,17 +330,19 @@ case class CmsAgg(
     width: Int = 2048,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0
-) extends SketchAggBase[CountMinSketch] {
+) extends SketchAggBase[CmsBuilder] {
   override def prettyName: String = "cms_agg"
-  override def createAggregationBuffer(): CountMinSketch = CountMinSketch(depth, width)
-  protected def makeUpdater: (CountMinSketch, Any) => Unit =
+  override def createAggregationBuffer(): CmsBuilder =
+    new CmsBuilder(CountMinSketch(depth, width))
+  protected def makeUpdater: (CmsBuilder, Any) => Unit =
     keyedUpdater((s, k) => s.add(k),
-      (s, b) => s.addHash(WangHash.mixBytes(b, CountMinSketch.Seed1),
-        WangHash.mixBytes(b, CountMinSketch.Seed2), 1L))
-  override def merge(a: CountMinSketch, b: CountMinSketch): CountMinSketch = a.mergeInPlace(b)
-  override def eval(buffer: CountMinSketch): Any = buffer.serialize()
-  override def serialize(buffer: CountMinSketch): Array[Byte] = buffer.serialize()
-  override def deserialize(bytes: Array[Byte]): CountMinSketch = CountMinSketch.deserialize(bytes)
+      (s, b) => s.addBytes(WangHash.mixBytes(b, CountMinSketch.Seed1),
+        WangHash.mixBytes(b, CountMinSketch.Seed2)))
+  override def merge(a: CmsBuilder, b: CmsBuilder): CmsBuilder = a.mergeInPlace(b)
+  override def eval(buffer: CmsBuilder): Any = buffer.result().serialize()
+  override def serialize(buffer: CmsBuilder): Array[Byte] = buffer.result().serialize()
+  override def deserialize(bytes: Array[Byte]): CmsBuilder =
+    new CmsBuilder(CountMinSketch.deserialize(bytes))
   override def checkInputDataTypes(): TypeCheckResult = checkKeyedInput
   override def withNewMutableAggBufferOffset(o: Int): CmsAgg = copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): CmsAgg = copy(inputAggBufferOffset = o)
@@ -372,17 +374,19 @@ case class BloomAgg(
     numHashes: Int = 5,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0
-) extends SketchAggBase[BloomSketch] {
+) extends SketchAggBase[BloomBuilder] {
   override def prettyName: String = "bloom_agg"
-  override def createAggregationBuffer(): BloomSketch = BloomSketch(numBits, numHashes)
-  protected def makeUpdater: (BloomSketch, Any) => Unit =
+  override def createAggregationBuffer(): BloomBuilder =
+    new BloomBuilder(BloomSketch(numBits, numHashes))
+  protected def makeUpdater: (BloomBuilder, Any) => Unit =
     keyedUpdater((s, k) => s.add(k),
-      (s, b) => s.addHash(WangHash.mixBytes(b, BloomSketch.Seed1),
+      (s, b) => s.addBytes(WangHash.mixBytes(b, BloomSketch.Seed1),
         WangHash.mixBytes(b, BloomSketch.Seed2)))
-  override def merge(a: BloomSketch, b: BloomSketch): BloomSketch = a.mergeInPlace(b)
-  override def eval(buffer: BloomSketch): Any = buffer.serialize()
-  override def serialize(buffer: BloomSketch): Array[Byte] = buffer.serialize()
-  override def deserialize(bytes: Array[Byte]): BloomSketch = BloomSketch.deserialize(bytes)
+  override def merge(a: BloomBuilder, b: BloomBuilder): BloomBuilder = a.mergeInPlace(b)
+  override def eval(buffer: BloomBuilder): Any = buffer.result().serialize()
+  override def serialize(buffer: BloomBuilder): Array[Byte] = buffer.result().serialize()
+  override def deserialize(bytes: Array[Byte]): BloomBuilder =
+    new BloomBuilder(BloomSketch.deserialize(bytes))
   override def checkInputDataTypes(): TypeCheckResult = checkKeyedInput
   override def withNewMutableAggBufferOffset(o: Int): BloomAgg = copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): BloomAgg = copy(inputAggBufferOffset = o)

@@ -1,111 +1,42 @@
 package graft.sketch
 
-/** Bounded pre-aggregation layer in front of a [[Cqf]] build.
+/** Bounded pre-aggregation layer in front of a [[Cqf]] build (table
+  * engine: [[LongPreAgg]]).
   *
   * Token streams that feed a CQF are typically heavily duplicated (zipf
   * vocabularies, event ids), so the build's hot path pays a full
   * rank/select insert per OCCURRENCE. This builder instead counts
-  * occurrences in a small open-addressing table keyed by the full hash
-  * and folds each distinct hash into the filter once per flush epoch —
-  * one CQF insert per DISTINCT key instead of per token. Measured on the
-  * headline zipf shard workload (`KernelBench altbuild`): 40.6 vs 13.3 M
-  * inserts/s single-threaded and 728.6 vs 294.2 M/s at 32 threads — the
-  * table's linear probe is 2-3 insns vs the filter's rank/select walk,
-  * and its working set stays cache-resident.
+  * occurrences keyed by the full hash and folds each distinct hash into
+  * the filter once per flush epoch — one CQF insert per DISTINCT key
+  * instead of per token. Measured on the headline zipf shard workload
+  * (`KernelBench altbuild`): 40.6 vs 13.3 M inserts/s single-threaded
+  * and 728.6 vs 294.2 M/s at 32 threads.
   *
   * The reference has no analog (its bench drives `insert` per key,
   * /root/reference/src/main.rs:53-62); this is the Spark-side map-side
   * combine pushed one level below Catalyst's partial aggregation.
   *
-  * Semantics: `result()` (and any intermediate flush) produces a filter
+  * Semantics: `result()` (and any intermediate drain) produces a filter
   * whose content is IDENTICAL to per-token `insertHash` calls — counts
   * are summed longs, and CQF placement is canonical in content, so even
   * the serialized bytes match the direct path (asserted in
   * CqfBuilderSpec).
-  *
-  * Memory: the table starts at 256 slots and quadruples up to 2^17
-  * (max 2 MiB keys + 1 MiB counts transient per in-flight group); at max
-  * size it drains into the filter and restarts empty, so memory stays
-  * bounded regardless of distinct-key count. Not thread-safe (one
-  * aggregation buffer per task, like the kernels themselves).
   */
-final class CqfBuilder(val cqf: Cqf) {
-  import CqfBuilder._
+final class CqfBuilder(val cqf: Cqf) extends LongPreAgg {
 
-  private var keys: Array[Long] = null
-  private var cnts: Array[Long] = null
-  private var mask: Long = 0L
-  private var growAt: Int = 0
-  private var used: Int = 0
+  protected def sink(key: Long, count: Long): Unit = cqf.insertHash(key, count)
 
-  @inline def add(key: Long): Unit = addHash(cqf.keyHash(key), 1L)
-  @inline def addBytes(b: Array[Byte]): Unit = addHash(cqf.bytesHash(b), 1L)
+  @inline def add(key: Long): Unit = tally(cqf.keyHash(key), 1L)
+  @inline def addBytes(b: Array[Byte]): Unit = tally(cqf.bytesHash(b), 1L)
 
-  /** Count `count` occurrences of pre-hashed value `h`. Empty slots are
-    * marked by count == 0 (a present entry always has count >= 1), so
-    * every 64-bit hash value is a valid key. */
-  def addHash(h: Long, count: Long): Unit = {
-    if (count == 0L) return
-    if (keys == null) alloc(InitSlots)
-    var s = (h & mask).toInt
-    while (true) {
-      if (cnts(s) == 0L) {
-        keys(s) = h
-        cnts(s) = count
-        used += 1
-        if (used >= growAt) growOrFlush()
-        return
-      } else if (keys(s) == h) {
-        cnts(s) += count
-        return
-      } else s = ((s + 1).toLong & mask).toInt
-    }
-  }
-
-  private def alloc(slots: Int): Unit = {
-    keys = new Array[Long](slots)
-    cnts = new Array[Long](slots)
-    mask = (slots - 1).toLong
-    growAt = slots * 7 / 10
-    used = 0
-  }
-
-  private def growOrFlush(): Unit = {
-    val cap = keys.length
-    if (cap < MaxSlots) {
-      // quadruple and rehash: hot keys keep accumulating in the table
-      val ok = keys; val oc = cnts
-      alloc(cap << 2)
-      var i = 0
-      while (i < ok.length) {
-        if (oc(i) != 0L) {
-          var s = (ok(i) & mask).toInt
-          while (cnts(s) != 0L) s = ((s + 1).toLong & mask).toInt
-          keys(s) = ok(i); cnts(s) = oc(i); used += 1
-        }
-        i += 1
-      }
-    } else drain()
-  }
-
-  /** Fold every table entry into the filter and clear the table. */
-  private def drain(): Unit = {
-    var i = 0
-    while (i < keys.length) {
-      if (cnts(i) != 0L) { cqf.insertHash(keys(i), cnts(i)); cnts(i) = 0L }
-      i += 1
-    }
-    used = 0
-  }
+  /** Count `count` occurrences of pre-hashed value `h`. */
+  @inline def addHash(h: Long, count: Long): Unit = tally(h, count)
 
   /** The filter with all buffered counts folded in. The builder remains
     * usable afterwards (window frames call eval per frame). */
-  def result(): Cqf = {
-    if (keys != null && used > 0) drain()
-    cqf
-  }
+  def result(): Cqf = { drain(); cqf }
 
-  /** Merge `other` into this builder (both flush first — table entries
+  /** Merge `other` into this builder (both drain first — table entries
     * have no cross-builder identity). */
   def mergeInPlace(other: CqfBuilder): CqfBuilder = {
     result().mergeInPlace(other.result())
@@ -114,9 +45,6 @@ final class CqfBuilder(val cqf: Cqf) {
 }
 
 object CqfBuilder {
-  private final val InitSlots = 1 << 8
-  private final val MaxSlots = 1 << 17
-
   def apply(quotientBits: Int, hashBits: Int = 64,
       invertible: Boolean = true, compact: Boolean = false): CqfBuilder =
     new CqfBuilder(Cqf(quotientBits, hashBits, invertible, compact))

@@ -1,0 +1,123 @@
+package graft.sketch
+
+/** Bounded open-addressing pre-aggregation table over 64-bit keys —
+  * the shared engine behind [[CqfBuilder]], [[CmsBuilder]] and
+  * [[BloomBuilder]]. Counts occurrences of each distinct key in a small
+  * linear-probe table and folds them into the wrapped sketch via
+  * [[sink]] once per flush epoch: the duplicate-heavy streams that feed
+  * key sketches then pay a 2-3-instruction probe per OCCURRENCE and the
+  * sketch's full insert cost only per DISTINCT key. Measured on the
+  * headline zipf workload (`KernelBench altbuild`): 2.5-3x at every
+  * thread count for the CQF; the same table fronts CMS (whose weighted
+  * `addHash` makes the fold exact) and Bloom (bit-OR idempotent, the
+  * table just suppresses repeats).
+  *
+  * Memory: starts at 256 slots, quadruples to 2^17 max (2 MiB keys +
+  * 1 MiB counts transient per in-flight group), drains and restarts at
+  * max — bounded regardless of distinct-key count. Empty slots are
+  * marked by count == 0 (a present entry always counts >= 1), so every
+  * 64-bit key value is valid. Not thread-safe (one aggregation buffer
+  * per task, like the kernels).
+  */
+abstract class LongPreAgg {
+  import LongPreAgg._
+
+  private var keys: Array[Long] = null
+  private var cnts: Array[Long] = null
+  private var mask: Long = 0L
+  private var growAt: Int = 0
+  private var used: Int = 0
+
+  /** Fold one (key, count) into the wrapped sketch. Called once per
+    * distinct key per flush epoch, never on the per-token hot path. */
+  protected def sink(key: Long, count: Long): Unit
+
+  /** Count `count` occurrences of `key`. */
+  final def tally(key: Long, count: Long): Unit = {
+    if (count == 0L) return
+    if (keys == null) alloc(InitSlots)
+    var s = (key & mask).toInt
+    while (true) {
+      if (cnts(s) == 0L) {
+        keys(s) = key
+        cnts(s) = count
+        used += 1
+        if (used >= growAt) growOrFlush()
+        return
+      } else if (keys(s) == key) {
+        cnts(s) += count
+        return
+      } else s = ((s + 1).toLong & mask).toInt
+    }
+  }
+
+  private def alloc(slots: Int): Unit = {
+    keys = new Array[Long](slots)
+    cnts = new Array[Long](slots)
+    mask = (slots - 1).toLong
+    growAt = slots * 7 / 10
+    used = 0
+  }
+
+  private def growOrFlush(): Unit = {
+    val cap = keys.length
+    if (cap < MaxSlots) {
+      // quadruple and rehash: hot keys keep accumulating in the table
+      val ok = keys; val oc = cnts
+      alloc(cap << 2)
+      var i = 0
+      while (i < ok.length) {
+        if (oc(i) != 0L) {
+          var s = (ok(i) & mask).toInt
+          while (cnts(s) != 0L) s = ((s + 1).toLong & mask).toInt
+          keys(s) = ok(i); cnts(s) = oc(i); used += 1
+        }
+        i += 1
+      }
+    } else drain()
+  }
+
+  /** Fold every table entry into the sketch and clear the table. */
+  protected final def drain(): Unit = {
+    if (keys == null || used == 0) return
+    var i = 0
+    while (i < keys.length) {
+      if (cnts(i) != 0L) { sink(keys(i), cnts(i)); cnts(i) = 0L }
+      i += 1
+    }
+    used = 0
+  }
+}
+
+object LongPreAgg {
+  private final val InitSlots = 1 << 8
+  private final val MaxSlots = 1 << 17
+}
+
+/** Pre-aggregated Count-Min build: long keys tally in the table (the
+  * two seed mixes deferred to the fold, so repeats pay neither mix);
+  * byte keys go straight to the sketch (their mixes must run per
+  * occurrence anyway, and CMS counter addition commutes, so interleaved
+  * direct/table updates stay exact). Output bytes identical to direct
+  * per-token adds. */
+final class CmsBuilder(val cms: CountMinSketch) extends LongPreAgg {
+  protected def sink(key: Long, count: Long): Unit = cms.add(key, count)
+  @inline def add(key: Long): Unit = tally(key, 1L)
+  @inline def addBytes(h1: Long, h2: Long): Unit = cms.addHash(h1, h2, 1L)
+  def result(): CountMinSketch = { drain(); cms }
+  def mergeInPlace(other: CmsBuilder): CmsBuilder = {
+    result().mergeInPlace(other.result()); this
+  }
+}
+
+/** Pre-aggregated Bloom build: the table suppresses repeated keys (bit
+  * OR is idempotent — the count is ignored at the fold). */
+final class BloomBuilder(val bloom: BloomSketch) extends LongPreAgg {
+  protected def sink(key: Long, count: Long): Unit = bloom.add(key)
+  @inline def add(key: Long): Unit = tally(key, 1L)
+  @inline def addBytes(h1: Long, h2: Long): Unit = bloom.addHash(h1, h2)
+  def result(): BloomSketch = { drain(); bloom }
+  def mergeInPlace(other: BloomBuilder): BloomBuilder = {
+    result().mergeInPlace(other.result()); this
+  }
+}

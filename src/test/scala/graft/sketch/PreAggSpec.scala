@@ -1,0 +1,76 @@
+package graft.sketch
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CMS/Bloom pre-agg builders must be byte-identical to direct adds:
+  * CMS counters sum and Bloom bits OR, both commutative, so table
+  * deferral cannot change the final image. */
+class PreAggSpec extends AnyFunSuite {
+
+  private def keys(n: Int, vocab: Int, seed0: Long): Array[Long] = {
+    var s = seed0
+    Array.fill(n) {
+      s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+      math.abs(s) % vocab
+    }
+  }
+
+  test("cms builder bytes == direct bytes (long keys, incl. drain epochs)") {
+    for ((n, vocab) <- Seq((200000, 5000), (400000, 300000))) {
+      val ks = keys(n, vocab, 0xabcdefL)
+      val direct = CountMinSketch(5, 2048)
+      ks.foreach(direct.add(_))
+      val b = new CmsBuilder(CountMinSketch(5, 2048))
+      ks.foreach(b.add)
+      assert(java.util.Arrays.equals(b.result().serialize(), direct.serialize()),
+        s"n=$n vocab=$vocab")
+    }
+  }
+
+  test("cms builder interleaves long and byte keys exactly") {
+    val direct = CountMinSketch(5, 1024)
+    val b = new CmsBuilder(CountMinSketch(5, 1024))
+    var i = 0
+    while (i < 50000) {
+      val k = (i % 777).toLong
+      direct.add(k)
+      b.add(k)
+      if (i % 3 == 0) {
+        val bytes = s"s${i % 123}".getBytes("UTF-8")
+        direct.addHash(WangHash.mixBytes(bytes, CountMinSketch.Seed1),
+          WangHash.mixBytes(bytes, CountMinSketch.Seed2), 1L)
+        b.addBytes(WangHash.mixBytes(bytes, CountMinSketch.Seed1),
+          WangHash.mixBytes(bytes, CountMinSketch.Seed2))
+      }
+      i += 1
+    }
+    assert(java.util.Arrays.equals(b.result().serialize(), direct.serialize()))
+  }
+
+  test("bloom builder bytes == direct bytes; merge == sequential") {
+    val ksA = keys(120000, 40000, 7L)
+    val ksB = keys(120000, 40000, 8L)
+    val direct = BloomSketch(1L << 16, 5)
+    (ksA ++ ksB).foreach(direct.add(_))
+    val a = new BloomBuilder(BloomSketch(1L << 16, 5))
+    ksA.foreach(a.add)
+    val b = new BloomBuilder(BloomSketch(1L << 16, 5))
+    ksB.foreach(b.add)
+    a.mergeInPlace(b)
+    assert(java.util.Arrays.equals(a.result().serialize(), direct.serialize()))
+  }
+
+  test("builders stay usable after result() (window eval pattern)") {
+    val direct = CountMinSketch(3, 256)
+    val b = new CmsBuilder(CountMinSketch(3, 256))
+    var i = 0
+    while (i < 3000) {
+      direct.add((i % 41).toLong)
+      b.add((i % 41).toLong)
+      if (i % 250 == 0)
+        assert(java.util.Arrays.equals(b.result().serialize(), direct.serialize()))
+      i += 1
+    }
+    assert(java.util.Arrays.equals(b.result().serialize(), direct.serialize()))
+  }
+}
