@@ -379,11 +379,63 @@ object KernelBench {
     }
   }
 
+  /** Adversarial low-duplication check: the pre-agg table must not
+    * regress when nearly every key is distinct (the table then buffers
+    * without deduplicating and pays probe+rehash+drain ON TOP of the
+    * kernel inserts). Direct kernel vs production CqfBuilder on ~unique
+    * 31-bit keys. */
+  def distinctBench(): Unit = {
+    val perShard = 1700000
+    val hashBits = 40
+    def mkKeys(tid: Int): Array[Long] = {
+      val a = new Array[Long](perShard)
+      var seed = 0x9e3779b97f4a7c15L * (tid + 17)
+      var i = 0
+      while (i < perShard) {
+        seed = xorshift(seed)
+        a(i) = seed & 0x7fffffffL // ~2^31 space: almost all distinct
+        i += 1
+      }
+      a
+    }
+    val keySets = (0 until 32).map(mkKeys).toArray
+    def direct(ks: Array[Long]): Long = {
+      val c = Cqf(16, hashBits, invertible = true, compact = true)
+      var i = 0
+      while (i < ks.length) { c.insert(ks(i)); i += 1 }
+      c.totalCount
+    }
+    def table(ks: Array[Long]): Long = {
+      val b = CqfBuilder(16, hashBits, invertible = true, compact = true)
+      var i = 0
+      while (i < ks.length) { b.add(ks(i)); i += 1 }
+      b.result().totalCount
+    }
+    require(direct(keySets(0)) == perShard && table(keySets(0)) == perShard)
+    def run(threads: Int, f: Array[Long] => Long): Double = {
+      val t0 = System.nanoTime()
+      val ts = (0 until threads).map { tid =>
+        val t = new Thread(() => { require(f(keySets(tid)) == perShard) })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      threads.toDouble * perShard / ((System.nanoTime() - t0) / 1e9) / 1e6
+    }
+    for ((name, f) <- Seq(("direct", direct _), ("table", table _))) {
+      run(2, f)
+      for (t <- Seq(1, 8, 32)) {
+        val best = (1 to 3).map(_ => run(t, f)).max
+        println(f"[distinct-$name] $t%2d threads: $best%.1f M inserts/s (~all-distinct keys)")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val mode = if (args.nonEmpty) args(0) else "all"
     if (mode == "td") tdBench(reps = 3)
     if (mode == "zipf") zipfBench()
     if (mode == "altbuild") altBuildBench()
+    if (mode == "distinct") distinctBench()
     if (mode == "insert" || mode == "all") insertBench(reps = 3)
     if (mode == "membw" || mode == "all") membwBench()
     if (mode == "copybw" || mode == "all") copybwBench()

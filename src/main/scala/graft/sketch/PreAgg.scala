@@ -27,14 +27,27 @@ abstract class LongPreAgg {
   private var mask: Long = 0L
   private var growAt: Int = 0
   private var used: Int = 0
+  private var calls: Long = 0L
+  private var bypass = false
 
   /** Fold one (key, count) into the wrapped sketch. Called once per
-    * distinct key per flush epoch, never on the per-token hot path. */
+    * distinct key per flush epoch — or per occurrence after a bypass. */
   protected def sink(key: Long, count: Long): Unit
+
+  /** True once a max-cap drain observed duplication < 1.25× and routed
+    * all subsequent tallies straight to the sketch (exposed for specs). */
+  private[sketch] def bypassed: Boolean = bypass
 
   /** Count `count` occurrences of `key`. */
   final def tally(key: Long, count: Long): Unit = {
     if (count == 0L) return
+    // adaptive bypass: when a full table drained with ~no duplication,
+    // this stream is cardinality-dominated and the table would keep
+    // paying probe+rehash+drain on top of every kernel insert (~10-16%
+    // measured, `KernelBench distinct`); route direct from then on.
+    // Content is unchanged either way — the sketch sums occurrences.
+    if (bypass) { sink(key, count); return }
+    calls += 1
     if (keys == null) alloc(InitSlots)
     var s = (key & mask).toInt
     while (true) {
@@ -74,11 +87,15 @@ abstract class LongPreAgg {
         }
         i += 1
       }
-    } else drain()
+    } else {
+      if (calls < used.toLong * 5 / 4) bypass = true
+      drain()
+    }
   }
 
   /** Fold every table entry into the sketch and clear the table. */
   protected final def drain(): Unit = {
+    calls = 0L
     if (keys == null || used == 0) return
     var i = 0
     while (i < keys.length) {

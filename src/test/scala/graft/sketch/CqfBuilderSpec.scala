@@ -102,6 +102,37 @@ class CqfBuilderSpec extends AnyFunSuite {
     assert(a.result().iterator.sameElements(seq.iterator))
   }
 
+  test("cardinality-dominated streams trip the bypass; bytes stay identical") {
+    // ~all-distinct keys: the first max-cap drain must observe dup<1.25
+    // and route subsequent tallies straight to the kernel
+    val n = 200000
+    val direct = Cqf(10, 64)
+    val b = CqfBuilder(10, 64)
+    var i = 0
+    while (i < n) {
+      direct.insert(i.toLong)
+      b.add(i.toLong)
+      i += 1
+    }
+    assert(b.bypassed, "expected the all-distinct stream to trip the bypass")
+    // keep inserting AFTER the bypass, with duplicates: content must
+    // still match a direct build exactly
+    i = 0
+    while (i < 50000) {
+      direct.insert((i % 1000).toLong)
+      b.add((i % 1000).toLong)
+      i += 1
+    }
+    assert(java.util.Arrays.equals(b.result().serialize(), direct.serialize()))
+  }
+
+  test("duplicate-heavy streams never trip the bypass") {
+    val b = CqfBuilder(10, 40, invertible = true, compact = true)
+    zipfTokens(400000, 50000, 0x1234L).foreach(b.add)
+    b.result()
+    assert(!b.bypassed, "zipf stream must stay on the table path")
+  }
+
   test("explicit counts sum; count=0 is a no-op; all-bits hashes are valid keys") {
     val b = CqfBuilder(8, 64)
     b.addHash(-1L, 3L) // 0xFFFF... must not collide with any empty marker
