@@ -43,10 +43,13 @@ object Bench {
     val stored = spark.read.parquet(tokenDir)
     val nTokens = stored.agg(sum(col("n_tok"))).head().getLong(0)
     // split sizing applies to the build only; queries keep stock splits
+    // min of N runs: the pre-agg kernel finishes the default input in
+    // ~1.6 s, so single shots are dominated by whatever the shared host
+    // is doing that second; 4 reps cost ~5 s and stabilize the min
+    val headlineReps = sys.env.getOrElse("SPARK_GRAFT_HEADLINE_REPS", "4").toInt
     val buildSec = ScalingBench.withSplitScan(spark) {
       ScalingBench.buildJob(stored.sample(0.05)) // untimed warm-up: JIT + codegen
-      // min of 2 runs: the shared sandbox host makes single-shot timings noisy
-      (1 to 2).map { _ =>
+      (1 to headlineReps).map { _ =>
         val t0 = System.nanoTime()
         val builtTokens = ScalingBench.buildJob(stored)
         val sec = (System.nanoTime() - t0) / 1e9
