@@ -430,12 +430,64 @@ object KernelBench {
     }
   }
 
+  /** CMS direct vs CmsBuilder on the zipf shard workload (content
+    * asserted identical). The builder defers both seed mixes to the
+    * per-distinct fold, so repeats pay one table probe instead of two
+    * mix64s + depth row updates. */
+  def cmsBuildBench(): Unit = {
+    val perShard = 1700000
+    def mkTokens(tid: Int): Array[Long] = {
+      val a = new Array[Long](perShard)
+      var seed = 0x9e3779b97f4a7c15L * (tid + 1)
+      var i = 0
+      while (i < perShard) {
+        seed = xorshift(seed)
+        val u = (seed >>> 11).toDouble / 9007199254740992.0
+        a(i) = (math.pow(u, 2.5) * 50000).toLong
+        i += 1
+      }
+      a
+    }
+    val tokenSets = (0 until 32).map(mkTokens).toArray
+    def direct(ks: Array[Long]): graft.sketch.CountMinSketch = {
+      val c = graft.sketch.CountMinSketch(5, 2048)
+      var i = 0
+      while (i < ks.length) { c.add(ks(i)); i += 1 }
+      c
+    }
+    def table(ks: Array[Long]): graft.sketch.CountMinSketch = {
+      val b = new graft.sketch.CmsBuilder(graft.sketch.CountMinSketch(5, 2048))
+      var i = 0
+      while (i < ks.length) { b.add(ks(i)); i += 1 }
+      b.result()
+    }
+    require(java.util.Arrays.equals(
+      direct(tokenSets(0)).serialize(), table(tokenSets(0)).serialize()))
+    def run(threads: Int, f: Array[Long] => graft.sketch.CountMinSketch): Double = {
+      val t0 = System.nanoTime()
+      val ts = (0 until threads).map { tid =>
+        val t = new Thread(() => { f(tokenSets(tid)); () })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      threads.toDouble * perShard / ((System.nanoTime() - t0) / 1e9) / 1e6
+    }
+    for ((name, f) <- Seq(("direct", direct _), ("table", table _))) {
+      run(2, f)
+      for (t <- Seq(1, 8, 32)) {
+        val best = (1 to 3).map(_ => run(t, f)).max
+        println(f"[cmsbuild-$name] $t%2d threads: $best%.1f M inserts/s")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val mode = if (args.nonEmpty) args(0) else "all"
     if (mode == "td") tdBench(reps = 3)
     if (mode == "zipf") zipfBench()
     if (mode == "altbuild") altBuildBench()
     if (mode == "distinct") distinctBench()
+    if (mode == "cmsbuild") cmsBuildBench()
     if (mode == "insert" || mode == "all") insertBench(reps = 3)
     if (mode == "membw" || mode == "all") membwBench()
     if (mode == "copybw" || mode == "all") copybwBench()
