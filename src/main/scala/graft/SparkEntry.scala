@@ -278,6 +278,35 @@ object SparkEntry {
       s.table("graft_stream_state")
     }),
 
+    "streaming_dedup_first_seen" -> ((s, dir) => {
+      // streaming ingestion dedup: exact first-seen dedup as a stateful
+      // stream — the continuous form of dedup_exact_fingerprint. State
+      // per 64-bit content fingerprint is (kept_id, n_dups) — 16 bytes
+      // per distinct content, never the text. The canonical winner is
+      // min(doc_id) (deterministic regardless of within-batch iterator
+      // order); AvailableNow over the single documents file = one batch,
+      // so update mode emits exactly one final row per distinct content,
+      // equal to the batch/DuckDB answer.
+      GraftFunctions.registerAll(s)
+      import s.implicits._
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(TextOps.fingerprint(col("text")).as("fp"), col("doc_id"))
+        .as[(Long, Long)]
+      val q = src.groupByKey(_._1)
+        .mapGroupsWithState(
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())(
+          graft.streaming.StreamingSketch.dedupStateFn)
+        .toDF("kept_id", "n_dups")
+        .writeStream.format("memory").queryName("graft_stream_dedup")
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_stream_dedup")
+    }),
+
     "rollup_distinct_parts" -> ((s, dir) => {
       // grouping sets compose with sketch aggregates for free (mergeable
       // partial states under any grouping) — exact rollup distinct
@@ -794,6 +823,10 @@ object SparkEntry {
     "streaming_stateful_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS distinct_users,
         |count(*) AS n_events FROM events GROUP BY 1""".stripMargin,
+
+    "streaming_dedup_first_seen" ->
+      """SELECT min(doc_id) AS kept_id, count(*) AS n_dups
+        |FROM documents GROUP BY text""".stripMargin,
 
     "rollup_distinct_parts" ->
       """SELECT l_returnflag, l_linestatus,

@@ -43,4 +43,24 @@ object StreamingSketch {
   /** Convenience: run a per-group streaming sketch agg in update mode. */
   def perGroupUpdate(df: DataFrame, group: Column, agg: Column): DataFrame =
     df.groupBy(group).agg(agg.as("sketch"))
+
+  /** Streaming exact-dedup state: per content fingerprint, track the
+    * canonical representative (min doc id — deterministic regardless of
+    * within-batch iterator order, unlike literal first-arrival) and the
+    * copy count; emits (kept_id, n_dups) after each update. The
+    * continuous-ingestion form of DedupOps.exactDedup: state is 1 id +
+    * 1 long per distinct content, never the text. */
+  def dedupStateFn
+      : (Long, Iterator[(Long, Long)], GroupState[(Long, Long)]) => (Long, Long) =
+    (_, rows, state) => {
+      var kept = Long.MaxValue
+      var n = 0L
+      if (state.exists) { val (k, c) = state.get; kept = k; n = c }
+      rows.foreach { case (_, id) =>
+        n += 1
+        if (id < kept) kept = id
+      }
+      state.update((kept, n))
+      (kept, n)
+    }
 }
