@@ -49,7 +49,11 @@ abstract class LongPreAgg {
     if (bypass) { sink(key, count); return }
     calls += 1
     if (keys == null) alloc(InitSlots)
-    var s = (key & mask).toInt
+    // Fibonacci slot hash: one multiply spreads strided raw keys (CMS/
+    // Bloom tally user keys directly — ids with a power-of-two stride
+    // would otherwise all land in one probe cluster); high bits taken so
+    // every key bit influences the slot
+    var s = (((key * 0x9e3779b97f4a7c15L) >>> 17) & mask).toInt
     while (true) {
       if (cnts(s) == 0L) {
         keys(s) = key
@@ -81,7 +85,7 @@ abstract class LongPreAgg {
       var i = 0
       while (i < ok.length) {
         if (oc(i) != 0L) {
-          var s = (ok(i) & mask).toInt
+          var s = (((ok(i) * 0x9e3779b97f4a7c15L) >>> 17) & mask).toInt
           while (cnts(s) != 0L) s = ((s + 1).toLong & mask).toInt
           keys(s) = ok(i); cnts(s) = oc(i); used += 1
         }

@@ -60,6 +60,26 @@ class PreAggSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(a.result().serialize(), direct.serialize()))
   }
 
+  test("power-of-two-strided raw keys do not cluster the table") {
+    // CMS/Bloom tally user keys directly; ids with a 2^k stride all
+    // share low bits. The Fibonacci slot hash must keep probes O(1) —
+    // without it this test is quadratic (~10^10 probe steps) and hangs
+    val n = 150000
+    val direct = CountMinSketch(5, 2048)
+    val b = new CmsBuilder(CountMinSketch(5, 2048))
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < n) {
+      val k = (i % 100000).toLong << 16
+      direct.add(k)
+      b.add(k)
+      i += 1
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(java.util.Arrays.equals(b.result().serialize(), direct.serialize()))
+    assert(sec < 30.0, f"strided keys took $sec%.1f s — table is clustering")
+  }
+
   test("builders stay usable after result() (window eval pattern)") {
     val direct = CountMinSketch(3, 256)
     val b = new CmsBuilder(CountMinSketch(3, 256))
