@@ -12,16 +12,32 @@ package graft.sketch
   * `addHash` makes the fold exact) and Bloom (bit-OR idempotent, the
   * table just suppresses repeats).
   *
-  * Memory: starts at 256 slots, quadruples to 2^17 max (2 MiB keys +
-  * 1 MiB counts transient per in-flight group), drains and restarts at
-  * max — bounded regardless of distinct-key count. Empty slots are
-  * marked by count == 0 (a present entry always counts >= 1), so every
-  * 64-bit key value is valid. Not thread-safe (one aggregation buffer
-  * per task, like the kernels).
+  * Two slot layouts, switched automatically:
+  *
+  *  - '''packed''' (the start mode): one `long` per slot, key in the
+  *    high 40 bits and count in the low 24; empty = 0 (a present entry
+  *    always counts >= 1). Half the bytes AND half the cache lines per
+  *    probe of the wide layout — at 32 concurrent builders the tables
+  *    are what thrash the shared L3, so this is worth ~1.6x at full
+  *    fan-out (interleaved A/B, zipf shard workload). A count about to
+  *    exceed 24 bits folds early into the sketch (sums stay exact); a
+  *    key with any of the high 24 bits set (CMS/Bloom user keys,
+  *    hashBits > 40 CQF hashes) migrates the table once, permanently,
+  *    to the wide layout.
+  *  - '''wide''' (the fallback): parallel `keys`/`cnts` long arrays;
+  *    every 64-bit key value is valid (empty marked by count == 0).
+  *
+  * Memory: starts at 256 slots, quadruples to 2^17 max (1 MiB packed,
+  * 2 MiB wide, transient per in-flight group), drains and restarts at
+  * max — bounded regardless of distinct-key count. Not thread-safe
+  * (one aggregation buffer per task, like the kernels).
   */
 abstract class LongPreAgg {
   import LongPreAgg._
 
+  // packed layout (tab != null iff packed mode is active)
+  private var tab: Array[Long] = null
+  // wide layout
   private var keys: Array[Long] = null
   private var cnts: Array[Long] = null
   private var mask: Long = 0L
@@ -31,12 +47,18 @@ abstract class LongPreAgg {
   private var bypass = false
 
   /** Fold one (key, count) into the wrapped sketch. Called once per
-    * distinct key per flush epoch — or per occurrence after a bypass. */
+    * distinct key per flush epoch — or per occurrence after a bypass,
+    * and possibly more than once per epoch for a key whose count
+    * outgrew the packed 24-bit field (the sketch sums occurrences, so
+    * split folds are content-identical). */
   protected def sink(key: Long, count: Long): Unit
 
   /** True once a max-cap drain observed duplication < 1.25× and routed
     * all subsequent tallies straight to the sketch (exposed for specs). */
   private[sketch] def bypassed: Boolean = bypass
+
+  /** True while the one-long-per-slot layout is active (for specs). */
+  private[sketch] def packedMode: Boolean = keys == null
 
   /** Count `count` occurrences of `key`. */
   final def tally(key: Long, count: Long): Unit = {
@@ -48,18 +70,50 @@ abstract class LongPreAgg {
     // Content is unchanged either way — the sketch sums occurrences.
     if (bypass) { sink(key, count); return }
     calls += 1
-    if (keys == null) alloc(InitSlots)
+    if (keys != null) tallyWide(key, count)
+    else tallyPacked(key, count)
+  }
+
+  private def tallyPacked(key: Long, count: Long): Unit = {
+    if ((key >>> PackedKeyBits) != 0L) { migrateToWide(); tallyWide(key, count); return }
+    if (count > PackedCntMask) { sink(key, count); return } // can't buffer; fold now
+    if (tab == null) allocPacked(InitSlots)
     // Fibonacci slot hash: one multiply spreads strided raw keys (CMS/
     // Bloom tally user keys directly — ids with a power-of-two stride
     // would otherwise all land in one probe cluster); high bits taken so
     // every key bit influences the slot
+    var s = (((key * 0x9e3779b97f4a7c15L) >>> 17) & mask).toInt
+    val packedKey = key << PackedCntBits
+    while (true) {
+      val cur = tab(s)
+      if (cur == 0L) {
+        tab(s) = packedKey | count
+        used += 1
+        if (used >= growAt) growOrFlushPacked()
+        return
+      } else if ((cur >>> PackedCntBits) == key) {
+        val nc = (cur & PackedCntMask) + count
+        if (nc > PackedCntMask) {
+          // fold the oversized count now and free the slot. Clearing a
+          // linear-probe slot can orphan a later same-chain entry (it
+          // re-inserts at the hole on its next tally); both entries
+          // drain and the sketch sums them — content stays exact.
+          sink(key, nc); tab(s) = 0L; used -= 1
+        } else tab(s) = packedKey | nc
+        return
+      } else s = ((s + 1).toLong & mask).toInt
+    }
+  }
+
+  private def tallyWide(key: Long, count: Long): Unit = {
+    if (keys == null) allocWide(InitSlots)
     var s = (((key * 0x9e3779b97f4a7c15L) >>> 17) & mask).toInt
     while (true) {
       if (cnts(s) == 0L) {
         keys(s) = key
         cnts(s) = count
         used += 1
-        if (used >= growAt) growOrFlush()
+        if (used >= growAt) growOrFlushWide()
         return
       } else if (keys(s) == key) {
         cnts(s) += count
@@ -68,7 +122,15 @@ abstract class LongPreAgg {
     }
   }
 
-  private def alloc(slots: Int): Unit = {
+  private def allocPacked(slots: Int): Unit = {
+    tab = new Array[Long](slots)
+    mask = (slots - 1).toLong
+    growAt = slots * 7 / 10
+    used = 0
+  }
+
+  private def allocWide(slots: Int): Unit = {
+    tab = null
     keys = new Array[Long](slots)
     cnts = new Array[Long](slots)
     mask = (slots - 1).toLong
@@ -76,12 +138,54 @@ abstract class LongPreAgg {
     used = 0
   }
 
-  private def growOrFlush(): Unit = {
-    val cap = keys.length
+  /** One-way packed→wide rehash, triggered by the first key with high
+    * bits set (e.g. the first tally of a hashBits=64 builder — a
+    * 256-slot rehash, paid once). */
+  private def migrateToWide(): Unit = {
+    val ot = tab
+    allocWide(if (ot == null) InitSlots else ot.length)
+    if (ot == null) return
+    var i = 0
+    while (i < ot.length) {
+      val cur = ot(i)
+      if (cur != 0L) {
+        val k = cur >>> PackedCntBits
+        var s = (((k * 0x9e3779b97f4a7c15L) >>> 17) & mask).toInt
+        while (cnts(s) != 0L) s = ((s + 1).toLong & mask).toInt
+        keys(s) = k; cnts(s) = cur & PackedCntMask; used += 1
+      }
+      i += 1
+    }
+  }
+
+  private def growOrFlushPacked(): Unit = {
+    val cap = tab.length
     if (cap < MaxSlots) {
       // quadruple and rehash: hot keys keep accumulating in the table
+      val ot = tab
+      allocPacked(cap << 2)
+      var i = 0
+      while (i < ot.length) {
+        val cur = ot(i)
+        if (cur != 0L) {
+          val k = cur >>> PackedCntBits
+          var s = (((k * 0x9e3779b97f4a7c15L) >>> 17) & mask).toInt
+          while (tab(s) != 0L) s = ((s + 1).toLong & mask).toInt
+          tab(s) = cur; used += 1
+        }
+        i += 1
+      }
+    } else {
+      if (calls < used.toLong * 5 / 4) bypass = true
+      drain()
+    }
+  }
+
+  private def growOrFlushWide(): Unit = {
+    val cap = keys.length
+    if (cap < MaxSlots) {
       val ok = keys; val oc = cnts
-      alloc(cap << 2)
+      allocWide(cap << 2)
       var i = 0
       while (i < ok.length) {
         if (oc(i) != 0L) {
@@ -100,11 +204,20 @@ abstract class LongPreAgg {
   /** Fold every table entry into the sketch and clear the table. */
   protected final def drain(): Unit = {
     calls = 0L
-    if (keys == null || used == 0) return
-    var i = 0
-    while (i < keys.length) {
-      if (cnts(i) != 0L) { sink(keys(i), cnts(i)); cnts(i) = 0L }
-      i += 1
+    if (used == 0) return
+    if (keys != null) {
+      var i = 0
+      while (i < keys.length) {
+        if (cnts(i) != 0L) { sink(keys(i), cnts(i)); cnts(i) = 0L }
+        i += 1
+      }
+    } else if (tab != null) {
+      var i = 0
+      while (i < tab.length) {
+        val cur = tab(i)
+        if (cur != 0L) { sink(cur >>> PackedCntBits, cur & PackedCntMask); tab(i) = 0L }
+        i += 1
+      }
     }
     used = 0
   }
@@ -113,6 +226,9 @@ abstract class LongPreAgg {
 object LongPreAgg {
   private final val InitSlots = 1 << 8
   private final val MaxSlots = 1 << 17
+  private final val PackedCntBits = 24
+  private final val PackedKeyBits = 64 - PackedCntBits
+  private final val PackedCntMask = (1L << PackedCntBits) - 1
 }
 
 /** Pre-aggregated Count-Min build: long keys tally in the table (the

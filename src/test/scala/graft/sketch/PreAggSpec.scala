@@ -80,6 +80,49 @@ class PreAggSpec extends AnyFunSuite {
     assert(sec < 30.0, f"strided keys took $sec%.1f s — table is clustering")
   }
 
+  test("packed layout: 40-bit keys stay packed, high-bit key migrates once") {
+    val b = new CqfBuilder(Cqf(10, 40, invertible = true, compact = true))
+    (0 until 10000).foreach(i => b.add((i % 700).toLong))
+    assert(b.packedMode, "40-bit hashes must use the packed slot layout")
+    val w = new CqfBuilder(Cqf(10, 64))
+    w.add(1L) // hashBits=64: first hash has high bits set w.h.p.
+    (0 until 10000).foreach(i => w.add((i % 700).toLong))
+    assert(!w.packedMode, "64-bit hashes must migrate to the wide layout")
+    assert(w.result().totalCount == 10001L)
+  }
+
+  test("mid-stream packed->wide migration loses no counts (CMS bytes)") {
+    // raw user keys: small ints pack; the first key >= 2^40 migrates the
+    // live table. Builder bytes must still equal direct adds.
+    val direct = CountMinSketch(5, 2048)
+    val b = new CmsBuilder(CountMinSketch(5, 2048))
+    var i = 0
+    while (i < 60000) {
+      val k = if (i == 30000) (1L << 50) + 7 else (i % 900).toLong
+      direct.add(k); b.add(k)
+      i += 1
+    }
+    assert(!b.packedMode)
+    assert(java.util.Arrays.equals(b.result().serialize(), direct.serialize()))
+  }
+
+  test("24-bit count overflow folds early; sums stay exact (CQF bytes)") {
+    val direct = Cqf(10, 40, invertible = true, compact = true)
+    val b = new CqfBuilder(Cqf(10, 40, invertible = true, compact = true))
+    var s = 0x1234L
+    var i = 0
+    while (i < 5000) {
+      s ^= s << 13; s ^= s >>> 7; s ^= s << 17
+      val k = math.abs(s) % 97
+      // counts straddling the 24-bit packed field, incl. > 2^24 at once
+      val c = if (i % 17 == 0) (1L << 24) + (s & 0xffff) else (s & 0x7fffff)
+      direct.insert(k, c); b.addHash(direct.keyHash(k), c)
+      i += 1
+    }
+    assert(b.packedMode, "40-bit keys with big counts must stay packed")
+    assert(java.util.Arrays.equals(b.result().serialize(), direct.serialize()))
+  }
+
   test("builders stay usable after result() (window eval pattern)") {
     val direct = CountMinSketch(3, 256)
     val b = new CmsBuilder(CountMinSketch(3, 256))
