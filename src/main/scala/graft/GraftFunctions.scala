@@ -75,6 +75,7 @@ object GraftFunctions {
     "cqf_distinct" -> (a => CqfDistinct(a.head)),
     "cqf_total" -> (a => CqfTotal(a.head)),
     "cqf_stats" -> (a => CqfStats(a.head)),
+    "sketch_meta" -> (a => SketchMetaExpr(a.head)),
     "cqf_union" -> (a => CqfUnion(a(0), a(1), litStr(a, 2, "sum"))),
     "cqf_intersect" -> (a => CqfIntersect(a(0), a(1))),
     "cqf_diff" -> (a => CqfDiff(a(0), a(1))),
@@ -173,6 +174,7 @@ object api {
   def cqf_distinct(sketch: Column): Column = call_function("cqf_distinct", sketch)
   def cqf_total(sketch: Column): Column = call_function("cqf_total", sketch)
   def cqf_stats(sketch: Column): Column = call_function("cqf_stats", sketch)
+  def sketch_meta(sketch: Column): Column = call_function("sketch_meta", sketch)
   def cqf_union(a: Column, b: Column): Column = call_function("cqf_union", a, b)
   def cqf_union(a: Column, b: Column, mode: String): Column =
     call_function("cqf_union", a, b, lit(mode))

@@ -157,6 +157,58 @@ object SparkEntry {
           api.cqf_distinct(col("sk3")).as("distinct_after_del"))
     }),
 
+    "sketch_state_metrics" -> ((s, dir) => {
+      // kind-agnostic sketch_meta over all six families built in ONE
+      // aggregation pass: exact fields (cqf n/distinct, cms/kll/td n)
+      // reproduce in DuckDB; per-kind load and published-error-bound
+      // fields are asserted as in-query booleans (bound-check pattern).
+      // This is the monitoring surface checkpointed builds attach to
+      // every partial (BuildSketches sketch_state column).
+      val li = t(s, dir, "lineitem")
+      val base = li.agg(
+          api.cqf_agg(col("l_partkey"), 12, 64).as("sk_cqf"),
+          api.hll_agg(col("l_partkey"), 12).as("sk_hll"),
+          api.cms_agg(col("l_partkey"), 5, 2048).as("sk_cms"),
+          api.bloom_agg(col("l_partkey"), 1L << 16, 5).as("sk_bloom"),
+          api.td_agg(col("l_quantity"), 100.0).as("sk_td"),
+          api.kll_agg(col("l_quantity"), 200).as("sk_kll"),
+          countDistinct(col("l_partkey")).as("exact_distinct"))
+      def m(kind: String) = col(s"m_$kind")
+      val withMeta = Seq("cqf", "hll", "cms", "bloom", "td", "kll")
+        .foldLeft(base)((df, k) =>
+          df.withColumn(s"m_$k", api.sketch_meta(col(s"sk_$k"))))
+      def inUnit(c: Column) = c > lit(0.0) && c <= lit(1.0)
+      def near(c: Column, v: Double) = abs(c - lit(v)) < lit(1e-12)
+      def row(kind: String, meta: Column, metaDistinct: Column,
+          hllOk: Column, loadOk: Column, errOk: Column) =
+        withMeta.select(lit(kind).as("kind"),
+          meta.getField("n").as("meta_n"),
+          metaDistinct.as("meta_distinct"),
+          hllOk.as("hll_est_ok"), loadOk.as("load_ok"), errOk.as("err_ok"))
+      row("cqf", m("cqf"), m("cqf").getField("distinct"), lit(true),
+          inUnit(m("cqf").getField("load")),
+          m("cqf").getField("err_bound") === lit(0.0)) // invertible = exact
+        .unionByName(row("hll", m("hll"), lit(-1L),
+          // estimate within 3 relative standard errors of exact
+          abs(m("hll").getField("distinct") - col("exact_distinct")) <=
+            lit(3 * 1.04 / 64.0) * col("exact_distinct"),
+          inUnit(m("hll").getField("load")),
+          near(m("hll").getField("err_bound"), 1.04 / 64.0))) // p=12: 1.04/sqrt(4096)
+        .unionByName(row("cms", m("cms"), m("cms").getField("distinct"), lit(true),
+          inUnit(m("cms").getField("load")),
+          near(m("cms").getField("err_bound"), math.E / 2048.0)))
+        .unionByName(row("bloom", m("bloom"), m("bloom").getField("distinct"), lit(true),
+          inUnit(m("bloom").getField("load")),
+          m("bloom").getField("err_bound") > lit(0.0) &&
+            m("bloom").getField("err_bound") < lit(1.0)))
+        .unionByName(row("td", m("td"), m("td").getField("distinct"), lit(true),
+          m("td").getField("load") > lit(0.0) && m("td").getField("load") <= lit(2.0),
+          isnan(m("td").getField("err_bound")))) // t-digest: no closed-form bound
+        .unionByName(row("kll", m("kll"), m("kll").getField("distinct"), lit(true),
+          inUnit(m("kll").getField("load")),
+          near(m("kll").getField("err_bound"), 1.33 / 200.0)))
+    }),
+
     "cqf_string_probe" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val words = Seq("data", "table", "the", "spark")
@@ -754,6 +806,16 @@ object SparkEntry {
         |(SELECT CAST(coalesce(sum(least(a.c, b.c)),0) AS BIGINT) FROM a JOIN b USING (k)) AS inter_total,
         |(SELECT count(*) FROM a LEFT JOIN b USING (k) WHERE a.c > coalesce(b.c, 0)) AS diff_distinct,
         |(SELECT CAST(coalesce(sum(greatest(a.c - coalesce(b.c, 0), 0)),0) AS BIGINT) FROM a LEFT JOIN b USING (k)) AS diff_total""".stripMargin,
+
+    "sketch_state_metrics" ->
+      """SELECT 'cqf' AS kind, count(l_partkey) AS meta_n,
+        |  count(DISTINCT l_partkey) AS meta_distinct,
+        |  TRUE AS hll_est_ok, TRUE AS load_ok, TRUE AS err_ok FROM lineitem
+        |UNION ALL SELECT 'hll', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), TRUE, TRUE, TRUE
+        |UNION ALL SELECT 'cms', count(l_partkey), CAST(-1 AS BIGINT), TRUE, TRUE, TRUE FROM lineitem
+        |UNION ALL SELECT 'bloom', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), TRUE, TRUE, TRUE
+        |UNION ALL SELECT 'td', count(l_quantity), CAST(-1 AS BIGINT), TRUE, TRUE, TRUE FROM lineitem
+        |UNION ALL SELECT 'kll', count(l_quantity), CAST(-1 AS BIGINT), TRUE, TRUE, TRUE FROM lineitem""".stripMargin,
 
     "cqf_intersect_by_bucket" ->
       """WITH r AS (SELECT l_suppkey k, count(*) c FROM lineitem

@@ -217,6 +217,33 @@ object CqfStats {
     .add("invertible", BooleanType)
 }
 
+/** Kind-agnostic sketch-state metrics over ANY graft sketch column —
+  * dispatches on the serialized magic header (see [[SketchMeta]] for
+  * the per-kind field semantics). The monitoring surface for
+  * checkpointed builds: per-partial load factor, item counts, and the
+  * published error bound at the current state. No parse cache: metadata
+  * probes run once per sketch row, and a mixed-kind column would defeat
+  * a single-slot cache anyway. */
+case class SketchMetaExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "sketch_meta"
+  override def dataType: DataType = SketchMetaExpr.schema
+  override def nullSafeEval(sk: Any): Any = {
+    val m = SketchMeta.of(sk.asInstanceOf[Array[Byte]])
+    InternalRow(UTF8String.fromString(m.kind), m.sizeBytes, m.n, m.distinct,
+      m.load, m.param, m.errBound)
+  }
+  override protected def withNewChildInternal(c: Expression): SketchMetaExpr =
+    copy(child = c)
+}
+object SketchMetaExpr {
+  val schema: StructType = new StructType()
+    .add("kind", StringType).add("size_bytes", LongType)
+    .add("n", LongType).add("distinct", LongType)
+    .add("load", DoubleType).add("param", LongType)
+    .add("err_bound", DoubleType)
+}
+
 /** Union of two CQFs with a selectable per-hash combine — the SQL surface
   * of the reference's parameterizable merge (CqfMergeClosure,
   * /root/reference/src/cqf.rs:202-213, 336-474):

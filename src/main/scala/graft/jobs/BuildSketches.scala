@@ -158,6 +158,11 @@ object BuildSketches {
       .withColumn("sketch_kind", lit(cfg.kind))
       // the scheme every row was sharded under — resume validates/reuses it
       .withColumn("salt_scheme", lit(schemeString(saltMap, saltDefault)))
+      // per-partial sketch-state metrics (load factor, counts, error
+      // bound at the current state) — the monitoring half of the
+      // north-rule lineage contract; resume reads never depend on it,
+      // so pre-metric checkpoints stay resumable
+      .withColumn("sketch_state", graft.api.sketch_meta(col("sketch_bytes")))
   }
 
   /** Run (or resume) the build. Returns the per-source final sketches:

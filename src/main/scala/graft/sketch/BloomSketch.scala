@@ -50,13 +50,18 @@ final class BloomSketch private (
     mightContainHash(WangHash.mixBytes(b, BloomSketch.Seed1), WangHash.mixBytes(b, BloomSketch.Seed2))
   }
 
-  /** Observed fill ratio → expected FPR for the current state. */
-  def expectedFpp: Double = {
+  /** Bits currently set — the structure-fill metric surfaced by
+    * sketch_meta and the input to [[expectedFpp]]. */
+  def setBits: Long = {
     var set = 0L
     var i = 0
     while (i < words.length) { set += java.lang.Long.bitCount(words(i)); i += 1 }
-    math.pow(set.toDouble / numBits.toDouble, numHashes.toDouble)
+    set
   }
+
+  /** Observed fill ratio → expected FPR for the current state. */
+  def expectedFpp: Double =
+    math.pow(setBits.toDouble / numBits.toDouble, numHashes.toDouble)
 
   /** Independent deep copy (bitset clone) — lets callers combine
     * cached/shared instances without mutating them. */
@@ -89,7 +94,7 @@ final class BloomSketch private (
 }
 
 object BloomSketch {
-  private final val Magic = 0x314d4c4254465247L // "GRFTBLM1"
+  private[sketch] final val Magic = 0x314d4c4254465247L // "GRFTBLM1"
   private[graft] final val Seed1 = 0x9747b28cL
   private[graft] final val Seed2 = 0x3c6ef372L
 

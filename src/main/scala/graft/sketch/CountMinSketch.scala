@@ -59,6 +59,15 @@ final class CountMinSketch private (
       WangHash.mixBytes(b, CountMinSketch.Seed2))
   }
 
+  /** Counters holding a nonzero value — the structure-fill metric
+    * surfaced by sketch_meta. */
+  def nonzeroCounters: Int = {
+    var nz = 0
+    var i = 0
+    while (i < table.length) { if (table(i) != 0L) nz += 1; i += 1 }
+    nz
+  }
+
   /** Independent deep copy (cell-table clone) — lets callers combine
     * cached/shared instances without mutating them. */
   def copied: CountMinSketch = new CountMinSketch(depth, width, table.clone(), _total)
@@ -92,7 +101,7 @@ final class CountMinSketch private (
 }
 
 object CountMinSketch {
-  private final val Magic = 0x31534d4354465247L // "GRFTCMS1"
+  private[sketch] final val Magic = 0x31534d4354465247L // "GRFTCMS1"
   private[graft] final val Seed1 = 0x1b873593L
   private[graft] final val Seed2 = 0x5bd1e995L
 

@@ -613,7 +613,7 @@ final class Cqf private (
 
 object Cqf {
   private final val HeaderLongs = 4
-  private final val Magic = 0x3146514354465247L // "GRFTCQF1"
+  private[sketch] final val Magic = 0x3146514354465247L // "GRFTCQF1"
   /** 95% load cap, as the reference (/root/reference/src/cqf.rs:81). */
   final val LoadFactor = 0.95
 

@@ -49,6 +49,16 @@ final class HllSketch private (val p: Int, private val registers: Array[Byte])
 
   def cardinality: Long = math.round(estimate)
 
+  /** Registers holding a nonzero rho — the structure-fill metric
+    * surfaced by sketch_meta (a fresh sketch reads 0.0, a saturated
+    * one approaches 1.0). */
+  def nonzeroRegisters: Int = {
+    var nz = 0
+    var i = 0
+    while (i < m) { if (registers(i) != 0) nz += 1; i += 1 }
+    nz
+  }
+
   /** Independent deep copy (register-array clone) — lets callers combine
     * cached/shared instances without mutating them. */
   def copied: HllSketch = new HllSketch(p, registers.clone())
@@ -79,7 +89,7 @@ final class HllSketch private (val p: Int, private val registers: Array[Byte])
 }
 
 object HllSketch {
-  private final val Magic = 0x314c4c4854465247L // "GRFTHLL1"
+  private[sketch] final val Magic = 0x314c4c4854465247L // "GRFTHLL1"
   private[graft] final val Seed = 0x48c4b06aL
 
   def apply(p: Int = 12): HllSketch = new HllSketch(p, new Array[Byte](1 << p))

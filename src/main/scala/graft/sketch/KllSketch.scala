@@ -23,6 +23,14 @@ final class KllSketch private (
   def n: Long = _n
   def numLevels: Int = levels.length
 
+  /** Items currently retained across all compactor levels (vs [[n]]
+    * items represented) — surfaced by sketch_meta. */
+  def retainedItems: Int = totalItems
+
+  /** retained / capacity — the structure-fill metric surfaced by
+    * sketch_meta (compaction triggers just above 1.0). */
+  def loadFraction: Double = totalItems.toDouble / totalCapacity.toDouble
+
   @inline private def nextBit(): Boolean = {
     var x = rngState
     x ^= x << 13; x ^= x >>> 7; x ^= x << 17
@@ -209,7 +217,7 @@ final class KllSketch private (
 }
 
 object KllSketch {
-  private final val Magic = 0x314c4c4b54465247L // "GRFTKLL1"
+  private[sketch] final val Magic = 0x314c4c4b54465247L // "GRFTKLL1"
   private final val MinCap = 2
   private[sketch] final val DefaultSeed = 0x5deece66dL
 

@@ -225,7 +225,7 @@ final class TDigest private (
 }
 
 object TDigest {
-  private final val Magic = 0x3147445454465247L // "GRFTTDG1"
+  private[sketch] final val Magic = 0x3147445454465247L // "GRFTTDG1"
 
   def apply(compression: Double = 100.0): TDigest = {
     require(compression >= 20 && compression <= 10000)
