@@ -49,16 +49,23 @@ object PipelineBench {
     }
   }
 
-  private def runOnce(par: Int, dir: String): (Double, Double, Long, Long) = {
+  /** One timed pipeline pass. `master` is `local[N]` (default protocol)
+    * or `local-cluster[N,cores,memMB]` under SPARK_GRAFT_SCALE_MODE=
+    * executors (real executor JVMs via tools/scaling_submit.sh — note
+    * each call then pays cold-JIT in fresh executors; the chain is long
+    * enough that codegen'd stages dominate, but expect a few % drag
+    * relative to the persistent-JVM threads numbers). */
+  private def runOnce(master: String, slots: Int, dir: String): (Double, Double, Long, Long) = {
     val spark = SparkSession.builder()
-      .master(s"local[$par]")
-      .config("spark.sql.shuffle.partitions", par.toString)
+      .master(master)
+      .config("spark.sql.shuffle.partitions", slots.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-graft"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     GraftFunctions.registerAll(spark)
+    ScalingBench.awaitExecutors(spark, master)
     val docs = spark.read.parquet(dir)
 
     // near-dup chain: exact dedup first (collapses byte-identical docs),
@@ -93,6 +100,9 @@ object PipelineBench {
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_PIPE_DOCS", "200000").toLong
     val lo = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "8").toInt
     val hi = sys.env.getOrElse("SPARK_GRAFT_SCALE_HI", "32").toInt
+    val mode = sys.env.getOrElse("SPARK_GRAFT_SCALE_MODE", "threads")
+    val (masterLo, slotsLo) = ScalingBench.masterFor(lo, mode)
+    val (masterHi, slotsHi) = ScalingBench.masterFor(hi, mode)
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
     val dir = materialize(nDocs)
     var survivors = 0L
@@ -100,8 +110,8 @@ object PipelineBench {
     val (dLo, dHi) = (Array.fill(reps)(0.0), Array.fill(reps)(0.0))
     val (tLo, tHi) = (Array.fill(reps)(0.0), Array.fill(reps)(0.0))
     for (r <- 0 until reps) {
-      val (d1, t1, s1, q1) = runOnce(lo, dir)
-      val (d2, t2, s2, _) = runOnce(hi, dir)
+      val (d1, t1, s1, q1) = runOnce(masterLo, slotsLo, dir)
+      val (d2, t2, s2, _) = runOnce(masterHi, slotsHi, dir)
       require(s1 == s2, s"parallelism changed the dedup answer: $s1 vs $s2")
       survivors = s1; qrows = q1
       dLo(r) = d1; dHi(r) = d2; tLo(r) = t1; tHi(r) = t2

@@ -113,11 +113,44 @@ object ScalingBench {
     try f finally spark.conf.set(key, old)
   }
 
-  private def runOnce(par: Int, nDocs: Long, dir: String,
+  /** Master string + total core slots for parallelism level `n` under
+    * the given protocol mode (shared with PipelineBench): "threads" →
+    * `local[n]`; "executors" → `local-cluster[n,cores,memMB]`, Spark's
+    * multi-process pseudo-cluster (n real executor JVMs). */
+  def masterFor(n: Int, mode: String): (String, Int) = mode match {
+    case "executors" =>
+      val cores = sys.env.getOrElse("SPARK_GRAFT_EXEC_CORES", "8").toInt
+      val memMb = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "8192").toInt
+      (s"local-cluster[$n,$cores,$memMb]", n * cores)
+    case _ => (s"local[$n]", n)
+  }
+
+  /** local-cluster executors register ASYNCHRONOUSLY (standalone
+    * semantics: minRegisteredResourcesRatio defaults to 0, so a job can
+    * start on whichever subset is up) — block until the full cluster is
+    * present before any work is scheduled. No-op for local masters. */
+  def awaitExecutors(spark: SparkSession, master: String): Unit =
+    if (master.startsWith("local-cluster")) {
+      val want = master.stripPrefix("local-cluster[").takeWhile(_ != ',').toInt
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (spark.sparkContext.getExecutorMemoryStatus.size - 1 < want &&
+          System.nanoTime() < deadline) Thread.sleep(100)
+      require(spark.sparkContext.getExecutorMemoryStatus.size - 1 >= want,
+        s"only ${spark.sparkContext.getExecutorMemoryStatus.size - 1} of $want executors registered")
+    }
+
+  /** One timed build at a given master. `master` is either a thread-par
+    * `local[N]` (the default protocol) or a `local-cluster[N,cores,memMB]`
+    * — Spark's multi-process pseudo-cluster: N REAL executor JVMs
+    * launched by spark-submit, each with its own heap/GC/code cache,
+    * partials crossing process boundaries through netty shuffle exactly
+    * as on a standalone cluster. `slots` = total executor cores, used to
+    * size shuffle partitions. */
+  private def runOnce(master: String, slots: Int, nDocs: Long, dir: String,
       warmup: Boolean): (Double, Long) = {
     val spark = SparkSession.builder()
-      .master(s"local[$par]")
-      .config("spark.sql.shuffle.partitions", par.toString)
+      .master(master)
+      .config("spark.sql.shuffle.partitions", slots.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
@@ -126,10 +159,18 @@ object ScalingBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     GraftFunctions.registerAll(spark)
+    awaitExecutors(spark, master)
     val tokens = spark.read.parquet(dir)
     val nTokens = tokens.agg(sum(col("n_tok"))).head().getLong(0)
     withSplitScan(spark) {
-      if (warmup) buildJob(tokens.sample(0.05))
+      // threads mode: a 5% sample JITs the persistent JVM once; executors
+      // mode spawns fresh executor JVMs per cluster, so the timed run
+      // must follow a FULL untimed pass (C2-compiles the kernel + stage
+      // codegen in every executor)
+      if (warmup) {
+        if (master.startsWith("local-cluster")) buildJob(tokens)
+        else buildJob(tokens.sample(0.05))
+      }
       val t0 = System.nanoTime()
       val builtTokens = buildJob(tokens)
       val sec = (System.nanoTime() - t0) / 1e9
@@ -142,14 +183,26 @@ object ScalingBench {
   def main(args: Array[String]): Unit = {
     val lo = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "8").toInt
     val hi = sys.env.getOrElse("SPARK_GRAFT_SCALE_HI", (lo * 4).toString).toInt
+    // "threads": lo/hi = local[N] thread counts (the default protocol).
+    // "executors": lo/hi = EXECUTOR-JVM counts under local-cluster — the
+    // north rule's "N and 4N executors" run literally as separate
+    // executor processes (launch via tools/scaling_submit.sh so the
+    // worker JVMs inherit the packaged application jar).
+    val mode = sys.env.getOrElse("SPARK_GRAFT_SCALE_MODE", "threads")
+    val (masterLo, slotsLo) = masterFor(lo, mode)
+    val (masterHi, slotsHi) = masterFor(hi, mode)
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "3000000").toLong
     val dir = materialize(nDocs)
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
     var tok = 0L
     val (losecs, hisecs) = (Array.fill(reps)(0.0), Array.fill(reps)(0.0))
+    // threads mode reuses one JVM across reps (JIT persists — warm up
+    // once); executors mode spawns FRESH executor JVMs per runOnce, so
+    // every rep must warm its own cluster before the timed build
+    val warmEvery = mode == "executors"
     for (r <- 0 until reps) {
-      val (sl, t1) = runOnce(lo, nDocs, dir, warmup = r == 0)
-      val (sh, t2) = runOnce(hi, nDocs, dir, warmup = r == 0)
+      val (sl, t1) = runOnce(masterLo, slotsLo, nDocs, dir, warmup = warmEvery || r == 0)
+      val (sh, t2) = runOnce(masterHi, slotsHi, nDocs, dir, warmup = warmEvery || r == 0)
       require(t1 == t2); tok = t1
       losecs(r) = sl; hisecs(r) = sh
       System.err.println(f"rep $r: lo=${sl}%.2f s hi=${sh}%.2f s")
@@ -159,6 +212,6 @@ object ScalingBench {
     val thLo = tok / secLo / 1e6
     val thHi = tok / secHi / 1e6
     val eff = (thHi / thLo) / (hi.toDouble / lo.toDouble)
-    println(s"""{"metric":"scaling_efficiency","value":${Bench.jsonNum(eff)},"unit":"ratio","lo_par":$lo,"hi_par":$hi,"tokens":$tok,"lo_sec":${Bench.jsonNum(secLo)},"hi_sec":${Bench.jsonNum(secHi)},"lo_mtokens_per_sec":${Bench.jsonNum(thLo)},"hi_mtokens_per_sec":${Bench.jsonNum(thHi)}}""")
+    println(s"""{"metric":"scaling_efficiency","value":${Bench.jsonNum(eff)},"unit":"ratio","mode":"$mode","lo_par":$lo,"hi_par":$hi,"lo_master":"$masterLo","hi_master":"$masterHi","tokens":$tok,"lo_sec":${Bench.jsonNum(secLo)},"hi_sec":${Bench.jsonNum(secHi)},"lo_mtokens_per_sec":${Bench.jsonNum(thLo)},"hi_mtokens_per_sec":${Bench.jsonNum(thHi)}}""")
   }
 }
