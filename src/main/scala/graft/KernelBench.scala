@@ -430,6 +430,64 @@ object KernelBench {
     }
   }
 
+  /** Byte-key (string) build: direct per-occurrence `insertBytes` vs
+    * the pre-agg builder's `addBytes` on a duplicate-heavy word stream
+    * (zipf over a 50k vocabulary, ~13-byte UTF-8 words, content asserted
+    * identical). Both paths pay WangHash.mixBytes per OCCURRENCE — the
+    * open question this mode answers is whether the builder's gain
+    * survives when hashing (not the CQF insert) is the per-occurrence
+    * cost floor; a hypothetical bytes-keyed table that skips re-hashing
+    * repeats would have to store and compare the byte keys per slot,
+    * which costs more than the ~1 ns/byte mix it saves. */
+  def strBuildBench(): Unit = {
+    val perShard = 1000000
+    def mkWords(tid: Int): Array[Array[Byte]] = {
+      val a = new Array[Array[Byte]](perShard)
+      var seed = 0x9e3779b97f4a7c15L * (tid + 1)
+      var i = 0
+      while (i < perShard) {
+        seed = xorshift(seed)
+        val u = (seed >>> 11).toDouble / 9007199254740992.0
+        val id = (math.pow(u, 2.5) * 50000).toInt
+        a(i) = s"tokenword_$id".getBytes("UTF-8")
+        i += 1
+      }
+      a
+    }
+    val wordSets = (0 until 32).map(mkWords).toArray
+    def direct(ws: Array[Array[Byte]]): Cqf = {
+      val c = Cqf(16, 40, invertible = false, compact = true)
+      var i = 0
+      while (i < ws.length) { c.insertBytes(ws(i)); i += 1 }
+      c
+    }
+    def table(ws: Array[Array[Byte]]): Cqf = {
+      val b = new graft.sketch.CqfBuilder(
+        Cqf(16, 40, invertible = false, compact = true))
+      var i = 0
+      while (i < ws.length) { b.addBytes(ws(i)); i += 1 }
+      b.result()
+    }
+    require(java.util.Arrays.equals(
+      direct(wordSets(0)).serialize(), table(wordSets(0)).serialize()))
+    def run(threads: Int, f: Array[Array[Byte]] => Cqf): Double = {
+      val t0 = System.nanoTime()
+      val ts = (0 until threads).map { tid =>
+        val t = new Thread(() => { f(wordSets(tid)); () })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      threads.toDouble * perShard / ((System.nanoTime() - t0) / 1e9) / 1e6
+    }
+    for ((name, f) <- Seq(("direct", direct _), ("table", table _))) {
+      run(2, f)
+      for (t <- Seq(1, 8, 32)) {
+        val best = (1 to 3).map(_ => run(t, f)).max
+        println(f"[strbuild-$name] $t%2d threads: $best%.1f M inserts/s (byte keys, zipf 50k vocab)")
+      }
+    }
+  }
+
   /** CMS direct vs CmsBuilder on the zipf shard workload (content
     * asserted identical). The builder defers both seed mixes to the
     * per-distinct fold, so repeats pay one table probe instead of two
@@ -488,6 +546,7 @@ object KernelBench {
     if (mode == "altbuild") altBuildBench()
     if (mode == "distinct") distinctBench()
     if (mode == "cmsbuild") cmsBuildBench()
+    if (mode == "strbuild") strBuildBench()
     if (mode == "insert" || mode == "all") insertBench(reps = 3)
     if (mode == "membw" || mode == "all") membwBench()
     if (mode == "copybw" || mode == "all") copybwBench()
