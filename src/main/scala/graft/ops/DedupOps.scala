@@ -224,11 +224,24 @@ object DedupOps {
   def nearDupVerifiedPairs(df: DataFrame, text: Column, id: Column,
       k: Int = 3, threshold: Double = 0.9, bands: Int = 16,
       rowsPerBand: Int = 4, bucketCap: Int = 5000): DataFrame = {
-    val sim = simhashVerifiedPairs(df, text, id, k, threshold,
-      nBands = 4, bucketCap = bucketCap)
-    val mh = minhashVerifiedPairs(df, TextOps.tokens(text), id, k, bands,
-      rowsPerBand, threshold, bucketCap)
-    sim.union(mh).distinct()
+    // Both proposers emit BARE id pairs, which are unioned and deduped
+    // BEFORE the exact recheck — a pair proposed by both (the common
+    // case for true near-dups) pays the shingle-set join once, not
+    // twice, and one shared base projection feeds both banders (Catalyst
+    // prunes each branch to its columns; deliberately not persisted —
+    // see the note in minhashCandidatesFromSig).
+    val toks = TextOps.tokens(text)
+    val base = df.select(id.as("id"), simhash(toks).as("sh"),
+      shingleMinhashSig(toks, k, bands * rowsPerBand).as("sig"),
+      shingleHashSet(toks, k).as("grams"))
+    val simPairs = bucketPairs(
+      simhashBanded(base.select(col("id"), col("sh")), nBands = 4),
+      Seq("band", "bucket"), bucketCap)
+    val mhPairs = bucketPairs(
+      bandSignatures(base.select(col("id"), col("sig")), bands, rowsPerBand),
+      Seq("band", "bucket"), bucketCap)
+    verifyByJaccard(simPairs.union(mhPairs).distinct(),
+      base.select(col("id"), col("grams")), threshold)
   }
 
   /** Exact n-gram (word k-shingle) Jaccard pairs within blocking keys.
