@@ -462,8 +462,7 @@ object KernelBench {
       c
     }
     def table(ws: Array[Array[Byte]]): Cqf = {
-      val b = new graft.sketch.CqfBuilder(
-        Cqf(16, 40, invertible = false, compact = true))
+      val b = graft.sketch.CqfBuilder(16, 40, invertible = false, compact = true)
       var i = 0
       while (i < ws.length) { b.addBytes(ws(i)); i += 1 }
       b.result()
@@ -471,12 +470,16 @@ object KernelBench {
     require(java.util.Arrays.equals(
       direct(wordSets(0)).serialize(), table(wordSets(0)).serialize()))
     def run(threads: Int, f: Array[Array[Byte]] => Cqf): Double = {
+      // a shard thread that dies (OOM on the ~1.4 GB word sets, kernel
+      // bug) must fail the bench, not inflate the rate with never-run work
+      val done = new java.util.concurrent.atomic.AtomicInteger(0)
       val t0 = System.nanoTime()
       val ts = (0 until threads).map { tid =>
-        val t = new Thread(() => { f(wordSets(tid)); () })
+        val t = new Thread(() => { f(wordSets(tid)); done.incrementAndGet(); () })
         t.start(); t
       }
       ts.foreach(_.join())
+      require(done.get() == threads, s"only ${done.get()} of $threads shards completed")
       threads.toDouble * perShard / ((System.nanoTime() - t0) / 1e9) / 1e6
     }
     for ((name, f) <- Seq(("direct", direct _), ("table", table _))) {

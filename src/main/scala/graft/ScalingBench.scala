@@ -122,7 +122,11 @@ object ScalingBench {
       val cores = sys.env.getOrElse("SPARK_GRAFT_EXEC_CORES", "8").toInt
       val memMb = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "8192").toInt
       (s"local-cluster[$n,$cores,$memMb]", n * cores)
-    case _ => (s"local[$n]", n)
+    case "threads" => (s"local[$n]", n)
+    // a typo'd mode must not silently measure threads while the output
+    // JSON labels the run with the raw mode string (mislabeled evidence)
+    case other => throw new IllegalArgumentException(
+      s"SPARK_GRAFT_SCALE_MODE must be 'threads' or 'executors', got '$other'")
   }
 
   /** local-cluster executors register ASYNCHRONOUSLY (standalone

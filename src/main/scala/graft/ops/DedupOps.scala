@@ -240,8 +240,11 @@ object DedupOps {
     val mhPairs = bucketPairs(
       bandSignatures(base.select(col("id"), col("sig")), bands, rowsPerBand),
       Seq("band", "bucket"), bucketCap)
+    // final distinct preserves the documented "(distinct)" contract when
+    // input ids are duplicated (the grams join then fans a pair out);
+    // it dedupes the few VERIFIED rows, so its cost is negligible
     verifyByJaccard(simPairs.union(mhPairs).distinct(),
-      base.select(col("id"), col("grams")), threshold)
+      base.select(col("id"), col("grams")), threshold).distinct()
   }
 
   /** Exact n-gram (word k-shingle) Jaccard pairs within blocking keys.

@@ -9,14 +9,22 @@ class BenchHelpersSpec extends AnyFunSuite {
 
   test("masterFor threads mode maps n to local[n] with n slots") {
     assert(ScalingBench.masterFor(8, "threads") === (("local[8]", 8)))
-    assert(ScalingBench.masterFor(32, "anything-else") === (("local[32]", 32)))
+    assert(ScalingBench.masterFor(32, "threads") === (("local[32]", 32)))
   }
 
   test("masterFor executors mode maps n to local-cluster with n*cores slots") {
-    // env defaults: 8 cores, 8192 MB per executor
+    // cores/mem come from env (forked tests inherit the shell's), so
+    // assert the STRUCTURE against whatever is in effect rather than
+    // hard-coding the defaults and flaking under an exported override
+    val cores = sys.env.getOrElse("SPARK_GRAFT_EXEC_CORES", "8").toInt
+    val memMb = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "8192").toInt
     val (master, slots) = ScalingBench.masterFor(4, "executors")
-    assert(master === "local-cluster[4,8,8192]")
-    assert(slots === 32)
+    assert(master === s"local-cluster[4,$cores,$memMb]")
+    assert(slots === 4 * cores)
+  }
+
+  test("masterFor rejects unknown modes instead of silently measuring threads") {
+    intercept[IllegalArgumentException] { ScalingBench.masterFor(4, "executor") }
   }
 
   test("awaitExecutors is a no-op for local masters (no session needed)") {
