@@ -24,7 +24,11 @@ object PlanAudit {
       // round 3: the row-heavy binary set-op (codegen'd, broadcast
       // reference) and the lossy-ANN recall bound-checks (in-query
       // brute force + multi-table LSH candidate dedup before payload)
-      "cqf_intersect_by_bucket", "ann_lsh_topk")
+      "cqf_intersect_by_bucket", "ann_lsh_topk",
+      // round 3 (late): the two-proposer ensemble now dedups bare
+      // candidate pairs BEFORE the single exact recheck — guard that
+      // restructure against SMJ/cartesian regressions too
+      "simhash_near_dups")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
