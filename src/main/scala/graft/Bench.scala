@@ -59,6 +59,46 @@ object Bench {
     }
     val tokensPerSec = nTokens / buildSec
 
+    // --- false-positive rate vs the published bound (the second clause
+    // of the BASELINE.json metric), measured on a distributed build of
+    // the bench corpus, not a toy. The bound δ ≈ n/2^hash_bits (CQF
+    // paper / SURVEY §6) governs the LOSSY hash regime — byte-folded
+    // string keys. (Integer token keys use the invertible Wang bijection
+    // over the hash domain, where membership is exact by construction —
+    // masking long probes would just re-probe present keys, not measure
+    // collisions.) So: build a CQF over the corpus's distinct doc_id
+    // strings at two hash widths and probe 1M never-inserted strings
+    // driver-side. hashBits=26 gives a bound large enough to measure
+    // (n/2^26); hashBits=40 is the production width (expect ~0 of 1M).
+    // The kernel-level statistical version lives in CqfSpec ("published
+    // bound"); this records the property at bench scale per round.
+    def fpMeasure(hashBits: Int): (Long, Long, Double, Double) = {
+      // pre-size the quotient for the doc_id cardinality at <=0.85 load
+      // (the auto-grow path exists but pre-sizing keeps the build clean)
+      val q = math.max(10,
+        math.ceil(math.log(nDocs / 0.85) / math.log(2)).toInt)
+      val skBytes = stored
+        .agg(api.cqf_agg(col("doc_id"), q, hashBits).as("sk"))
+        .head().getAs[Array[Byte]](0)
+      val sk = graft.sketch.Cqf.deserialize(skBytes)
+      val probes = 1000000L
+      var fp = 0L
+      var k = 0L
+      while (k < probes) {
+        val b = ("fpprobe_" + k).getBytes("UTF-8")
+        if (sk.queryHash(sk.bytesHash(b)) > 0) fp += 1
+        k += 1
+      }
+      (fp, probes, fp.toDouble / probes,
+        sk.distinctCount.toDouble / math.pow(2.0, hashBits))
+    }
+    val (fpLossy, fpProbes, fpRateLossy, fpBoundLossy) = fpMeasure(26)
+    val (fpProd, _, fpRateProd, fpBoundProd) = fpMeasure(40)
+    // bound check with binomial slack: rate <= bound + 4*sqrt(bound/probes)
+    def fpOk(rate: Double, bound: Double) =
+      rate <= bound + 4.0 * math.sqrt(bound / fpProbes) + 1e-6
+    val fpAllOk = fpOk(fpRateLossy, fpBoundLossy) && fpOk(fpRateProd, fpBoundProd)
+
     // --- per-query timings over the sf dir (min of 2: the shared sandbox
     // host is noisy, and the second run also excludes codegen warm-up) ---
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -87,7 +127,7 @@ object Bench {
       .mkString("{", ",", "}")
     val nErr = results.count(_._3 != null)
     val total = results.map(_._2).sum + buildSec
-    println(s"""{"metric":"total","value":${jsonNum(total)},"unit":"sec","queries":$qs,"query_errors":$errs,"n_query_errors":$nErr,"sf":"$sfDir","headline_build_sec":${jsonNum(buildSec)},"headline_tokens":$nTokens,"headline_mtokens_per_sec":${jsonNum(tokensPerSec / 1e6)},"cpus":$cpus}""")
+    println(s"""{"metric":"total","value":${jsonNum(total)},"unit":"sec","queries":$qs,"query_errors":$errs,"n_query_errors":$nErr,"sf":"$sfDir","headline_build_sec":${jsonNum(buildSec)},"headline_tokens":$nTokens,"headline_mtokens_per_sec":${jsonNum(tokensPerSec / 1e6)},"fp_probes":$fpProbes,"fp_rate_hb26":$fpRateLossy,"fp_bound_hb26":$fpBoundLossy,"fp_count_hb26":$fpLossy,"fp_rate_hb40":$fpRateProd,"fp_bound_hb40":$fpBoundProd,"fp_count_hb40":$fpProd,"fp_within_bound":$fpAllOk,"cpus":$cpus}""")
     spark.stop()
   }
 }
