@@ -73,11 +73,22 @@ object Bench {
     // The kernel-level statistical version lives in CqfSpec ("published
     // bound"); this records the property at bench scale per round.
     def fpMeasure(hashBits: Int): (Long, Long, Double, Double) = {
-      // pre-size the quotient for the doc_id cardinality at <=0.85 load
-      // (the auto-grow path exists but pre-sizing keeps the build clean)
-      val q = math.max(10,
-        math.ceil(math.log(nDocs / 0.85) / math.log(2)).toInt)
-      val skBytes = stored
+      // cap the measured cardinality so the quotient fits inside
+      // hashBits even at huge SPARK_GRAFT_BENCH_DOCS (q > hashBits would
+      // fail Cqf's precondition; n beyond ~0.85*2^(hashBits-4) would
+      // also push the 26-bit bound toward saturation and measure
+      // nothing) — a deterministic doc_id subsample keeps the bound
+      // n/2^b in a readable range; the bound itself uses the sketch's
+      // actual distinct count, so the subsample stays self-consistent
+      val fpCap = 3000000L
+      val src = if (nDocs <= fpCap) stored
+        else stored.where(
+          pmod(xxhash64(col("doc_id")), lit(math.max(2L, nDocs / fpCap))) === 0)
+      // pre-size the quotient for the measured cardinality at <=0.85
+      // load (auto-grow exists but pre-sizing keeps the build one-pass)
+      val q = math.min(hashBits - 4, math.max(10,
+        math.ceil(math.log(math.min(nDocs, fpCap) / 0.85) / math.log(2)).toInt))
+      val skBytes = src
         .agg(api.cqf_agg(col("doc_id"), q, hashBits).as("sk"))
         .head().getAs[Array[Byte]](0)
       val sk = graft.sketch.Cqf.deserialize(skBytes)

@@ -25,6 +25,39 @@ object KernelBench {
     s
   }
 
+  /** zipf^2.5 token ids over a 50k vocab, deterministic per shard — the
+    * headline build's per-shard key distribution. `math.pow` is paid
+    * here, at materialization, never inside a timed loop (an in-loop
+    * generator halves apparent throughput — BASELINE.md lesson). */
+  private def zipfTokens(tid: Int, n: Int): Array[Int] = {
+    val a = new Array[Int](n)
+    var seed = 0x9e3779b97f4a7c15L * (tid + 1)
+    var i = 0
+    while (i < n) {
+      seed = xorshift(seed)
+      val u = (seed >>> 11).toDouble / 9007199254740992.0
+      a(i) = (math.pow(u, 2.5) * 50000).toInt
+      i += 1
+    }
+    a
+  }
+
+  /** One shard per thread, joined; FAILS if any shard thread died (a
+    * dead thread would otherwise silently inflate the rate with
+    * never-run work). Returns M ops/s over threads × perShard. */
+  private def runShards(threads: Int, perShard: Int)(shard: Int => Unit): Double = {
+    val done = new java.util.concurrent.atomic.AtomicInteger(0)
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { tid =>
+      val t = new Thread(() => { shard(tid); done.incrementAndGet(); () })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    require(done.get() == threads,
+      s"only ${done.get()} of $threads shards completed")
+    threads.toDouble * perShard / ((System.nanoTime() - t0) / 1e9) / 1e6
+  }
+
   def insertBench(reps: Int): Unit = {
     val hashBits = 46
     val q = 26
@@ -151,27 +184,17 @@ object KernelBench {
     * Spark build does not, the plateau lives in the scan/row path, not
     * the kernel or the algorithm. */
   def kernelScaleBench(): Unit = {
-    val nPerThread = 20000000L
-    def run(threads: Int): Double = {
-      val results = new java.util.concurrent.atomic.AtomicLong()
-      val t0 = System.nanoTime()
-      val ts = (0 until threads).map { tid =>
-        val t = new Thread(() => {
-          val cqf = Cqf(16, 40, invertible = true, compact = true)
-          var seed = 0x9e3779b97f4a7c15L * (tid + 1)
-          var i = 0L
-          while (i < nPerThread) {
-            seed = xorshift(seed)
-            cqf.insert((seed & 0xffffffffffL) % 10000L)
-            i += 1
-          }
-          results.addAndGet(cqf.occupiedSlots)
-        })
-        t.start(); t
+    val nPerThread = 20000000
+    def run(threads: Int): Double = runShards(threads, nPerThread) { tid =>
+      val cqf = Cqf(16, 40, invertible = true, compact = true)
+      var seed = 0x9e3779b97f4a7c15L * (tid + 1)
+      var i = 0L
+      while (i < nPerThread) {
+        seed = xorshift(seed)
+        cqf.insert((seed & 0xffffffffffL) % 10000L)
+        i += 1
       }
-      ts.foreach(_.join())
-      val sec = (System.nanoTime() - t0) / 1e9
-      threads * nPerThread / sec / 1e6
+      require(cqf.occupiedSlots > 0)
     }
     run(2)
     for (t <- Seq(1, 8, 32)) {
@@ -214,33 +237,13 @@ object KernelBench {
     * build's kernel ceiling cited in BASELINE.md round 3. */
   def zipfBench(): Unit = {
     val perShard = 1700000
-    def mkTokens(tid: Int): Array[Int] = {
-      val a = new Array[Int](perShard)
-      var seed = 0x9e3779b97f4a7c15L * (tid + 1)
+    val tokenSets = (0 until 32).map(zipfTokens(_, perShard)).toArray
+    def run(threads: Int): Double = runShards(threads, perShard) { tid =>
+      val c = Cqf(16, 40, invertible = true, compact = true)
+      val toks = tokenSets(tid)
       var i = 0
-      while (i < perShard) {
-        seed = xorshift(seed)
-        val u = (seed >>> 11).toDouble / 9007199254740992.0
-        a(i) = (math.pow(u, 2.5) * 50000).toInt
-        i += 1
-      }
-      a
-    }
-    val tokenSets = (0 until 32).map(mkTokens).toArray
-    def run(threads: Int): Double = {
-      val t0 = System.nanoTime()
-      val ts = (0 until threads).map { tid =>
-        val t = new Thread(() => {
-          val c = Cqf(16, 40, invertible = true, compact = true)
-          val toks = tokenSets(tid)
-          var i = 0
-          while (i < toks.length) { c.insert(toks(i).toLong); i += 1 }
-          require(c.totalCount == perShard)
-        })
-        t.start(); t
-      }
-      ts.foreach(_.join())
-      threads.toDouble * perShard / ((System.nanoTime() - t0) / 1e9) / 1e6
+      while (i < toks.length) { c.insert(toks(i).toLong); i += 1 }
+      require(c.totalCount == perShard)
     }
     run(2)
     for (t <- Seq(1, 8, 32)) {
@@ -266,19 +269,7 @@ object KernelBench {
   def altBuildBench(): Unit = {
     val perShard = 1700000
     val hashBits = 40
-    def mkTokens(tid: Int): Array[Int] = {
-      val a = new Array[Int](perShard)
-      var seed = 0x9e3779b97f4a7c15L * (tid + 1)
-      var i = 0
-      while (i < perShard) {
-        seed = xorshift(seed)
-        val u = (seed >>> 11).toDouble / 9007199254740992.0
-        a(i) = (math.pow(u, 2.5) * 50000).toInt
-        i += 1
-      }
-      a
-    }
-    val tokenSets = (0 until 32).map(mkTokens).toArray
+    val tokenSets = (0 until 32).map(zipfTokens(_, perShard)).toArray
 
     def directBuild(toks: Array[Int]): Cqf = {
       val c = Cqf(16, hashBits, invertible = true, compact = true)
@@ -307,11 +298,14 @@ object KernelBench {
         def hasNext: Boolean = k < m
         def next(): (Long, Long) = { val t = (hs(k), cs(k)); k += 1; t }
       }
+      // bounded retry: a capacity miss (FullException, private to the
+      // kernel) retries at q+1; anything still failing by q=30 is a real
+      // error and must escape, not loop forever
       var q = 16
       var res: Cqf = null
       while (res == null) {
         try res = Cqf.fromSortedHashesPublic(it, q, hashBits, invertible = true, compact = true)
-        catch { case _: RuntimeException => q += 1 }
+        catch { case _: RuntimeException if q < 30 => q += 1 }
       }
       res
     }
@@ -358,18 +352,10 @@ object KernelBench {
     require(sortBuild(tokenSets(0)).iterator.sameElements(ref.iterator), "sortBuild content mismatch")
     require(tableBuild(tokenSets(0)).iterator.sameElements(ref.iterator), "tableBuild content mismatch")
 
-    def run(threads: Int, build: Array[Int] => Cqf): Double = {
-      val t0 = System.nanoTime()
-      val ts = (0 until threads).map { tid =>
-        val t = new Thread(() => {
-          val c = build(tokenSets(tid))
-          require(c.totalCount == perShard)
-        })
-        t.start(); t
+    def run(threads: Int, build: Array[Int] => Cqf): Double =
+      runShards(threads, perShard) { tid =>
+        require(build(tokenSets(tid)).totalCount == perShard)
       }
-      ts.foreach(_.join())
-      threads.toDouble * perShard / ((System.nanoTime() - t0) / 1e9) / 1e6
-    }
     for ((name, b) <- Seq(("direct", directBuild _), ("sort", sortBuild _), ("table", tableBuild _))) {
       run(2, b)
       for (t <- Seq(1, 8, 32)) {
@@ -412,15 +398,8 @@ object KernelBench {
       b.result().totalCount
     }
     require(direct(keySets(0)) == perShard && table(keySets(0)) == perShard)
-    def run(threads: Int, f: Array[Long] => Long): Double = {
-      val t0 = System.nanoTime()
-      val ts = (0 until threads).map { tid =>
-        val t = new Thread(() => { require(f(keySets(tid)) == perShard) })
-        t.start(); t
-      }
-      ts.foreach(_.join())
-      threads.toDouble * perShard / ((System.nanoTime() - t0) / 1e9) / 1e6
-    }
+    def run(threads: Int, f: Array[Long] => Long): Double =
+      runShards(threads, perShard) { tid => require(f(keySets(tid)) == perShard) }
     for ((name, f) <- Seq(("direct", direct _), ("table", table _))) {
       run(2, f)
       for (t <- Seq(1, 8, 32)) {
@@ -441,19 +420,8 @@ object KernelBench {
     * which costs more than the ~1 ns/byte mix it saves. */
   def strBuildBench(): Unit = {
     val perShard = 1000000
-    def mkWords(tid: Int): Array[Array[Byte]] = {
-      val a = new Array[Array[Byte]](perShard)
-      var seed = 0x9e3779b97f4a7c15L * (tid + 1)
-      var i = 0
-      while (i < perShard) {
-        seed = xorshift(seed)
-        val u = (seed >>> 11).toDouble / 9007199254740992.0
-        val id = (math.pow(u, 2.5) * 50000).toInt
-        a(i) = s"tokenword_$id".getBytes("UTF-8")
-        i += 1
-      }
-      a
-    }
+    def mkWords(tid: Int): Array[Array[Byte]] =
+      zipfTokens(tid, perShard).map(id => s"tokenword_$id".getBytes("UTF-8"))
     val wordSets = (0 until 32).map(mkWords).toArray
     def direct(ws: Array[Array[Byte]]): Cqf = {
       val c = Cqf(16, 40, invertible = false, compact = true)
@@ -469,19 +437,8 @@ object KernelBench {
     }
     require(java.util.Arrays.equals(
       direct(wordSets(0)).serialize(), table(wordSets(0)).serialize()))
-    def run(threads: Int, f: Array[Array[Byte]] => Cqf): Double = {
-      // a shard thread that dies (OOM on the ~1.4 GB word sets, kernel
-      // bug) must fail the bench, not inflate the rate with never-run work
-      val done = new java.util.concurrent.atomic.AtomicInteger(0)
-      val t0 = System.nanoTime()
-      val ts = (0 until threads).map { tid =>
-        val t = new Thread(() => { f(wordSets(tid)); done.incrementAndGet(); () })
-        t.start(); t
-      }
-      ts.foreach(_.join())
-      require(done.get() == threads, s"only ${done.get()} of $threads shards completed")
-      threads.toDouble * perShard / ((System.nanoTime() - t0) / 1e9) / 1e6
-    }
+    def run(threads: Int, f: Array[Array[Byte]] => Cqf): Double =
+      runShards(threads, perShard) { tid => f(wordSets(tid)); () }
     for ((name, f) <- Seq(("direct", direct _), ("table", table _))) {
       run(2, f)
       for (t <- Seq(1, 8, 32)) {
@@ -497,19 +454,8 @@ object KernelBench {
     * mix64s + depth row updates. */
   def cmsBuildBench(): Unit = {
     val perShard = 1700000
-    def mkTokens(tid: Int): Array[Long] = {
-      val a = new Array[Long](perShard)
-      var seed = 0x9e3779b97f4a7c15L * (tid + 1)
-      var i = 0
-      while (i < perShard) {
-        seed = xorshift(seed)
-        val u = (seed >>> 11).toDouble / 9007199254740992.0
-        a(i) = (math.pow(u, 2.5) * 50000).toLong
-        i += 1
-      }
-      a
-    }
-    val tokenSets = (0 until 32).map(mkTokens).toArray
+    val tokenSets = (0 until 32)
+      .map(tid => zipfTokens(tid, perShard).map(_.toLong)).toArray
     def direct(ks: Array[Long]): graft.sketch.CountMinSketch = {
       val c = graft.sketch.CountMinSketch(5, 2048)
       var i = 0
@@ -524,15 +470,8 @@ object KernelBench {
     }
     require(java.util.Arrays.equals(
       direct(tokenSets(0)).serialize(), table(tokenSets(0)).serialize()))
-    def run(threads: Int, f: Array[Long] => graft.sketch.CountMinSketch): Double = {
-      val t0 = System.nanoTime()
-      val ts = (0 until threads).map { tid =>
-        val t = new Thread(() => { f(tokenSets(tid)); () })
-        t.start(); t
-      }
-      ts.foreach(_.join())
-      threads.toDouble * perShard / ((System.nanoTime() - t0) / 1e9) / 1e6
-    }
+    def run(threads: Int, f: Array[Long] => graft.sketch.CountMinSketch): Double =
+      runShards(threads, perShard) { tid => f(tokenSets(tid)); () }
     for ((name, f) <- Seq(("direct", direct _), ("table", table _))) {
       run(2, f)
       for (t <- Seq(1, 8, 32)) {

@@ -1076,6 +1076,13 @@ object Cqf {
     var quotient = 0L
     while (quotient < totalSlots) {
       if (bit(occ, quotient)) {
+        // blocks cover 2^q real slots plus the cushion region
+        // (num_real_slots rounds up to whole blocks): an occupied bit in
+        // the cushion — or a remainder/count outside its field below —
+        // is a corrupt image and must fail, not decode out-of-domain
+        // hashes (would silently wrap through fromSortedHashes)
+        require(quotient < (1L << q),
+          s"corrupt reference image: occupied bit at cushion slot $quotient >= 2^$q")
         val start = math.max(quotient, prevEnd + 1)
         runendCursor = nextRunend(math.max(start, runendCursor + 1))
         val end = runendCursor
@@ -1085,9 +1092,13 @@ object Cqf {
         val runStart = m
         while (pos <= end) {
           val rem = slots(pos.toInt)
+          require(remBits >= 64 || (rem >>> remBits) == 0L,
+            s"corrupt reference image: remainder $rem exceeds $remBits bits")
           var c = 1L
           if (pos + 1 <= end && bit(cnt, pos + 1)) {
             c = slots(pos.toInt + 1); pos += 2
+            require(c > 0L,
+              s"corrupt reference image: non-positive count $c")
           } else pos += 1
           if (m == hs.length) {
             hs = java.util.Arrays.copyOf(hs, m * 2)

@@ -63,6 +63,11 @@ abstract class LongPreAgg {
   /** Count `count` occurrences of `key`. */
   final def tally(key: Long, count: Long): Unit = {
     if (count == 0L) return
+    // a negative count OR-ed into a packed slot would smear its sign
+    // bits across the KEY field and the drain would fold garbage into
+    // the sketch; fail loudly instead (one predicted-not-taken branch)
+    if (count < 0L) throw new IllegalArgumentException(
+      s"tally: count must be positive, got $count")
     // adaptive bypass: when a full table drained with ~no duplication,
     // this stream is cardinality-dominated and the table would keep
     // paying probe+rehash+drain on top of every kernel insert (~10-16%

@@ -123,6 +123,16 @@ class PreAggSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(b.result().serialize(), direct.serialize()))
   }
 
+  test("negative counts are rejected before they can smear packed slots") {
+    val b = new CqfBuilder(Cqf(10, 40, invertible = true, compact = true))
+    b.addHash(42L, 3L)
+    // a negative count OR-ed into a packed slot would overwrite the key
+    // field with sign bits; the drain would then fold garbage silently
+    intercept[IllegalArgumentException](b.addHash(42L, -1L))
+    intercept[IllegalArgumentException](b.addHash(7L, Long.MinValue))
+    assert(b.result().totalCount == 3L)
+  }
+
   test("builders stay usable after result() (window eval pattern)") {
     val direct = CountMinSketch(3, 256)
     val b = new CmsBuilder(CountMinSketch(3, 256))

@@ -163,6 +163,34 @@ class RefLayoutSpec extends AnyFunSuite {
     assert(back.totalCount == 500L && back.distinctCount == 37L)
   }
 
+  test("corrupt images fail loudly instead of decoding out-of-domain content") {
+    val c = Cqf(6, 16, invertible = false, compact = false)
+    (0L until 20L).foreach(k => c.insertHash(k * 97L & 0xffffL, 1L))
+    val img = Cqf.exportRefLayout(c)
+
+    // occupied+runend bit planted in the cushion region (slot >= 2^q):
+    // without validation this would decode a hash >= 2^hashBits
+    val cushion = img.clone()
+    val cb = le(cushion)
+    val cushionSlot = 100 // q=6 -> 2^6=64 real slots; 100 is cushion
+    val blk = cushionSlot / 64; val bit = cushionSlot % 64
+    cb.putLong(56 + blk * 544, cb.getLong(56 + blk * 544) | (1L << bit))
+    cb.putLong(56 + blk * 544 + 8, cb.getLong(56 + blk * 544 + 8) | (1L << bit))
+    val e1 = intercept[IllegalArgumentException](Cqf.importRefLayout(cushion))
+    assert(e1.getMessage.contains("cushion"))
+
+    // remainder slot with bits above remBits (q=6, hashBits=16 -> 10-bit
+    // remainders): find the first occupied real slot and poison its slot
+    val bad = img.clone()
+    val bb = le(bad)
+    val occ0 = bb.getLong(56)
+    val firstSlot = java.lang.Long.numberOfTrailingZeros(occ0)
+    val slotOff = 56 + 24 + firstSlot * 8
+    bb.putLong(slotOff, bb.getLong(slotOff) | (1L << 12))
+    val e2 = intercept[IllegalArgumentException](Cqf.importRefLayout(bad))
+    assert(e2.getMessage.contains("remainder"))
+  }
+
   test("import grows past reference load levels my container would refuse") {
     // build a dense filter, export at its natural q, then import — the
     // importer must pick a quotient that satisfies MY 95% load cap even
