@@ -107,7 +107,13 @@ object CountMinSketch {
 
   def apply(depth: Int = 5, width: Int = 2048): CountMinSketch = {
     require(depth >= 1 && depth <= 32 && width >= 8)
-    new CountMinSketch(depth, width, new Array[Long](depth * width), 0L)
+    // Int-multiply of accepted params can overflow (e.g. fromError with
+    // eps ~ 5e-9 gives width ~ 543M; 5*543M > 2^31) — size in Long and
+    // reject tables that cannot be one JVM array
+    val cells = depth.toLong * width
+    require(cells <= Int.MaxValue - 8,
+      s"CMS table too large: depth=$depth x width=$width = $cells cells")
+    new CountMinSketch(depth, width, new Array[Long](cells.toInt), 0L)
   }
 
   /** Sized from error targets: overestimate ≤ eps*N with prob 1-delta. */

@@ -203,6 +203,11 @@ final class Cqf private (
     * error, see class doc). */
   def insertHash(hash: Long, count: Long): Unit = {
     if (count == 0L) return
+    // a negative count would saturate compact slots to 2^32-1 and store
+    // raw sign bits in wide slots (breaking queryHash/contains/merge);
+    // fail loudly at the entry point — deletion is setCountHash(h, 0)
+    if (count < 0L) throw new IllegalArgumentException(
+      s"insert: count must be non-negative, got $count")
     if (_occupiedSlots + 2 > maxOccupiedSlots) grow()
     var retry = true
     while (retry) {
@@ -334,6 +339,11 @@ final class Cqf private (
     while (true) {
       val qend = decodeEnd(pos)
       if (decRemainder == remainder) return decCount
+      // runs are kept remainder-sorted by every write path (insert scans
+      // to sorted position; append emits sorted; set_count overwrites in
+      // place), so the first larger remainder proves absence — halves
+      // the average probe cost of absent keys on loaded filters
+      if (decRemainder > remainder) return 0L
       if (isRunend(qend)) return 0L
       pos = qend + 1
     }
@@ -341,8 +351,23 @@ final class Cqf private (
   }
 
   /** Overwrite the multiplicity of `hash` to exactly `count`; inserts when
-    * absent (semantics of /root/reference/src/cqf.rs:129-139). */
+    * absent; `count = 0` deletes by overwrite (semantics of
+    * /root/reference/src/cqf.rs:129-139). Auto-grows like insertHash when
+    * opening the count slot needs space the cushion can't provide. */
   def setCountHash(hash: Long, count: Long): Unit = {
+    if (count < 0L) throw new IllegalArgumentException(
+      s"set_count: count must be non-negative, got $count")
+    var retry = true
+    while (retry) {
+      retry = false
+      // grow() rebuilds at a new quotient width, so the retry must
+      // re-derive quotient/remainder from `hash` — hence internal split
+      try setCountHashInternal(hash, count)
+      catch { case FullException => grow(); retry = true }
+    }
+  }
+
+  private def setCountHashInternal(hash: Long, count: Long): Unit = {
     val rBits = remainderBits
     val quotient = (hash >>> rBits) & bitmask(_quotientBits)
     val remainder = hash & bitmask(rBits)
@@ -562,7 +587,7 @@ final class Cqf private (
     var merged: Cqf = null
     while (merged == null) {
       try merged = Cqf.mergedFrom(this, other, q, hashBits, _invertible, outCompact)
-      catch { case FullException => q += 1 }
+      catch { case FullException => q += 1; Cqf.qCapCheck(q, hashBits) }
     }
     _quotientBits = merged._quotientBits
     _compact = outCompact
@@ -612,6 +637,15 @@ final class Cqf private (
 }
 
 object Cqf {
+
+  /** Shared cap for the FullException q-escalation loops (mergeInPlace,
+    * mergedFrom, importRefLayout): past hashBits (or 62) another retry
+    * cannot help — fromSortedHashes would derive a negative remainder
+    * width / wrapped slot count — so fail with grow()'s clean error
+    * instead of looping or allocating garbage. */
+  private[sketch] def qCapCheck(q: Int, hashBits: Int): Unit =
+    if (q > hashBits || q > 62) throw new IllegalStateException(
+      s"CQF cannot fit content: quotientBits=$q exceeds hashBits=$hashBits (cap 62)")
   private final val HeaderLongs = 4
   private[sketch] final val Magic = 0x3146514354465247L // "GRFTCQF1"
   /** 95% load cap, as the reference (/root/reference/src/cqf.rs:81). */
@@ -873,7 +907,7 @@ object Cqf {
     var res: Cqf = null
     while (res == null) {
       try res = fromSortedHashes(src, q, a.hashBits, inv, compact)
-      catch { case FullException => q += 1 }
+      catch { case FullException => q += 1; qCapCheck(q, a.hashBits) }
     }
     res
   }
@@ -1133,7 +1167,7 @@ object Cqf {
     var res: Cqf = null
     while (res == null) {
       try res = fromSortedHashes(src, myQ, hashBits, invertible, compact)
-      catch { case FullException => myQ += 1 }
+      catch { case FullException => myQ += 1; qCapCheck(myQ, hashBits) }
     }
     res
   }
@@ -1148,8 +1182,20 @@ object Cqf {
     val invertible = ((meta >>> 16) & 1L) == 1L
     val compact = ((meta >>> 17) & 1L) == 1L
     val occupied = buf.getLong()
-    val len = buf.getLong().toInt
-    val blocks = new Array[Long](len)
+    val lenL = buf.getLong()
+    // validate the header BEFORE allocating/indexing: a corrupt payload
+    // behind a valid magic must fail as IllegalArgumentException (the
+    // type SketchMeta maps to a clean SQL error), not surface later as
+    // NegativeArraySize/OOM/ArrayIndexOutOfBounds on first use
+    require(qBits >= 4 && qBits <= 62, s"corrupt CQF header: quotientBits=$qBits")
+    require(hashBits >= qBits && hashBits <= 64,
+      s"corrupt CQF header: hashBits=$hashBits for quotientBits=$qBits")
+    require(occupied >= 0L, s"corrupt CQF header: occupiedSlots=$occupied")
+    val expectedLen = numBlocksFor(qBits).toLong * strideOf(compact)
+    require(lenL == expectedLen && lenL * 8 == buf.remaining(),
+      s"corrupt CQF payload: $lenL block longs (expected $expectedLen, " +
+      s"${buf.remaining() / 8} in buffer)")
+    val blocks = new Array[Long](lenL.toInt)
     buf.asLongBuffer().get(blocks)
     new Cqf(qBits, hashBits, invertible, compact, blocks, occupied)
   }

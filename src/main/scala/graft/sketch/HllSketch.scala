@@ -98,6 +98,11 @@ object HllSketch {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     require(buf.getLong() == Magic, "bad HLL magic")
     val p = buf.getLong().toInt
+    // header validation before allocation: corrupt p would OOM (p ~ 60)
+    // or wrap (1 << p negative) instead of failing as a clean parse error
+    require(p >= 4 && p <= 21, s"corrupt HLL header: p=$p")
+    require(buf.remaining() == (1 << p),
+      s"corrupt HLL payload: ${buf.remaining()} register bytes for p=$p")
     val regs = new Array[Byte](1 << p)
     buf.get(regs)
     new HllSketch(p, regs)

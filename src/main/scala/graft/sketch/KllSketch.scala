@@ -233,7 +233,18 @@ object KllSketch {
     val n = buf.getLong()
     val rng = buf.getLong()
     val nLevels = buf.getLong().toInt
+    // validate header fields against the remaining payload before any
+    // allocation sized from them (corrupt nLevels/lens would otherwise
+    // OOM or BufferUnderflow instead of failing as a clean parse error)
+    require(k >= 8 && k <= (1 << 20), s"corrupt KLL header: k=$k")
+    require(n >= 0L, s"corrupt KLL header: n=$n")
+    require(nLevels >= 0 && nLevels.toLong * 8 <= buf.remaining(),
+      s"corrupt KLL header: nLevels=$nLevels for ${buf.remaining()} bytes")
     val lens = Array.fill(nLevels)(buf.getLong().toInt)
+    require(lens.forall(_ >= 0) &&
+      lens.foldLeft(0L)(_ + _) * 8 == buf.remaining(),
+      s"corrupt KLL payload: level lengths ${lens.mkString(",")} vs " +
+      s"${buf.remaining()} bytes")
     val levels = new ArrayBuffer[ArrayBuffer[Double]](nLevels)
     lens.foreach { len =>
       val l = new ArrayBuffer[Double](len)

@@ -52,8 +52,14 @@ object SketchMeta {
   def of(bytes: Array[Byte]): SketchMetaInfo = kindOf(bytes) match {
     case Some("cqf") =>
       val c = Cqf.deserialize(bytes)
-      val d = c.distinctCount
-      SketchMetaInfo("cqf", bytes.length.toLong, c.totalCount, d,
+      // one cursor pass for both metrics (distinctCount + totalCount
+      // would each walk the full filter; checkpoint partials call this
+      // per shard, so the enumeration cost is paid often)
+      var d = 0L
+      var tot = 0L
+      val cu = c.cursor
+      while (cu.advance()) { d += 1; tot += cu.count }
+      SketchMetaInfo("cqf", bytes.length.toLong, tot, d,
         c.occupiedSlots.toDouble / c.numSlots.toDouble, c.quotientBits.toLong,
         if (c.invertible) 0.0
         else d.toDouble / math.pow(2.0, c.hashBits.toDouble))

@@ -31,6 +31,10 @@ final class TDigest private (
 
   def add(x: Double, w: Double = 1.0): Unit = {
     require(!x.isNaN, "cannot add NaN to t-digest")
+    // a NaN weight makes compress's running total NaN (every later
+    // quantile/cdf silently NaN); a non-positive weight corrupts the
+    // weighted-mean centroid update
+    require(w > 0.0, s"t-digest weight must be positive, got $w")
     if (nBuf == bufMeans.length) compress()
     bufMeans(nBuf) = x
     bufWeights(nBuf) = w

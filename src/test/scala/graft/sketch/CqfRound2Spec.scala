@@ -153,4 +153,40 @@ class CqfRound2Spec extends AnyFunSuite {
       assert(got(k) == ((ma.getOrElse(k, 0L), mb.getOrElse(k, 0L))), s"key $k")
     }
   }
+
+  test("negative counts are rejected at every entry point") {
+    val c = Cqf(8, 32, invertible = true, compact = false)
+    c.insert(5L, 2L)
+    intercept[IllegalArgumentException](c.insert(5L, -1L))
+    intercept[IllegalArgumentException](c.insertHash(c.keyHash(5L), Long.MinValue))
+    intercept[IllegalArgumentException](c.setCount(5L, -3L))
+    assert(c.count(5L) == 2L)
+    c.setCount(5L, 0L) // deletion by overwrite stays legal
+    assert(c.count(5L) == 0L)
+  }
+
+  test("set_count grows instead of throwing when opening a count slot at capacity") {
+    // fill a tiny filter to its load cap with multiplicity-1 keys, then
+    // set_count on present keys to force count-slot creation: the
+    // cushion cannot hold them all, so the path must grow (as insert
+    // does), not escape with the kernel's internal FullException
+    val c = Cqf(4, 20, invertible = true, compact = false)
+    val keys = (0L until 14L).toArray
+    keys.foreach(k => c.insert(k))
+    keys.foreach(k => c.setCount(k, 1000L + k))
+    keys.foreach(k => assert(c.count(k) == 1000L + k, s"key $k"))
+  }
+
+  test("corrupt serialized headers fail as clean parse errors") {
+    val c = Cqf(8, 32, invertible = true, compact = false)
+    (0L until 50L).foreach(k => c.insert(k))
+    val ok = c.serialize()
+    assert(Cqf.deserialize(ok).totalCount == 50L)
+    // corrupt the meta long (quotientBits byte -> 255)
+    val badQ = ok.clone(); badQ(8) = 0xff.toByte
+    intercept[IllegalArgumentException](Cqf.deserialize(badQ))
+    // truncated payload: length field no longer matches the buffer
+    val trunc = java.util.Arrays.copyOf(ok, ok.length - 16)
+    intercept[IllegalArgumentException](Cqf.deserialize(trunc))
+  }
 }

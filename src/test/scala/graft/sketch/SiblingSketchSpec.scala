@@ -195,4 +195,26 @@ class SiblingSketchSpec extends AnyFunSuite {
     for (q <- Seq(0.25, 0.75))
       assert(back.quantile(q) == merged.quantile(q))
   }
+
+  test("corrupt HLL/KLL/TD inputs fail cleanly") {
+    val h = HllSketch(12)
+    (0L until 100L).foreach(h.add)
+    val okH = h.serialize()
+    val badP = okH.clone(); badP(8) = 60.toByte // p=60 would OOM unguarded
+    intercept[IllegalArgumentException](HllSketch.deserialize(badP))
+    intercept[IllegalArgumentException](
+      HllSketch.deserialize(java.util.Arrays.copyOf(okH, okH.length - 7)))
+
+    val k = KllSketch(200)
+    (0 until 500).foreach(i => k.add(i.toDouble))
+    val okK = k.serialize()
+    val badL = okK.clone(); badL(32) = 0x7f.toByte // absurd nLevels
+    intercept[IllegalArgumentException](KllSketch.deserialize(badL))
+
+    val td = TDigest(100.0)
+    td.add(1.0)
+    intercept[IllegalArgumentException](td.add(2.0, -1.0))
+    intercept[IllegalArgumentException](td.add(2.0, Double.NaN))
+    assert(td.quantile(0.5) == 1.0)
+  }
 }
