@@ -137,6 +137,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[GraftExtensions].getName, name),
         builder))
     }
+    // the *_udaf surface must exist here too, not only via registerAll
+    // (udf.register needs a live session; extensions predate it, so wrap
+    // each UserDefinedAggregator application back into an expression)
+    graft.agg.TypedAggregators.udafBuilders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[GraftExtensions].getName, name),
+        builder))
+    }
   }
 }
 

@@ -99,17 +99,11 @@ abstract class SketchAggBase[S >: Null <: AnyRef]
       case FloatType => (s, v) => add(s, v.asInstanceOf[Float].toDouble)
       case DoubleType => (s, v) => add(s, v.asInstanceOf[Double])
       case _: DecimalType => (s, v) => add(s, v.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble)
-      case ArrayType(et, _) =>
-        val get: (ArrayData, Int) => Double = et match {
-          case ByteType => (a, i) => a.getByte(i).toDouble
-          case ShortType => (a, i) => a.getShort(i).toDouble
-          case IntegerType => (a, i) => a.getInt(i).toDouble
-          case LongType => (a, i) => a.getLong(i).toDouble
-          case FloatType => (a, i) => a.getFloat(i).toDouble
-          case DoubleType => (a, i) => a.getDouble(i)
-          case other => throw new IllegalStateException(
-            s"$prettyName: unsupported array element type $other")
-        }
+      case at: ArrayType =>
+        // shared getter: covers every NumericType checkNumericInput
+        // admits (a local copy was missing DecimalType and crashed at
+        // runtime on a type its own analysis check had approved)
+        val get = graft.functions.CosineSim.getter(at)
         (s, v) => {
           val a = v.asInstanceOf[ArrayData]
           val n = a.numElements()

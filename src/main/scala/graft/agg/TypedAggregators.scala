@@ -67,4 +67,23 @@ object TypedAggregators {
     spark.udf.register("kll_agg_udaf",
       functions.udaf(new KllAggregator(), Encoders.scalaDouble))
   }
+
+  /** The same four functions as expression builders, for the declarative
+    * `spark.sql.extensions` path (extensions run before any session
+    * exists, so `udf.register` is unavailable there): each builder
+    * applies the UserDefinedAggregator to the argument columns and
+    * unwraps the resulting aggregate expression. */
+  def udafBuilders: Seq[(String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+      org.apache.spark.sql.catalyst.expressions.Expression)] = {
+    import org.apache.spark.sql.graftbridge.GraftBridge
+    def wrap(uda: org.apache.spark.sql.expressions.UserDefinedFunction)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+          org.apache.spark.sql.catalyst.expressions.Expression =
+      args => GraftBridge.resolvedExpression(uda(args.map(GraftBridge.column): _*))
+    Seq(
+      "cqf_agg_udaf" -> wrap(functions.udaf(new CqfLongAggregator(), Encoders.scalaLong)),
+      "hll_agg_udaf" -> wrap(functions.udaf(new HllLongAggregator(), Encoders.scalaLong)),
+      "td_agg_udaf" -> wrap(functions.udaf(new TDigestAggregator(), Encoders.scalaDouble)),
+      "kll_agg_udaf" -> wrap(functions.udaf(new KllAggregator(), Encoders.scalaDouble)))
+  }
 }

@@ -26,14 +26,10 @@ case class VecMeanAgg(
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
+  // the shared getter covers EVERY NumericType checkInputDataTypes
+  // admits (a local copy drifted and crashed on array<short>/<decimal>)
   @transient private lazy val get: (ArrayData, Int) => Double =
-    child.dataType match {
-      case ArrayType(FloatType, _) => (a, i) => a.getFloat(i).toDouble
-      case ArrayType(DoubleType, _) => (a, i) => a.getDouble(i)
-      case ArrayType(IntegerType, _) => (a, i) => a.getInt(i).toDouble
-      case ArrayType(LongType, _) => (a, i) => a.getLong(i).toDouble
-      case other => throw new IllegalStateException(s"vec_mean_agg: bad type $other")
-    }
+    graft.functions.CosineSim.getter(child.dataType)
 
   // buffer(0) = row count, buffer(1..) = element sums; null = nothing seen
   override def createAggregationBuffer(): Array[Double] = null

@@ -106,11 +106,6 @@ private[functions] object KeyConv {
     case BinaryType => v.asInstanceOf[Array[Byte]]
     case other => throw new IllegalArgumentException(s"unsupported key type $other")
   }
-  def checkKey(dt: DataType, fn: String): Unit = dt match {
-    case ByteType | ShortType | IntegerType | LongType | StringType | BinaryType => ()
-    case other => throw new IllegalArgumentException(
-      s"$fn: key must be integral or string, got $other")
-  }
 }
 
 /** Whole-stage codegen for (sketchBytes, key) probes: the generated code
@@ -119,6 +114,21 @@ private[functions] object KeyConv {
   * prefilter over a large scan (e.g. WHERE bloom_might_contain(...)). */
 private[functions] trait KeyedProbeCodegen { self: BinaryExpression =>
   protected def withStringKey: Boolean = KeyConv.isBytesKey(right.dataType)
+  // bad key types must fail the query at analysis — unchecked they break
+  // janino compilation (double arg into a long helper) or throw per-row
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (left.dataType != BinaryType)
+      TypeCheckFailure(s"$prettyName requires a binary sketch column, got ${left.dataType}")
+    else right.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | StringType | BinaryType =>
+        TypeCheckSuccess
+      case other =>
+        TypeCheckFailure(s"$prettyName: key must be integral or string, got $other")
+    }
+  }
+  /** Converter resolved once, not re-pattern-matched per interpreted row. */
+  @transient protected lazy val longKey: Any => Long = KeyConv.toLong(right.dataType)
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
@@ -150,7 +160,7 @@ case class CqfCount(left: Expression, right: Expression)
     val bytes = sk.asInstanceOf[Array[Byte]]
     if (KeyConv.isBytesKey(right.dataType))
       cached(bytes).countBytes(KeyConv.toBytes(key, right.dataType))
-    else evalLong(bytes, KeyConv.toLong(right.dataType)(key))
+    else evalLong(bytes, longKey(key))
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CqfCount =
     copy(left = l, right = r)
@@ -170,7 +180,7 @@ case class CqfContains(left: Expression, right: Expression)
     val bytes = sk.asInstanceOf[Array[Byte]]
     if (KeyConv.isBytesKey(right.dataType))
       cached(bytes).countBytes(KeyConv.toBytes(key, right.dataType)) > 0
-    else evalLong(bytes, KeyConv.toLong(right.dataType)(key))
+    else evalLong(bytes, longKey(key))
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CqfContains =
     copy(left = l, right = r)
@@ -308,6 +318,20 @@ case class CqfSetCount(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with CodegenFallback {
   override def prettyName: String = "cqf_set_count"
   override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (first.dataType != BinaryType)
+      TypeCheckFailure(s"$prettyName requires a binary sketch column, got ${first.dataType}")
+    else second.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | StringType | BinaryType =>
+        third.dataType match {
+          case IntegerType | LongType => TypeCheckSuccess
+          case other => TypeCheckFailure(s"$prettyName: count must be integral, got $other")
+        }
+      case other =>
+        TypeCheckFailure(s"$prettyName: key must be integral or string, got $other")
+    }
+  }
   override def nullSafeEval(sk: Any, key: Any, count: Any): Any = {
     val cqf = Cqf.deserialize(sk.asInstanceOf[Array[Byte]])
     val c = count match {
@@ -315,8 +339,10 @@ case class CqfSetCount(first: Expression, second: Expression, third: Expression)
       case i: Int => i.toLong
       case other => throw new IllegalArgumentException(s"bad count $other")
     }
+    // setCountBytes (not setCountHash over bytesHash) so a byte-key write
+    // clears the invertible flag — enumeration must not fabricate longs
     if (KeyConv.isBytesKey(second.dataType))
-      cqf.setCountHash(cqf.bytesHash(KeyConv.toBytes(key, second.dataType)), c)
+      cqf.setCountBytes(KeyConv.toBytes(key, second.dataType), c)
     else cqf.setCount(KeyConv.toLong(second.dataType)(key), c)
     cqf.serialize()
   }
@@ -438,7 +464,7 @@ case class CmsEstimate(left: Expression, right: Expression)
         case u: UTF8String => u
         case b: Array[Byte] => UTF8String.fromBytes(b)
       })
-    else evalLong(bytes, KeyConv.toLong(right.dataType)(key))
+    else evalLong(bytes, longKey(key))
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CmsEstimate =
     copy(left = l, right = r)
@@ -566,7 +592,7 @@ case class BloomMightContain(left: Expression, right: Expression)
         case u: UTF8String => u
         case b: Array[Byte] => UTF8String.fromBytes(b)
       })
-    else evalLong(bytes, KeyConv.toLong(right.dataType)(key))
+    else evalLong(bytes, longKey(key))
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomMightContain =
     copy(left = l, right = r)
@@ -638,22 +664,44 @@ case class CqfFromRef(child: Expression)
 
 // ------------------------------------------------------------------ hash
 
+/** Shared key/bits validation + per-row plumbing for wang_hash /
+  * wang_unhash: a LONG bits argument would ClassCastException per row,
+  * and bits outside [1, 64] degenerates (mask(0) maps every key to 0). */
+private[functions] trait WangBitsChecked { self: BinaryExpression =>
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    left.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => right.dataType match {
+        case IntegerType => TypeCheckSuccess
+        case other => TypeCheckFailure(s"$prettyName: bits must be INT, got $other")
+      }
+      case other => TypeCheckFailure(s"$prettyName: key must be integral, got $other")
+    }
+  }
+  @transient protected lazy val keyConv: Any => Long = KeyConv.toLong(left.dataType)
+  protected final def bitsOf(bits: Any): Int = {
+    val b = bits.asInstanceOf[Int]
+    require(b >= 1 && b <= 64, s"$prettyName: bits must be in [1, 64], got $b")
+    b
+  }
+}
+
 case class WangHashExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with CodegenFallback with WangBitsChecked {
   override def prettyName: String = "wang_hash"
   override def dataType: DataType = LongType
   override def nullSafeEval(k: Any, bits: Any): Any =
-    WangHash.hash(KeyConv.toLong(left.dataType)(k), bits.asInstanceOf[Int])
+    WangHash.hash(keyConv(k), bitsOf(bits))
   override protected def withNewChildrenInternal(l: Expression, r: Expression): WangHashExpr =
     copy(left = l, right = r)
 }
 
 case class WangUnhashExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with CodegenFallback with WangBitsChecked {
   override def prettyName: String = "wang_unhash"
   override def dataType: DataType = LongType
   override def nullSafeEval(h: Any, bits: Any): Any =
-    WangHash.unhash(KeyConv.toLong(left.dataType)(h), bits.asInstanceOf[Int])
+    WangHash.unhash(keyConv(h), bitsOf(bits))
   override protected def withNewChildrenInternal(l: Expression, r: Expression): WangUnhashExpr =
     copy(left = l, right = r)
 }

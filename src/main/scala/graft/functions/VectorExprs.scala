@@ -19,6 +19,9 @@ case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression with DirectCallCodegen2 {
   override def prettyName: String = "cosine_sim"
   override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecChecks.both(VecChecks.numericArray(left.dataType, prettyName),
+      VecChecks.numericArray(right.dataType, prettyName))
   @transient private lazy val getL = CosineSim.getter(left.dataType)
   @transient private lazy val getR = CosineSim.getter(right.dataType)
   def compute(x: ArrayData, y: ArrayData): Double = {
@@ -39,13 +42,48 @@ case class CosineSim(left: Expression, right: Expression)
 }
 
 object CosineSim {
-  private[functions] def getter(dt: DataType): (ArrayData, Int) => Double = dt match {
+  /** THE numeric-array element getter (shared by CosineSim, VecLshBucket,
+    * VecMeanAgg and the agg layer's array updater): covers every
+    * NumericType the analysis-time checks admit, so an accepted type can
+    * never crash per-row. */
+  private[graft] def getter(dt: DataType): (ArrayData, Int) => Double = dt match {
     case ArrayType(FloatType, _) => (a, i) => a.getFloat(i).toDouble
     case ArrayType(DoubleType, _) => (a, i) => a.getDouble(i)
     case ArrayType(IntegerType, _) => (a, i) => a.getInt(i).toDouble
     case ArrayType(LongType, _) => (a, i) => a.getLong(i).toDouble
-    case other => throw new IllegalArgumentException(s"cosine_sim: bad type $other")
+    case ArrayType(ShortType, _) => (a, i) => a.getShort(i).toDouble
+    case ArrayType(ByteType, _) => (a, i) => a.getByte(i).toDouble
+    case ArrayType(d: DecimalType, _) =>
+      (a, i) => a.getDecimal(i, d.precision, d.scale).toDouble
+    case other => throw new IllegalArgumentException(s"numeric array getter: bad type $other")
   }
+}
+
+/** Analysis-time input checks shared by the vector/text expressions: an
+  * unchecked array type reaches UnsafeArrayData with the wrong element
+  * stride and reads garbage VALUES (not an error) — e.g. getLong over
+  * 4-byte-packed ints. */
+private[functions] object VecChecks {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import TypeCheckResult._
+  def stringArray(dt: DataType, fn: String): TypeCheckResult = dt match {
+    case ArrayType(StringType, _) => TypeCheckSuccess
+    case other => TypeCheckFailure(s"$fn requires array<string>, got $other")
+  }
+  def numericArray(dt: DataType, fn: String): TypeCheckResult = dt match {
+    case ArrayType(_: NumericType, _) => TypeCheckSuccess
+    case other => TypeCheckFailure(s"$fn requires array<numeric>, got $other")
+  }
+  def longArray(dt: DataType, fn: String): TypeCheckResult = dt match {
+    case ArrayType(LongType, _) => TypeCheckSuccess
+    case other => TypeCheckFailure(s"$fn requires array<bigint>, got $other")
+  }
+  def intArg(dt: DataType, fn: String, what: String): TypeCheckResult = dt match {
+    case IntegerType => TypeCheckSuccess
+    case other => TypeCheckFailure(s"$fn: $what must be INT, got $other")
+  }
+  def both(a: TypeCheckResult, b: => TypeCheckResult): TypeCheckResult =
+    if (a != TypeCheckSuccess) a else b
 }
 
 /** Shared direct-call codegen: `ev.value = ref.compute(args...)` — keeps
@@ -91,6 +129,9 @@ case class VecLshBucket(left: Expression, right: Expression, seed: Long)
     extends BinaryExpression with DirectCallCodegen2 {
   override def prettyName: String = "vec_lsh_bucket"
   override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecChecks.both(VecChecks.numericArray(left.dataType, prettyName),
+      VecChecks.intArg(right.dataType, prettyName, "nPlanes"))
   @transient private lazy val get = CosineSim.getter(left.dataType)
   // plane components depend only on (seed, plane, dim): materialize them
   // once per task instead of re-mixing 64x per row element
@@ -110,6 +151,11 @@ case class VecLshBucket(left: Expression, right: Expression, seed: Long)
     planeCache
   }
   def compute(x: ArrayData, nPlanes: Int): Long = {
+    // the signature is one packed Long: planes beyond 64 would wrap the
+    // bit shift (JVM shift-count mod 64) and silently alias onto the
+    // low bits — reject instead of producing wrong buckets
+    require(nPlanes >= 1 && nPlanes <= 64,
+      s"vec_lsh_bucket: nPlanes must be in [1, 64], got $nPlanes")
     val n = x.numElements()
     val ps = planes(nPlanes, n)
     var sig = 0L
@@ -138,6 +184,8 @@ case class SimHash64(child: Expression)
     extends UnaryExpression with DirectCallCodegen {
   override def prettyName: String = "simhash64"
   override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecChecks.stringArray(child.dataType, prettyName)
   def compute(arr: ArrayData): Long = {
     val n = arr.numElements()
     val counts = new Array[Int](64)
@@ -171,6 +219,9 @@ case class MinHashSig(left: Expression, right: Expression)
     extends BinaryExpression with DirectCallCodegen2 {
   override def prettyName: String = "minhash_sig"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecChecks.both(VecChecks.stringArray(left.dataType, prettyName),
+      VecChecks.intArg(right.dataType, prettyName, "nHashes"))
   def compute(arr: ArrayData, nHashes: Int): ArrayData = {
     val mins = Array.fill(nHashes)(Long.MaxValue)
     val n = arr.numElements()
@@ -203,6 +254,9 @@ case class SetOverlap(left: Expression, right: Expression)
     extends BinaryExpression with DirectCallCodegen2 {
   override def prettyName: String = "set_overlap"
   override def dataType: DataType = SetOverlap.schema
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecChecks.both(VecChecks.stringArray(left.dataType, prettyName),
+      VecChecks.stringArray(right.dataType, prettyName))
   def compute(x: ArrayData, y: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
     val sa = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
     var i = 0
@@ -246,6 +300,10 @@ case class ShingleMinHash(first: Expression, second: Expression, third: Expressi
     extends TernaryExpression with DirectCallCodegen3 {
   override def prettyName: String = "shingle_minhash"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecChecks.both(VecChecks.stringArray(first.dataType, prettyName),
+      VecChecks.both(VecChecks.intArg(second.dataType, prettyName, "k"),
+        VecChecks.intArg(third.dataType, prettyName, "nHashes")))
   def compute(arr: ArrayData, k: Int, nHashes: Int): ArrayData = {
     val n = arr.numElements()
     val mins = Array.fill(nHashes)(Long.MaxValue)
@@ -290,6 +348,9 @@ case class ShingleHashSet(left: Expression, right: Expression)
     extends BinaryExpression with DirectCallCodegen2 {
   override def prettyName: String = "shingle_hash_set"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecChecks.both(VecChecks.stringArray(left.dataType, prettyName),
+      VecChecks.intArg(right.dataType, prettyName, "k"))
   def compute(arr: ArrayData, k: Int): ArrayData = {
     val n = arr.numElements()
     if (n < k)
@@ -335,6 +396,9 @@ case class SortedLongOverlap(left: Expression, right: Expression)
     extends BinaryExpression with DirectCallCodegen2 {
   override def prettyName: String = "sorted_long_overlap"
   override def dataType: DataType = SetOverlap.schema
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VecChecks.both(VecChecks.longArray(left.dataType, prettyName),
+      VecChecks.longArray(right.dataType, prettyName))
   def compute(x: ArrayData, y: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
     val nx = x.numElements()
     val ny = y.numElements()

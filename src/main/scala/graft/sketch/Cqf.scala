@@ -400,10 +400,19 @@ final class Cqf private (
   def setCount(key: Long, c: Long): Unit = setCountHash(keyHash(key), c)
 
   /** Non-invertible byte-key path (string keys): keys are folded through
-    * mix64 and masked to hashBits; enumeration cannot recover them. */
+    * mix64 and masked to hashBits; enumeration cannot recover them.
+    * WRITING a byte key therefore clears the invertible flag — otherwise
+    * a filter built invertibly over longs would, after one byte-key
+    * write, "recover" fabricated long keys for the folded hashes. */
   @inline def bytesHash(bytes: Array[Byte]): Long = Cqf.bytesKeyHash(bytes, hashBits)
-  def insertBytes(bytes: Array[Byte], count: Long = 1L): Unit =
+  def insertBytes(bytes: Array[Byte], count: Long = 1L): Unit = {
+    _invertible = false
     insertHash(bytesHash(bytes), count)
+  }
+  def setCountBytes(bytes: Array[Byte], c: Long): Unit = {
+    _invertible = false
+    setCountHash(bytesHash(bytes), c)
+  }
   def countBytes(bytes: Array[Byte]): Long = queryHash(bytesHash(bytes))
 
   // ---- iteration ------------------------------------------------------

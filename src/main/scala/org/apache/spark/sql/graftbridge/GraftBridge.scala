@@ -12,4 +12,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly CONVERT the column's node tree to a Catalyst expression
+    * (ExpressionUtils.expression only wraps it in a lazy
+    * ColumnNodeExpression, which stays Unevaluable if it reaches
+    * execution unconverted — e.g. when a function-registry builder
+    * returns it into an analyzed plan). Needed for UDAF applications. */
+  def resolvedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }

@@ -53,4 +53,13 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(items.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
       Seq((1L, 2L), (2L, 1L), (3L, 3L)))
   }
+
+  test("the *_udaf surface resolves through the extension (no registerAll)") {
+    val row = spark.sql(
+      """SELECT cqf_distinct(sk) AS d, hll_estimate(h) AS hd
+        |FROM (SELECT cqf_agg_udaf(k) sk, hll_agg_udaf(k) h FROM ext_v)
+        |""".stripMargin).head()
+    assert(row.getLong(0) === 3L)
+    assert(row.getLong(1) === 3L)
+  }
 }

@@ -152,4 +152,49 @@ class SetOpExprSpec extends AnyFunSuite with BeforeAndAfterAll {
       Cqf.deserialize(full.serialize()), math.max)
     assert(viaBy.invertible && viaBy.compact)
   }
+
+  test("bad key/array types fail at analysis, not per-row") {
+    import org.apache.spark.sql.AnalysisException
+    Seq(1L, 2L).toDF("k").createOrReplaceTempView("tchk")
+    val sk = cqfBytes(Seq(1L))
+    spark.createDataset(Seq(sk)).toDF("sk").createOrReplaceTempView("skv")
+    // double key into a keyed probe
+    intercept[AnalysisException](spark.sql(
+      "SELECT cqf_count(sk, CAST(1.5 AS DOUBLE)) FROM skv").collect())
+    // int-array into the sorted-long overlap (stride mismatch would read garbage)
+    intercept[AnalysisException](spark.sql(
+      "SELECT sorted_long_overlap(array(CAST(1 AS INT)), array(CAST(1 AS INT)))").collect())
+    // string-array expression over a long array
+    intercept[AnalysisException](spark.sql(
+      "SELECT simhash64(array(1L, 2L))").collect())
+    // LONG bits arg into wang_hash
+    intercept[AnalysisException](spark.sql(
+      "SELECT wang_hash(k, CAST(64 AS BIGINT)) FROM tchk").collect())
+    // good shapes still pass
+    assert(spark.sql("SELECT wang_unhash(wang_hash(7L, 64), 64)").head().getLong(0) == 7L)
+    assert(spark.sql(
+      "SELECT sorted_long_overlap(array(1L,2L), array(2L,3L)).inter").head().getInt(0) == 1)
+  }
+
+  test("vec_lsh_bucket rejects nPlanes outside [1, 64] instead of aliasing bits") {
+    val df = Seq(Seq(1.0f, 2.0f)).toDF("v")
+    val err = intercept[Exception](
+      df.select(api.vec_lsh_bucket(col("v"), lit(96))).collect())
+    assert(err.getMessage.contains("[1, 64]") ||
+      err.getCause.getMessage.contains("[1, 64]"))
+  }
+
+  test("byte-key writes clear the invertible flag (no fabricated keys)") {
+    // build invertibly over longs, then set_count a STRING key: the
+    // folded hash is not invertible, so enumeration must stop claiming
+    // key recovery instead of emitting a fabricated long for it
+    val c = Cqf(8, 32, invertible = true, compact = false)
+    c.insert(5L)
+    assert(c.invertible)
+    c.setCountBytes("abc".getBytes("UTF-8"), 3L)
+    assert(!c.invertible, "byte-key set_count must clear invertible")
+    val c2 = Cqf(8, 32, invertible = true, compact = false)
+    c2.insertBytes("xyz".getBytes("UTF-8"))
+    assert(!c2.invertible, "byte-key insert must clear invertible")
+  }
 }
