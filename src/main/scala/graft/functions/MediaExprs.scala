@@ -51,9 +51,15 @@ object MediaDecode {
     if (bytes.length >= 29 && java.util.Arrays.equals(
         java.util.Arrays.copyOf(bytes, 8), PngMagic) &&
         bytes(12) == 'I' && bytes(13) == 'H' && bytes(14) == 'D' && bytes(15) == 'R') {
-      return InternalRow(UTF8String.fromString("png"),
-        be32(bytes, 16), be32(bytes, 20),
-        pngChannels(bytes(25) & 0xff), 0, bytes(24) & 0xff, n)
+      val w = be32(bytes, 16)
+      val h = be32(bytes, 20)
+      // hostile IHDR sizes (>= 2^31 reads as negative; PNG spec caps
+      // dimensions at 2^31-1 but real images stay far below) are corrupt
+      // input, not a png — mirror the WAV path's hostile-size guard
+      if (w > 0 && h > 0 && w <= (1 << 30) && h <= (1 << 30)) {
+        return InternalRow(UTF8String.fromString("png"),
+          w, h, pngChannels(bytes(25) & 0xff), 0, bytes(24) & 0xff, n)
+      }
     }
     // WAV: 'RIFF' size 'WAVE', then chunk walk for 'fmt ' (channels at
     // +2, sample rate at +4, bits per sample at +14 within the chunk)

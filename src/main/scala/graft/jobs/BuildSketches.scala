@@ -91,8 +91,18 @@ object BuildSketches {
     * was sharded under a different scheme (old code, changed config, or
     * drifted per-source row counts) and (b) re-shard remaining rows
     * under the CHECKPOINT's scheme rather than a freshly derived one. */
+  // source names come straight from data (adversarial by policy): a name
+  // containing the scheme's own delimiters (',' '=' ';') would corrupt
+  // the encoding or crash the parse — percent-encode each name. Names
+  // without special characters encode to themselves, so schemes recorded
+  // by earlier builds keep parsing identically.
+  private def encName(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def decName(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
   private[jobs] def schemeString(map: Map[String, Int], default: Int): String =
-    map.toSeq.sortBy(_._1).map { case (s, n) => s"$s=$n" }
+    map.toSeq.sortBy(_._1).map { case (s, n) => s"${encName(s)}=$n" }
       .mkString(s"default=$default;", ",", "")
 
   private[jobs] def parseScheme(s: String): (Map[String, Int], Int) = {
@@ -100,7 +110,7 @@ object BuildSketches {
     val default = head.stripPrefix("default=").toInt
     val map = rest.headOption.filter(_.nonEmpty).map(_.split(",").map { kv =>
       val i = kv.lastIndexOf('=')
-      kv.substring(0, i) -> kv.substring(i + 1).toInt
+      decName(kv.substring(0, i)) -> kv.substring(i + 1).toInt
     }.toMap).getOrElse(Map.empty)
     (map, default)
   }
@@ -191,6 +201,17 @@ object BuildSketches {
     // checkpoint itself; a checkpoint without it is rejected loudly.
     val scheme: (Map[String, Int], Int) = existing match {
       case Some(ck) if ck.columns.contains("salt_scheme") =>
+        // the checkpoint's KIND must match too: resuming a cqf build as
+        // hll would append incompatible partials beside the old ones and
+        // stage 2 would feed cqf bytes into hll_merge_agg
+        if (ck.columns.contains("sketch_kind")) {
+          val kinds = ck.select(col("sketch_kind")).distinct()
+            .collect().map(_.getString(0))
+          require(kinds.sameElements(Array(cfg.kind)),
+            s"checkpoint at $checkpointDir holds sketch kind " +
+            s"'${kinds.mkString(",")}' but this run builds '${cfg.kind}' — " +
+            "use a fresh checkpoint dir per kind")
+        }
         val recorded = ck.select(col("salt_scheme")).distinct()
           .collect().map(_.getString(0))
         require(recorded.length == 1,
@@ -219,7 +240,26 @@ object BuildSketches {
         .write.mode(SaveMode.Append).partitionBy("salt").parquet(checkpointDir)
     }
 
-    val partials = spark.read.parquet(checkpointDir)
+    // first run over an EMPTY input writes no partials and the dir does
+    // not exist yet — a scheduled build on a zero-row day must return an
+    // empty result, not crash on PATH_NOT_FOUND
+    val partials =
+      try spark.read.parquet(checkpointDir)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PATH_NOT_FOUND") =>
+          return spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("source",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("sketch_bytes",
+                org.apache.spark.sql.types.BinaryType),
+              org.apache.spark.sql.types.StructField("n_rows",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("n_tokens",
+                org.apache.spark.sql.types.LongType))))
+      }
     partials.groupBy(col("source"))
       .agg(
         mergeAgg(cfg, col("sketch_bytes")).as("sketch_bytes"),

@@ -30,10 +30,11 @@ object TokenGen {
   def generate(spark: SparkSession, nDocs: Long, vocab: Int = 50000,
       minTok: Int = 16, maxTok: Int = 256, seed: Long = 42L,
       numPartitions: Int = 0): DataFrame = {
+    require(minTok >= 0 && maxTok > minTok,
+      s"token-count range must satisfy 0 <= minTok < maxTok, got [$minTok, $maxTok)")
     val base = if (numPartitions > 0) spark.range(0, nDocs, 1, numPartitions)
       else spark.range(nDocs)
-    val u = (shiftrightunsigned(xxhash64(col("id"), lit(seed)), 11).cast("double")
-      / lit(9007199254740992.0)) // 2^53
+    // draws are in [minTok, maxTok-1] (pmod over the span)
     val span = (maxTok - minTok).max(1)
     val nTok = (lit(minTok) + pmod(xxhash64(col("id"), lit(seed + 1)), lit(span))).cast("int")
     val srcPick = pmod(xxhash64(col("id"), lit(seed + 2)), lit(100))
@@ -41,12 +42,18 @@ object TokenGen {
       .otherwise(element_at(
         array(Sources.tail.map(lit(_)): _*),
         (pmod(xxhash64(col("id"), lit(seed + 3)), lit(Sources.size - 1)) + 1).cast("int")))
-    val tokens = transform(sequence(lit(1), nTok), i => {
-      val ui = shiftrightunsigned(xxhash64(col("id"), i, lit(seed + 4)), 11)
-        .cast("double") / lit(9007199254740992.0)
-      // zipf-ish: u^2.5 concentrates mass near token 0 (heavy head)
-      (pow(ui, lit(2.5)) * lit(vocab)).cast("int")
-    })
+    // nTok = 0 must give an EMPTY array: sequence(1, 0) counts DOWN to
+    // [1, 0] in Spark, which would put 2 tokens on a row claiming
+    // n_tok=0 and break the array/n_tok/packed invariant
+    val tokens = when(nTok === 0,
+      array().cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, containsNull = false)))
+      .otherwise(transform(sequence(lit(1), nTok), i => {
+        val ui = shiftrightunsigned(xxhash64(col("id"), i, lit(seed + 4)), 11)
+          .cast("double") / lit(9007199254740992.0)
+        // zipf-ish: u^2.5 concentrates mass near token 0 (heavy head)
+        (pow(ui, lit(2.5)) * lit(vocab)).cast("int")
+      }))
     base.select(
       format_string("doc_%012d", col("id")).as("doc_id"),
       tokens.as("tokens"),

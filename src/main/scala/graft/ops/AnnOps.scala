@@ -67,7 +67,10 @@ object AnnOps {
     * members keep their previous centroid. */
   def ivfCodebook(corpus: DataFrame, vec: Column, id: Column,
       nCells: Int, kmeansIters: Int = 2): Array[Array[Double]] = {
-    val c = corpus.select(id.as("cid"), vec.as("cv"))
+    // one dirty row (null embedding) must not kill the job: nulls can
+    // neither seed the codebook (rowToVec NPE) nor form a null
+    // nearest-cell group (getInt on null)
+    val c = corpus.select(id.as("cid"), vec.as("cv")).where(col("cv").isNotNull)
     var codebook: Array[Array[Double]] = c
       .select(col("cv"), xxhash64(col("cid")).as("h"), col("cid"))
       .orderBy(col("h"), col("cid")).limit(nCells)

@@ -28,11 +28,15 @@ object TextOps {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** BPE-ish subword count: words plus punctuation/digit runs counted
-    * separately (a cheap proxy for byte-pair tokenizers). */
+    * separately (a cheap proxy for byte-pair tokenizers). Empty /
+    * whitespace-only text counts 0 (split of "" yields [""], which
+    * would otherwise credit one phantom token — tokens() guards the
+    * same edge). */
   def bpeishTokenCount(text: Column): Column =
-    size(split(trim(text), "\\s+")) +
-      size(split(text, "[0-9]+")) - lit(1) +
-      size(split(text, "[^\\w\\s]+")) - lit(1)
+    when(length(trim(text)) === 0, lit(0)).otherwise(
+      size(split(trim(text), "\\s+")) +
+        size(split(text, "[0-9]+")) - lit(1) +
+        size(split(text, "[^\\w\\s]+")) - lit(1))
 
   /** Word-level k-shingles: contiguous k-word windows joined by a space.
     * Explode-free (higher-order functions over the token array). */

@@ -18,10 +18,17 @@ object StreamingSketch {
 
   /** Watermarked sliding-window sketch aggregation (append-capable). */
   def windowedAgg(df: DataFrame, ts: Column, watermarkDelay: String,
-      windowDur: String, groupCols: Seq[Column], agg: Column): DataFrame =
-    df.withWatermark(ts.toString, watermarkDelay)
-      .groupBy((window(ts, windowDur) +: groupCols): _*)
+      windowDur: String, groupCols: Seq[Column], agg: Column): DataFrame = {
+    // withWatermark takes a column NAME, so an arbitrary event-time
+    // EXPRESSION (e.g. an NTZ column cast to TIMESTAMP) must be
+    // materialized under a private name first — ts.toString of a cast
+    // would parse as an unresolvable attribute
+    val tsCol = "__graft_event_ts"
+    df.withColumn(tsCol, ts)
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy((window(col(tsCol), windowDur) +: groupCols): _*)
       .agg(agg.as("sketch"))
+  }
 
   /** Per-key CQF maintained as explicit group state: input rows are
     * (key, tokens); emits (key, distinct, total) after each update.

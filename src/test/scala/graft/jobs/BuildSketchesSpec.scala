@@ -226,4 +226,44 @@ class BuildSketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(out.where(col("sketch_bytes").isNull).count() == 0, s"kind=$kind")
     }
   }
+
+  test("resume rejects a kind mismatch against the checkpoint") {
+    val input = TokenGen.generate(spark, 300, vocab = 500).cache()
+    val dir = Files.createTempDirectory("graft_kind").toString + "/ck"
+    BuildSketches.run(spark, input, dir,
+      BuildSketches.Config(kind = "cqf", salts = 2, quotientBits = 8)).collect()
+    val err = intercept[IllegalArgumentException] {
+      BuildSketches.run(spark, input, dir,
+        BuildSketches.Config(kind = "hll", salts = 2)).collect()
+    }
+    assert(err.getMessage.contains("kind"))
+    input.unpersist()
+  }
+
+  test("salt scheme survives adversarial source names (delimiters)") {
+    val hostile = Map("x=2,y" -> 7, "a,b" -> 3, "plain" -> 4)
+    val enc = BuildSketches.schemeString(hostile, 16)
+    assert(BuildSketches.parseScheme(enc) == ((hostile, 16)))
+    // sane names keep their legacy byte-for-byte encoding (old
+    // checkpoints parse identically)
+    assert(BuildSketches.schemeString(Map("web" -> 64, "news" -> 8), 16)
+      == "default=16;news=8,web=64")
+  }
+
+  test("empty input on a fresh checkpoint returns an empty result, not a crash") {
+    val dir = Files.createTempDirectory("graft_empty").toString + "/ck"
+    val empty = TokenGen.generate(spark, 5, vocab = 10).where(lit(false))
+    val out = BuildSketches.run(spark, empty, dir,
+      BuildSketches.Config(kind = "cqf", salts = 2)).collect()
+    assert(out.isEmpty)
+  }
+
+  test("TokenGen nTok=0 rows carry genuinely empty token arrays") {
+    val df = TokenGen.generate(spark, 400, vocab = 100, minTok = 0, maxTok = 3)
+    val rows = df.select(col("n_tok"), size(col("tokens")).as("sz"),
+      length(col("packed")).as("plen")).collect()
+    assert(rows.forall(r => r.getInt(1) == r.getInt(0)), "size(tokens) == n_tok")
+    assert(rows.forall(r => r.getInt(2) == 4 * r.getInt(0)), "packed bytes == 4*n_tok")
+    assert(rows.exists(_.getInt(0) == 0), "the range must actually draw nTok=0")
+  }
 }
