@@ -226,9 +226,11 @@ class ScaleGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got(id) == oracle(t), s"doc $id")
     }
     assert(got(0L) == 2)
-    // empty / whitespace-only text counts ZERO (split of "" yields [""]
-    // and would otherwise credit a phantom token)
-    val empties = Seq((0L, ""), (1L, "   "), (2L, "\t\n")).toDF("id", "text")
+    // empty / space-only text counts ZERO (split of "" yields [""] and
+    // would otherwise credit a phantom token). The emptiness rule is the
+    // same space-trim tokens() uses — deliberately NOT \s-trim, because
+    // the DuckDB oracle's trim() also strips spaces only
+    val empties = Seq((0L, ""), (1L, "   ")).toDF("id", "text")
       .select(TextOps.bpeishTokenCount($"text").as("n")).collect()
     assert(empties.forall(_.getInt(0) == 0), "empty text must count 0 tokens")
   }
