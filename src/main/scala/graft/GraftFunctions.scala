@@ -118,7 +118,15 @@ object GraftFunctions {
     "rolling_fingerprint" -> (a => graft.ops.RollingFingerprint(a.head))
   )
 
+  // once-per-session guard: registerAll is called from helpers that run
+  // per query (and per table read), which would otherwise rewrite the
+  // ~60-function registry thousands of times per Verify run
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
   def registerAll(spark: SparkSession): Unit = {
+    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) != null) return
     val registry = spark.sessionState.functionRegistry
     builders.foreach { case (name, builder) =>
       registry.createOrReplaceTempFunction(name, builder, "scala_udf")

@@ -179,34 +179,40 @@ object SparkEntry {
           df.withColumn(s"m_$k", api.sketch_meta(col(s"sk_$k"))))
       def inUnit(c: Column) = c > lit(0.0) && c <= lit(1.0)
       def near(c: Column, v: Double) = abs(c - lit(v)) < lit(1e-12)
+      // one row per kind via ONE exploded array of structs — a union of
+      // per-kind selects would re-execute the whole 6-sketch aggregation
+      // per branch (column pruning gives each branch a different
+      // aggregate, so exchange reuse cannot deduplicate them)
       def row(kind: String, meta: Column, metaDistinct: Column,
           hllOk: Column, loadOk: Column, errOk: Column) =
-        withMeta.select(lit(kind).as("kind"),
+        struct(lit(kind).as("kind"),
           meta.getField("n").as("meta_n"),
-          metaDistinct.as("meta_distinct"),
+          metaDistinct.cast("long").as("meta_distinct"),
           hllOk.as("hll_est_ok"), loadOk.as("load_ok"), errOk.as("err_ok"))
-      row("cqf", m("cqf"), m("cqf").getField("distinct"), lit(true),
+      withMeta.select(explode(array(
+        row("cqf", m("cqf"), m("cqf").getField("distinct"), lit(true),
           inUnit(m("cqf").getField("load")),
-          m("cqf").getField("err_bound") === lit(0.0)) // invertible = exact
-        .unionByName(row("hll", m("hll"), lit(-1L),
+          m("cqf").getField("err_bound") === lit(0.0)), // invertible = exact
+        row("hll", m("hll"), lit(-1L),
           // estimate within 3 relative standard errors of exact
           abs(m("hll").getField("distinct") - col("exact_distinct")) <=
             lit(3 * 1.04 / 64.0) * col("exact_distinct"),
           inUnit(m("hll").getField("load")),
-          near(m("hll").getField("err_bound"), 1.04 / 64.0))) // p=12: 1.04/sqrt(4096)
-        .unionByName(row("cms", m("cms"), m("cms").getField("distinct"), lit(true),
+          near(m("hll").getField("err_bound"), 1.04 / 64.0)), // p=12: 1.04/sqrt(4096)
+        row("cms", m("cms"), m("cms").getField("distinct"), lit(true),
           inUnit(m("cms").getField("load")),
-          near(m("cms").getField("err_bound"), math.E / 2048.0)))
-        .unionByName(row("bloom", m("bloom"), m("bloom").getField("distinct"), lit(true),
+          near(m("cms").getField("err_bound"), math.E / 2048.0)),
+        row("bloom", m("bloom"), m("bloom").getField("distinct"), lit(true),
           inUnit(m("bloom").getField("load")),
           m("bloom").getField("err_bound") > lit(0.0) &&
-            m("bloom").getField("err_bound") < lit(1.0)))
-        .unionByName(row("td", m("td"), m("td").getField("distinct"), lit(true),
+            m("bloom").getField("err_bound") < lit(1.0)),
+        row("td", m("td"), m("td").getField("distinct"), lit(true),
           m("td").getField("load") > lit(0.0) && m("td").getField("load") <= lit(2.0),
-          isnan(m("td").getField("err_bound")))) // t-digest: no closed-form bound
-        .unionByName(row("kll", m("kll"), m("kll").getField("distinct"), lit(true),
+          isnan(m("td").getField("err_bound"))), // t-digest: no closed-form bound
+        row("kll", m("kll"), m("kll").getField("distinct"), lit(true),
           inUnit(m("kll").getField("load")),
-          near(m("kll").getField("err_bound"), 1.33 / 200.0)))
+          near(m("kll").getField("err_bound"), 1.33 / 200.0)))).as("r"))
+        .select(col("r.*"))
     }),
 
     "cqf_string_probe" -> ((s, dir) => {
@@ -314,8 +320,8 @@ object SparkEntry {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val src = s.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .select(col("event_type"), col("user_id").cast("int"))
-        .as[(String, Int)]
+        .select(col("event_type"), col("user_id").cast("long"))
+        .as[(String, Long)]
         .map { case (k, u) => (k, Array(u)) }
       val q = src.groupByKey(_._1)
         .mapGroupsWithState(
@@ -1031,11 +1037,15 @@ object SparkEntry {
         |CAST(CASE WHEN len(toks)=0 THEN 0 ELSE (len(list_filter(toks, t -> t IN ('the','a','an','of','to','and','in','is','it','that'))) * 1000) // len(toks) END AS BIGINT) AS stopword_permille,
         |CAST(CASE WHEN len(toks)=0 THEN 0 ELSE (len(list_distinct(toks)) * 1000) // len(toks) END AS BIGINT) AS distinct_permille,
         |CAST(CASE WHEN len(toks)=0 THEN 0 ELSE (CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS BIGINT) * 1000) // len(toks) END AS BIGINT) AS mean_word_len_permille
-        |FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)""".stripMargin,
+        |FROM (SELECT doc_id,
+        |  CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |       ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents)""".stripMargin,
 
     "token_counts" ->
       """SELECT source,
-        |CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+        |CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+        |  ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS total_tokens,
         |CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
         |FROM documents GROUP BY 1""".stripMargin,
 

@@ -18,8 +18,14 @@ object Verify {
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      catch {
+        // NonFatal only: an OOM/StackOverflow must kill the run, not be
+        // logged as one "failed" query while the corrupted JVM keeps
+        // producing misleading partial results. Full trace — getMessage
+        // alone can be null.
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[verify] $name failed: $e")
+          e.printStackTrace()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

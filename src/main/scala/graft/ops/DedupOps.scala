@@ -126,6 +126,7 @@ object DedupOps {
             lit(0), (acc, v) => acc + v).cast("double") / lit(nHashes))
           .as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
+      .distinct() // duplicated input ids fan pairs out through the sig re-joins
   }
 
   /** MinHash-LSH prefilter + EXACT word-k-shingle Jaccard recheck — the
@@ -147,7 +148,11 @@ object DedupOps {
   }
 
   /** Join gram sets onto bare id pairs and keep those with exact Jaccard
-    * >= threshold (integer-exact compare: inter*1e6 >= threshold*1e6*uni). */
+    * >= threshold (integer-exact compare: inter*1e6 >= threshold*1e6*uni).
+    * Final distinct preserves the documented "(distinct)" output contract
+    * when input ids are duplicated (the grams joins then fan each pair
+    * out once per duplicate row); it dedupes only the few VERIFIED rows,
+    * so the cost is negligible. */
   private def verifyByJaccard(pairs: DataFrame, grams: DataFrame,
       threshold: Double): DataFrame = {
     val thrPpm = math.round(threshold * 1000000L)
@@ -159,6 +164,7 @@ object DedupOps {
       .select(col("id_a"), col("id_b"),
         col("ov.inter").cast("long").as("inter"), col("ov.uni").cast("long").as("uni"))
       .where(col("uni") > 0 && col("inter") * 1000000L >= lit(thrPpm) * col("uni"))
+      .distinct()
   }
 
   /** SimHash near-dup pairs within Hamming distance <= maxDist. Banding by
@@ -240,11 +246,8 @@ object DedupOps {
     val mhPairs = bucketPairs(
       bandSignatures(base.select(col("id"), col("sig")), bands, rowsPerBand),
       Seq("band", "bucket"), bucketCap)
-    // final distinct preserves the documented "(distinct)" contract when
-    // input ids are duplicated (the grams join then fans a pair out);
-    // it dedupes the few VERIFIED rows, so its cost is negligible
     verifyByJaccard(simPairs.union(mhPairs).distinct(),
-      base.select(col("id"), col("grams")), threshold).distinct()
+      base.select(col("id"), col("grams")), threshold)
   }
 
   /** Exact n-gram (word k-shingle) Jaccard pairs within blocking keys.
@@ -411,6 +414,7 @@ object DedupOps {
       .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .where(AnnOps.cosine(col("v_a"), col("v_b")) >= minCos)
       .select(col("id_a"), col("id_b"))
+      .distinct() // duplicated input ids fan pairs out through the vector re-join
   }
 }
 
@@ -422,7 +426,8 @@ object DedupOps {
 private[ops] final class LongUnionFind(expectedKeys: Int) {
   private var cap = {
     var c = 16
-    while (c < expectedKeys * 2 && c < (1 << 30)) c <<= 1
+    // Long arithmetic: expectedKeys * 2 overflows Int past 2^30
+    while (c < expectedKeys.toLong * 2 && c < (1 << 29)) c <<= 1
     c
   }
   private var mask = cap - 1
@@ -450,12 +455,17 @@ private[ops] final class LongUnionFind(expectedKeys: Int) {
   private def setParent(k: Long, v: Long): Unit = {
     val i = slot(k)
     if (!occ(i)) {
-      if ((size + 1) * 4 > cap * 3) { grow(); setParent(k, v); return }
+      // overflow-safe 75% load check: (size+1)*4 wraps negative once cap
+      // reaches 2^30 and would force grow() into a negative allocation
+      if (size + 1 > cap - (cap >> 2)) { grow(); setParent(k, v); return }
       occ(i) = true; keys(i) = k; size += 1
     }
     vals(i) = v
   }
   private def grow(): Unit = {
+    require(cap < (1 << 30),
+      s"LongUnionFind cannot exceed 2^30 slots (~${size} keys) — lower " +
+      "the driver-local edge threshold so CC stays distributed")
     val ok = keys; val ov = vals; val oo = occ; val oc = cap
     cap <<= 1; mask = cap - 1; shift -= 1
     keys = new Array[Long](cap); vals = new Array[Long](cap)

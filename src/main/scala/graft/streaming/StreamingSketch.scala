@@ -34,14 +34,16 @@ object StreamingSketch {
     * (key, tokens); emits (key, distinct, total) after each update.
     * State is the serialized kernel — exactly the checkpoint format. */
   def cqfStateFn(quotientBits: Int = 10)
-      : (String, Iterator[(String, Array[Int])], GroupState[Array[Byte]]) => (String, Long, Long) =
+      : (String, Iterator[(String, Array[Long])], GroupState[Array[Byte]]) => (String, Long, Long) =
     (key, rows, state) => {
       val cqf =
         if (state.exists) Cqf.deserialize(state.get)
         else Cqf(quotientBits, 64)
-      rows.foreach { case (_, tokens) =>
+      rows.foreach { case (_, keys) =>
+        // keys stay Long end-to-end: narrowing 64-bit ids to Int would
+        // crash under ANSI (CAST_OVERFLOW) or alias ids mod 2^32
         var i = 0
-        while (i < tokens.length) { cqf.insert(tokens(i).toLong); i += 1 }
+        while (i < keys.length) { cqf.insert(keys(i)); i += 1 }
       }
       state.update(cqf.serialize())
       (key, cqf.distinctCount, cqf.totalCount)

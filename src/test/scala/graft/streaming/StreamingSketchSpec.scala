@@ -63,7 +63,7 @@ class StreamingSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("mapGroupsWithState maintains per-key CQF state across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    val stream = MemoryStream[(String, Array[Int])]
+    val stream = MemoryStream[(String, Array[Long])]
     val fn = StreamingSketch.cqfStateFn(8)
     val query = stream.toDS()
       .groupByKey(_._1)
@@ -72,15 +72,15 @@ class StreamingSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
       .writeStream.format("memory").queryName("cqf_state")
       .outputMode(OutputMode.Update()).start()
 
-    stream.addData(("a", Array(1, 2, 2)), ("b", Array(9)))
+    stream.addData(("a", Array(1L, 2L, 2L)), ("b", Array(9L)))
     query.processAllAvailable()
-    stream.addData(("a", Array(2, 3)))
+    stream.addData(("a", Array(2L, 3L, 1L << 40)))
     query.processAllAvailable()
     val rows = spark.sql("SELECT * FROM cqf_state").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     query.stop()
     // last emission per key reflects cumulative state
-    assert(rows.contains(("a", 3L, 5L)), rows.mkString(","))
+    assert(rows.contains(("a", 4L, 6L)), rows.mkString(",")) // incl. the 2^40 id (Long keys survive)
     assert(rows.contains(("b", 1L, 1L)))
   }
 }
