@@ -165,14 +165,20 @@ object SparkEntry {
       // This is the monitoring surface checkpointed builds attach to
       // every partial (BuildSketches sketch_state column).
       val li = t(s, dir, "lineitem")
+      // exact_distinct lives in its OWN aggregation: a DISTINCT mixed
+      // into the sketch aggregation makes Spark plan the distinct-Expand
+      // shape, whose stage 1 groups by l_partkey — every sketch family
+      // then allocates a buffer PER DISTINCT KEY (~200k x 6 at sf0.1)
+      // before the merge. Split, it is one cheap codegen'd hash pass
+      // cross-joined onto the single sketch row.
       val base = li.agg(
           api.cqf_agg(col("l_partkey"), 12, 64).as("sk_cqf"),
           api.hll_agg(col("l_partkey"), 12).as("sk_hll"),
           api.cms_agg(col("l_partkey"), 5, 2048).as("sk_cms"),
           api.bloom_agg(col("l_partkey"), 1L << 16, 5).as("sk_bloom"),
           api.td_agg(col("l_quantity"), 100.0).as("sk_td"),
-          api.kll_agg(col("l_quantity"), 200).as("sk_kll"),
-          countDistinct(col("l_partkey")).as("exact_distinct"))
+          api.kll_agg(col("l_quantity"), 200).as("sk_kll"))
+        .crossJoin(li.agg(countDistinct(col("l_partkey")).as("exact_distinct")))
       def m(kind: String) = col(s"m_$kind")
       val withMeta = Seq("cqf", "hll", "cms", "bloom", "td", "kll")
         .foldLeft(base)((df, k) =>
