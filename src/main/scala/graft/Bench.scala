@@ -83,7 +83,7 @@ object Bench {
       val fpCap = 3000000L
       val src = if (nDocs <= fpCap) stored
         else stored.where(
-          pmod(xxhash64(col("doc_id")), lit(math.max(2L, nDocs / fpCap))) === 0)
+          pmod(xxhash64(col("doc_id")), lit(math.max(2L, (nDocs + fpCap - 1) / fpCap))) === 0)
       // pre-size the quotient for the measured cardinality at <=0.85
       // load (auto-grow exists but pre-sizing keeps the build one-pass)
       val q = math.min(hashBits - 4, math.max(10,

@@ -298,16 +298,11 @@ object KernelBench {
         def hasNext: Boolean = k < m
         def next(): (Long, Long) = { val t = (hs(k), cs(k)); k += 1; t }
       }
-      // bounded retry: a capacity miss (FullException, private to the
-      // kernel) retries at q+1; anything still failing by q=30 is a real
-      // error and must escape, not loop forever
-      var q = 16
-      var res: Cqf = null
-      while (res == null) {
-        try res = Cqf.fromSortedHashesPublic(it, q, hashBits, invertible = true, compact = true)
-        catch { case _: RuntimeException if q < 30 => q += 1 }
-      }
-      res
+      // bounded retry via the sketch package's own growing builder: only
+      // capacity misses escalate q; a genuine bug (IllegalArgument/
+      // IllegalState from the append path) escapes immediately
+      Cqf.fromSortedHashesGrowing(() => it, 16, hashBits,
+        invertible = true, compact = true)
     }
     def tableBuild(toks: Array[Int]): Cqf = {
       // 2^17-slot open-addressing table: 1 MiB keys + 1 MiB counts

@@ -101,16 +101,22 @@ object BuildSketches {
   private def decName(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
 
+  // "v2;" tags percent-encoded schemes. Untagged (legacy) schemes were
+  // written with raw names, so decoding them would corrupt any name that
+  // legitimately contains '%' or '+' — legacy parses raw, v2 decodes.
   private[jobs] def schemeString(map: Map[String, Int], default: Int): String =
     map.toSeq.sortBy(_._1).map { case (s, n) => s"${encName(s)}=$n" }
-      .mkString(s"default=$default;", ",", "")
+      .mkString(s"v2;default=$default;", ",", "")
 
   private[jobs] def parseScheme(s: String): (Map[String, Int], Int) = {
-    val Array(head, rest @ _*) = s.split(";", 2)
+    val (tagged, body) =
+      if (s.startsWith("v2;")) (true, s.substring(3)) else (false, s)
+    val Array(head, rest @ _*) = body.split(";", 2)
     val default = head.stripPrefix("default=").toInt
+    val dec: String => String = if (tagged) decName else identity
     val map = rest.headOption.filter(_.nonEmpty).map(_.split(",").map { kv =>
       val i = kv.lastIndexOf('=')
-      decName(kv.substring(0, i)) -> kv.substring(i + 1).toInt
+      dec(kv.substring(0, i)) -> kv.substring(i + 1).toInt
     }.toMap).getOrElse(Map.empty)
     (map, default)
   }

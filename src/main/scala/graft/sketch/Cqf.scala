@@ -405,6 +405,10 @@ final class Cqf private (
     * a filter built invertibly over longs would, after one byte-key
     * write, "recover" fabricated long keys for the folded hashes. */
   @inline def bytesHash(bytes: Array[Byte]): Long = Cqf.bytesKeyHash(bytes, hashBits)
+  /** For byte-key writers that insert via pre-folded hashes (e.g.
+    * [[CqfBuilder.addBytes]]'s tally path): the write is lossy, so the
+    * filter must stop claiming key recovery, same as [[insertBytes]]. */
+  private[sketch] def markNonInvertible(): Unit = _invertible = false
   def insertBytes(bytes: Array[Byte], count: Long = 1L): Unit = {
     _invertible = false
     insertHash(bytesHash(bytes), count)
@@ -757,6 +761,22 @@ object Cqf {
       quotientBits: Int, hashBits: Int, invertible: Boolean,
       compact: Boolean): Cqf =
     fromSortedHashes(items, quotientBits, hashBits, invertible, compact)
+
+  /** [[fromSortedHashesPublic]] with the bounded capacity-retry loop the
+    * kernel uses internally: ONLY a capacity miss (the private
+    * FullException) escalates q; any other failure is a real bug and
+    * escapes immediately. `mkItems` must restart the stream per attempt. */
+  def fromSortedHashesGrowing(mkItems: () => Iterator[(Long, Long)],
+      startQuotientBits: Int, hashBits: Int, invertible: Boolean,
+      compact: Boolean): Cqf = {
+    var q = startQuotientBits
+    var res: Cqf = null
+    while (res == null) {
+      try res = fromSortedHashes(mkItems(), q, hashBits, invertible, compact)
+      catch { case FullException => q += 1; qCapCheck(q, hashBits) }
+    }
+    res
+  }
 
   /** Build from an ascending (hash, count) stream. */
   private[sketch] def fromSortedHashes(items: Iterator[(Long, Long)],

@@ -27,7 +27,13 @@ final class CqfBuilder(val cqf: Cqf) extends LongPreAgg {
   protected def sink(key: Long, count: Long): Unit = cqf.insertHash(key, count)
 
   @inline def add(key: Long): Unit = tally(cqf.keyHash(key), 1L)
-  @inline def addBytes(b: Array[Byte]): Unit = tally(cqf.bytesHash(b), 1L)
+  // byte keys fold lossily: clear the invertible flag up front (not at
+  // drain) exactly like Cqf.insertBytes, so even an un-drained builder's
+  // filter never fabricates long keys from folded hashes
+  @inline def addBytes(b: Array[Byte]): Unit = {
+    cqf.markNonInvertible()
+    tally(cqf.bytesHash(b), 1L)
+  }
 
   /** Count `count` occurrences of pre-hashed value `h`. */
   @inline def addHash(h: Long, count: Long): Unit = tally(h, count)

@@ -244,10 +244,21 @@ class BuildSketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     val hostile = Map("x=2,y" -> 7, "a,b" -> 3, "plain" -> 4)
     val enc = BuildSketches.schemeString(hostile, 16)
     assert(BuildSketches.parseScheme(enc) == ((hostile, 16)))
-    // sane names keep their legacy byte-for-byte encoding (old
-    // checkpoints parse identically)
+    // v2-tagged encoding; sane names still encode to themselves
     assert(BuildSketches.schemeString(Map("web" -> 64, "news" -> 8), 16)
-      == "default=16;news=8,web=64")
+      == "v2;default=16;news=8,web=64")
+  }
+
+  test("salt scheme: percent/plus names round-trip; legacy untagged parses raw") {
+    // names with URL-special bytes survive the v2 percent-encoding
+    val tricky = Map("pct%20ok" -> 5, "a+b" -> 3)
+    val enc = BuildSketches.schemeString(tricky, 8)
+    assert(BuildSketches.parseScheme(enc) == ((tricky, 8)))
+    // a checkpoint written by pre-v2 code recorded names RAW — they must
+    // not be URL-decoded on resume ('%20'/'+' stay literal)
+    assert(BuildSketches.parseScheme("default=16;a+b=3,pct%20ok=5")
+      == ((Map("pct%20ok" -> 5, "a+b" -> 3), 16)))
+    assert(BuildSketches.parseScheme("default=4") == ((Map.empty[String, Int], 4)))
   }
 
   test("empty input on a fresh checkpoint returns an empty result, not a crash") {

@@ -133,6 +133,40 @@ class CqfBuilderSpec extends AnyFunSuite {
     assert(!b.bypassed, "zipf stream must stay on the table path")
   }
 
+  test("addBytes clears the invertible flag like Cqf.insertBytes (ADVICE r3)") {
+    val b = CqfBuilder(8, 64, invertible = true)
+    b.add(42L)
+    assert(b.cqf.invertible, "long keys keep invertibility")
+    b.addBytes("hello".getBytes("UTF-8"))
+    assert(!b.cqf.invertible,
+      "a byte-key write through the builder must drop the key-recovery claim")
+    // and keyIterator must refuse, exactly as on the direct path
+    intercept[IllegalArgumentException] { b.result().keyIterator.next() }
+  }
+
+  test("fromSortedHashesGrowing retries only capacity misses; real bugs escape") {
+    // capacity retry: 3000 distinct hashes cannot fit at q=4, builder
+    // must escalate q silently and produce the right content
+    val hs = (0 until 3000).map(i => WangHash.hash(i.toLong, 40)).sorted
+    val grown = Cqf.fromSortedHashesGrowing(
+      () => hs.iterator.map(h => (h, 1L)), 4, 40,
+      invertible = true, compact = true)
+    assert(grown.distinctCount == 3000L)
+    assert(hs.forall(grown.queryHash(_) == 1L))
+    // a non-capacity failure mid-stream must escape on the FIRST attempt,
+    // not be swallowed and re-attempted at escalating q (r3 ADVICE)
+    var attempts = 0
+    val boom = intercept[IllegalStateException] {
+      Cqf.fromSortedHashesGrowing(
+        () => { attempts += 1
+          Iterator((5L, 1L)) ++ Iterator.fill[(Long, Long)](1) {
+            throw new IllegalStateException("boom") } },
+        8, 40, invertible = true, compact = true)
+    }
+    assert(boom.getMessage == "boom")
+    assert(attempts == 1, "real bugs must not trigger capacity retries")
+  }
+
   test("explicit counts sum; count=0 is a no-op; all-bits hashes are valid keys") {
     val b = CqfBuilder(8, 64)
     b.addHash(-1L, 3L) // 0xFFFF... must not collide with any empty marker
