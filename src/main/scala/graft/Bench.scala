@@ -1,13 +1,24 @@
 package graft
 
-import graft.jobs.{BuildSketches, TokenGen}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Driver-run benchmark: times every SparkEntry query on
   * SPARK_GRAFT_SF_DIR plus the headline sketch-build workload (the
   * BASELINE.json metric: CQF insert+merge tokens/sec). Prints ONE JSON
-  * line: {"metric","value","unit","queries","sf", extras}. */
+  * line: {"metric","value","unit","queries","sf", extras}.
+  *
+  * Self-evidencing protocol (round 4): the sandbox host is shared and
+  * its scan rate swings several-fold between windows, so an absolute
+  * tokens/sec headline is uninterpretable on its own. Every run
+  * therefore (a) brackets the timed builds with scan-only passes over
+  * the SAME table/splits and reports `scan_mtokens_per_sec` plus
+  * `build_scan_ratio` (the build's cost relative to what the host could
+  * merely scan in the same window — a window-invariant plan property),
+  * (b) flags the window as noisy (`noise_flag`) when its own scan
+  * readings disagree >1.5x, and (c) interleaves the two per-query reps
+  * across the whole suite instead of back-to-back, so one ambient spike
+  * cannot poison both reps of the same query. */
 object Bench {
 
   def jsonNum(d: Double): String =
@@ -42,22 +53,47 @@ object Bench {
     // never shuffle, only sketch partials do
     val stored = spark.read.parquet(tokenDir)
     val nTokens = stored.agg(sum(col("n_tok"))).head().getLong(0)
-    // split sizing applies to the build only; queries keep stock splits
-    // min of N runs: the pre-agg kernel finishes the default input in
-    // ~1.6 s, so single shots are dominated by whatever the shared host
-    // is doing that second; 4 reps cost ~5 s and stabilize the min
+
+    // scan-only denominator: the cheapest possible full pass over the
+    // same bytes the build reads (sum of packed lengths — one codegen'd
+    // aggregation over the vectorized binary column). Build throughput
+    // divided by this is the plan's intrinsic cost multiplier; the raw
+    // scan rate is this window's I/O+CPU capacity reading.
+    def scanOnce(): Double = {
+      val t0 = System.nanoTime()
+      val bytes = stored.agg(sum(octet_length(col("packed")))).head().getLong(0)
+      require(bytes == nTokens * 4L, "packed column lost tokens")
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // split sizing applies to the build only; queries keep stock splits.
+    // Scans and builds alternate (scan, build, scan, build, ..., scan)
+    // so every build rep has a same-window scan reading on both sides;
+    // mins are taken per kind, and the scan spread is the noise witness.
     val headlineReps = sys.env.getOrElse("SPARK_GRAFT_HEADLINE_REPS", "4").toInt
-    val buildSec = ScalingBench.withSplitScan(spark) {
+    val (buildSecs, scanSecs) = ScalingBench.withSplitScan(spark) {
       ScalingBench.buildJob(stored.sample(0.05)) // untimed warm-up: JIT + codegen
-      (1 to headlineReps).map { _ =>
+      scanOnce() // untimed scan warm-up (footer cache, codegen)
+      val builds = new scala.collection.mutable.ArrayBuffer[Double]
+      val scans = new scala.collection.mutable.ArrayBuffer[Double]
+      (1 to headlineReps).foreach { _ =>
+        scans += scanOnce()
         val t0 = System.nanoTime()
         val builtTokens = ScalingBench.buildJob(stored)
-        val sec = (System.nanoTime() - t0) / 1e9
+        builds += (System.nanoTime() - t0) / 1e9
         require(builtTokens == nTokens, "lost tokens in build!")
-        sec
-      }.min
+      }
+      scans += scanOnce()
+      (builds.toSeq, scans.toSeq)
     }
+    val buildSec = buildSecs.min
+    val scanSec = scanSecs.min
     val tokensPerSec = nTokens / buildSec
+    val scanTokensPerSec = nTokens / scanSec
+    val buildScanRatio = buildSec / scanSec
+    // the window disagrees with itself: any conclusion drawn from
+    // absolute numbers in this run needs an idle-host rerun
+    val noiseFlag = scanSecs.max / scanSecs.min > 1.5
 
     // --- false-positive rate vs the published bound (the second clause
     // of the BASELINE.json metric), measured on a distributed build of
@@ -93,44 +129,63 @@ object Bench {
         .head().getAs[Array[Byte]](0)
       val sk = graft.sketch.Cqf.deserialize(skBytes)
       val probes = 1000000L
-      var fp = 0L
-      var k = 0L
-      while (k < probes) {
-        val b = ("fpprobe_" + k).getBytes("UTF-8")
-        if (sk.queryHash(sk.bytesHash(b)) > 0) fp += 1
-        k += 1
-      }
+      // probing is read-only (queryHash never mutates) — fan the 1M
+      // probes across cores via a parallel stream instead of a serial
+      // driver loop (was ~seconds of single-thread work per run)
+      val chunks = 64
+      val per = probes / chunks
+      val fp = java.util.stream.IntStream.range(0, chunks).parallel()
+        .mapToLong { c =>
+          val lo = c * per
+          val hiEx = if (c == chunks - 1) probes else lo + per
+          var local = 0L
+          var k = lo
+          while (k < hiEx) {
+            val b = ("fpprobe_" + k).getBytes("UTF-8")
+            if (sk.queryHash(sk.bytesHash(b)) > 0) local += 1
+            k += 1
+          }
+          local
+        }.sum()
       (fp, probes, fp.toDouble / probes,
         sk.distinctCount.toDouble / math.pow(2.0, hashBits))
     }
+    val fpT0 = System.nanoTime()
     val (fpLossy, fpProbes, fpRateLossy, fpBoundLossy) = fpMeasure(26)
     val (fpProd, _, fpRateProd, fpBoundProd) = fpMeasure(40)
+    val fpSec = (System.nanoTime() - fpT0) / 1e9
     // bound check with binomial slack: rate <= bound + 4*sqrt(bound/probes)
     def fpOk(rate: Double, bound: Double) =
       rate <= bound + 4.0 * math.sqrt(bound / fpProbes) + 1e-6
     val fpAllOk = fpOk(fpRateLossy, fpBoundLossy) && fpOk(fpRateProd, fpBoundProd)
 
-    // --- per-query timings over the sf dir (min of 2: the shared sandbox
-    // host is noisy, and the second run also excludes codegen warm-up) ---
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // --- per-query timings over the sf dir, 2 reps INTERLEAVED across
+    // the suite (rep 1 of every query, then rep 2 of every query): the
+    // ~45 queries between a query's two reps mean an ambient host spike
+    // hits at most one rep, and rep 2 also excludes codegen warm-up ---
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    val reps = Array.fill(named.size)(List.empty[(Double, String)])
+    for (rep <- 1 to 2; i <- named.indices) {
+      val (name, fn) = named(i)
       // a failed query must not be silently timed as a success: per-rep
       // ok flags; the reported timing is the min over SUCCESSFUL reps and
       // the error is surfaced only when no rep succeeded (a transient
       // first-rep failure still logs to stderr but doesn't poison timing)
-      val reps = (1 to 2).map { _ =>
-        val q0 = System.nanoTime()
-        val err = try { fn(spark, sfDir).collect(); null } catch {
-          case e: Throwable =>
-            val msg = (e.getClass.getSimpleName + ": " +
-              String.valueOf(e.getMessage).take(200)).replaceAll("[\"\\\\\n\r\t]", " ")
-            System.err.println(s"[bench] $name FAILED: $msg")
-            msg
-        }
-        ((System.nanoTime() - q0) / 1e9, err)
+      val q0 = System.nanoTime()
+      val err = try { fn(spark, sfDir).collect(); null } catch {
+        case e: Throwable =>
+          val msg = (e.getClass.getSimpleName + ": " +
+            String.valueOf(e.getMessage).take(200)).replaceAll("[\"\\\\\n\r\t]", " ")
+          System.err.println(s"[bench] $name rep $rep FAILED: $msg")
+          msg
       }
-      val good = reps.filter(_._2 == null).map(_._1)
+      reps(i) ::= (((System.nanoTime() - q0) / 1e9, err))
+    }
+    val results = named.indices.map { i =>
+      val name = named(i)._1
+      val good = reps(i).filter(_._2 == null).map(_._1)
       if (good.nonEmpty) (name, good.min, null)
-      else (name, reps.map(_._1).min, reps.last._2)
+      else (name, reps(i).map(_._1).min, reps(i).head._2)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + jsonNum(v) }
       .mkString("{", ",", "}")
@@ -138,7 +193,7 @@ object Bench {
       .mkString("{", ",", "}")
     val nErr = results.count(_._3 != null)
     val total = results.map(_._2).sum + buildSec
-    println(s"""{"metric":"total","value":${jsonNum(total)},"unit":"sec","queries":$qs,"query_errors":$errs,"n_query_errors":$nErr,"sf":"$sfDir","headline_build_sec":${jsonNum(buildSec)},"headline_tokens":$nTokens,"headline_mtokens_per_sec":${jsonNum(tokensPerSec / 1e6)},"fp_probes":$fpProbes,"fp_rate_hb26":$fpRateLossy,"fp_bound_hb26":$fpBoundLossy,"fp_count_hb26":$fpLossy,"fp_rate_hb40":$fpRateProd,"fp_bound_hb40":$fpBoundProd,"fp_count_hb40":$fpProd,"fp_within_bound":$fpAllOk,"cpus":$cpus}""")
+    println(s"""{"metric":"total","value":${jsonNum(total)},"unit":"sec","queries":$qs,"query_errors":$errs,"n_query_errors":$nErr,"sf":"$sfDir","headline_build_sec":${jsonNum(buildSec)},"headline_tokens":$nTokens,"headline_mtokens_per_sec":${jsonNum(tokensPerSec / 1e6)},"scan_sec":${jsonNum(scanSec)},"scan_mtokens_per_sec":${jsonNum(scanTokensPerSec / 1e6)},"build_scan_ratio":${jsonNum(buildScanRatio)},"scan_secs":[${scanSecs.map(jsonNum).mkString(",")}],"build_secs":[${buildSecs.map(jsonNum).mkString(",")}],"noise_flag":$noiseFlag,"fp_probes":$fpProbes,"fp_sec":${jsonNum(fpSec)},"fp_rate_hb26":$fpRateLossy,"fp_bound_hb26":$fpBoundLossy,"fp_count_hb26":$fpLossy,"fp_rate_hb40":$fpRateProd,"fp_bound_hb40":$fpBoundProd,"fp_count_hb40":$fpProd,"fp_within_bound":$fpAllOk,"cpus":$cpus}""")
     spark.stop()
   }
 }
