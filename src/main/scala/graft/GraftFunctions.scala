@@ -65,6 +65,8 @@ object GraftFunctions {
     "cms_merge_agg" -> (a => CmsMergeAgg(a.head)),
     "bloom_agg" -> (a => BloomAgg(a.head, litLong(a, 1, 1L << 16), litInt(a, 2, 5))),
     "bloom_merge_agg" -> (a => BloomMergeAgg(a.head)),
+    "ss_agg" -> (a => SsAgg(a.head, litInt(a, 1, 256))),
+    "ss_merge_agg" -> (a => SsMergeAgg(a.head)),
     "td_agg" -> (a => TDigestAgg(a.head, litDouble(a, 1, 100.0))),
     "td_merge_agg" -> (a => TDigestMergeAgg(a.head)),
     "kll_agg" -> (a => KllAgg(a.head, litInt(a, 1, 200))),
@@ -89,6 +91,11 @@ object GraftFunctions {
     "cms_estimate" -> (a => CmsEstimate(a(0), a(1))),
     "cms_total" -> (a => CmsTotal(a.head)),
     "cms_union" -> (a => CmsUnion(a(0), a(1))),
+    "ss_topk" -> (a => SsTopk(a.head, litInt(a, 1, 10))),
+    "ss_estimate" -> (a => SsEstimate(a(0), a(1))),
+    "ss_total" -> (a => SsTotal(a.head)),
+    "ss_offset" -> (a => SsOffset(a.head)),
+    "ss_union" -> (a => SsUnion(a(0), a(1))),
     "td_quantile" -> (a => TdQuantile(a(0), a(1))),
     "td_cdf" -> (a => TdCdf(a(0), a(1))),
     "td_union" -> (a => TdUnion(a(0), a(1))),
@@ -180,6 +187,9 @@ object api {
   def bloom_agg(col: Column, numBits: Long = 1L << 16, numHashes: Int = 5): Column =
     call_function("bloom_agg", col, lit(numBits), lit(numHashes))
   def bloom_merge_agg(col: Column): Column = call_function("bloom_merge_agg", col)
+  def ss_agg(col: Column, k: Int = 256): Column =
+    call_function("ss_agg", col, lit(k))
+  def ss_merge_agg(col: Column): Column = call_function("ss_merge_agg", col)
   def td_agg(col: Column, compression: Double = 100.0): Column =
     call_function("td_agg", col, lit(compression))
   def td_merge_agg(col: Column): Column = call_function("td_merge_agg", col)
@@ -210,6 +220,12 @@ object api {
   def cms_estimate(sketch: Column, key: Column): Column = call_function("cms_estimate", sketch, key)
   def cms_total(sketch: Column): Column = call_function("cms_total", sketch)
   def cms_union(a: Column, b: Column): Column = call_function("cms_union", a, b)
+  def ss_topk(sketch: Column, n: Int = 10): Column =
+    call_function("ss_topk", sketch, lit(n))
+  def ss_estimate(sketch: Column, key: Column): Column = call_function("ss_estimate", sketch, key)
+  def ss_total(sketch: Column): Column = call_function("ss_total", sketch)
+  def ss_offset(sketch: Column): Column = call_function("ss_offset", sketch)
+  def ss_union(a: Column, b: Column): Column = call_function("ss_union", a, b)
   def td_quantile(sketch: Column, q: Column): Column = call_function("td_quantile", sketch, q)
   def td_cdf(sketch: Column, x: Column): Column = call_function("td_cdf", sketch, x)
   def td_union(a: Column, b: Column): Column = call_function("td_union", a, b)

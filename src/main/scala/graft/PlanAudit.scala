@@ -28,7 +28,11 @@ object PlanAudit {
       // round 3 (late): the two-proposer ensemble now dedups bare
       // candidate pairs BEFORE the single exact recheck — guard that
       // restructure against SMJ/cartesian regressions too
-      "simhash_near_dups")
+      "simhash_near_dups",
+      // round 4: heavy hitters via the frequent-items summary — the
+      // candidate stage must be ONE aggregation pass (no distinct scan
+      // of all keys) followed by a broadcast exact recheck
+      "ss_heavy_hitters", "ss_topk_guarantees")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -485,19 +485,72 @@ object SparkEntry {
     }),
 
     // ---- count-min: heavy hitters with exact recheck (end-to-end exact) ----
+    // Candidate stage: the mergeable frequent-items summary (ss_agg) —
+    // NOT an all-distinct-keys scan: at 100 TB "distinct keys" is
+    // billions of rows just to find the top 0.1%, while the summary is
+    // one pass + a k-counter merge. Completeness is proven in-query
+    // (offset < thresh: no true heavy hitter can be absent, see
+    // FrequentItems invariants); the CMS stays as the disposer; the
+    // exact recheck makes the final output deterministic regardless of
+    // partial-merge order.
     "cms_heavy_hitters" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val skN = li.agg(api.cms_agg(col("l_partkey"), 5, 8192).as("cms"),
+        api.ss_agg(col("l_partkey"), 8192).as("ss"),
         count(lit(1)).as("n"))
-      val candidates = li.select(col("l_partkey")).distinct()
-        .crossJoin(broadcast(skN))
-        .where(api.cms_estimate(col("cms"), col("l_partkey")) >= expr("n div 1333"))
-        .select(col("l_partkey"), expr("n div 1333").as("thresh"))
+      val candidates = skN.select(
+          explode(api.ss_topk(col("ss"), 8192)).as("e"),
+          col("cms"), expr("n div 1333").as("thresh"),
+          api.ss_offset(col("ss")).as("off"))
+        .where(col("off") < col("thresh") && col("e.ub") >= col("thresh") &&
+          api.cms_estimate(col("cms"), col("e.key")) >= col("thresh"))
+        .select(col("e.key").as("l_partkey"), col("thresh"))
       li.join(broadcast(candidates), Seq("l_partkey"))
         .groupBy(col("l_partkey").as("partkey"), col("thresh"))
         .agg(count(lit(1)).as("cnt"))
         .where(col("cnt") >= col("thresh"))
         .select(col("partkey"), col("cnt"))
+    }),
+
+    // ---- frequent items (SpaceSaving/Misra-Gries): heavy hitters ----
+    // Pure ss path: summary -> candidates (ub >= thresh, completeness
+    // proven by offset < thresh in the same row) -> broadcast exact
+    // recheck. One scan + k counters; scale-invariant margin (thresh
+    // grows as N/1333, offset as <= 2N/8192 — ratio 0.33 at every SF).
+    "ss_heavy_hitters" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val skN = li.agg(api.ss_agg(col("l_partkey"), 8192).as("ss"),
+        count(lit(1)).as("n"))
+      val candidates = skN.select(
+          explode(api.ss_topk(col("ss"), 8192)).as("e"),
+          expr("n div 1333").as("thresh"),
+          api.ss_offset(col("ss")).as("off"))
+        .where(col("off") < col("thresh") && col("e.ub") >= col("thresh"))
+        .select(col("e.key").as("l_partkey"), col("thresh"))
+      li.join(broadcast(candidates), Seq("l_partkey"))
+        .groupBy(col("l_partkey").as("partkey"), col("thresh"))
+        .agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= col("thresh"))
+        .select(col("partkey"), col("cnt"))
+    }),
+
+    // ---- frequent items: per-key bound guarantees on the exact top-10 ----
+    // k=64 < distinct(l_suppkey), so purges genuinely fire; the flags
+    // are deterministic TRUE because they assert invariants that hold
+    // under ANY partial-merge tree: lb <= exact <= ub and
+    // offset*k <= 2*N (the published 2N/k bound).
+    "ss_topk_guarantees" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val skN = li.agg(api.ss_agg(col("l_suppkey"), 64).as("ss"),
+        count(lit(1)).as("n"))
+      val exact = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("l_suppkey")).limit(10)
+      exact.crossJoin(broadcast(skN))
+        .select(col("l_suppkey"), col("exact_cnt"),
+          (api.ss_estimate(col("ss"), col("l_suppkey")) >= col("exact_cnt") &&
+            api.ss_estimate(col("ss"), col("l_suppkey")) -
+              api.ss_offset(col("ss")) <= col("exact_cnt") &&
+            api.ss_offset(col("ss")) * lit(64) <= col("n") * lit(2)).as("ss_ok"))
     }),
 
     "cms_topk_estimates" -> ((s, dir) => {
@@ -944,6 +997,15 @@ object SparkEntry {
 
     "cms_topk_estimates" ->
       """SELECT l_suppkey, count(*) AS exact_cnt, TRUE AS cms_ok
+        |FROM lineitem GROUP BY 1
+        |ORDER BY exact_cnt DESC, l_suppkey LIMIT 10""".stripMargin,
+
+    "ss_heavy_hitters" ->
+      """SELECT l_partkey AS partkey, count(*) AS cnt FROM lineitem GROUP BY 1
+        |HAVING count(*) >= (SELECT count(*) // 1333 FROM lineitem)""".stripMargin,
+
+    "ss_topk_guarantees" ->
+      """SELECT l_suppkey, count(*) AS exact_cnt, TRUE AS ss_ok
         |FROM lineitem GROUP BY 1
         |ORDER BY exact_cnt DESC, l_suppkey LIMIT 10""".stripMargin,
 

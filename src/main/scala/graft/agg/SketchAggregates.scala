@@ -404,6 +404,49 @@ case class BloomMergeAgg(
     copy(child = c.head)
 }
 
+// ------------------------------------------------- frequent items (ss)
+
+/** Heavy-hitters aggregate (Misra-Gries/SpaceSaving, graft.sketch
+  * .FrequentItems): k counters + offset per group, O(1) amortized per
+  * row, associative merge — the scale-safe candidate stage for
+  * heavy-hitter queries (no all-distinct-keys scan). */
+case class SsAgg(
+    child: Expression,
+    k: Int = 256,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends SketchAggBase[FrequentItems] {
+  override def prettyName: String = "ss_agg"
+  override def createAggregationBuffer(): FrequentItems = FrequentItems(k)
+  protected def makeUpdater: (FrequentItems, Any) => Unit =
+    keyedUpdater((s, key) => s.add(key), (s, b) => s.addBytes(b))
+  override def merge(a: FrequentItems, b: FrequentItems): FrequentItems = a.mergeInPlace(b)
+  override def eval(buffer: FrequentItems): Any = buffer.serialize()
+  override def serialize(buffer: FrequentItems): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): FrequentItems = FrequentItems.deserialize(bytes)
+  override def checkInputDataTypes(): TypeCheckResult = checkKeyedInput
+  override def withNewMutableAggBufferOffset(o: Int): SsAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): SsAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): SsAgg =
+    copy(child = c.head)
+}
+
+case class SsMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends SketchMergeAggBase[FrequentItems] {
+  override def prettyName: String = "ss_merge_agg"
+  protected def fromBytes(bytes: Array[Byte]): FrequentItems = FrequentItems.deserialize(bytes)
+  protected def toBytes(s: FrequentItems): Array[Byte] = s.serialize()
+  protected def mergeKernels(a: FrequentItems, b: FrequentItems): FrequentItems = a.mergeInPlace(b)
+  protected def emptyKernel(): FrequentItems = FrequentItems()
+  override def withNewMutableAggBufferOffset(o: Int): SsMergeAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): SsMergeAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): SsMergeAgg =
+    copy(child = c.head)
+}
+
 // ---------------------------------------------------------------- t-digest
 
 case class TDigestAgg(

@@ -705,3 +705,100 @@ case class WangUnhashExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): WangUnhashExpr =
     copy(left = l, right = r)
 }
+
+// -------------------------------------------- frequent items (ss_*)
+
+/** Top-n heavy-hitter entries of a FrequentItems sketch, ordered by
+  * lower-bound count desc then key asc (deterministic given content).
+  * Row fields: key (canonical long; the 64-bit fold for byte keys),
+  * key_str (original string for byte-keyed sketches, else null),
+  * lb <= true count <= ub. ub - lb == the sketch's offset for every
+  * entry, so candidate filters use ub (complete: no true heavy hitter
+  * can fall below its ub). */
+case class SsTopk(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback with SketchCache[FrequentItems] {
+  override def prettyName: String = "ss_topk"
+  override def dataType: DataType = ArrayType(SsTopk.entrySchema, containsNull = false)
+  protected def parse(bytes: Array[Byte]): FrequentItems = FrequentItems.deserialize(bytes)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (child.dataType != BinaryType)
+      TypeCheckFailure(s"$prettyName requires a binary sketch column, got ${child.dataType}")
+    else if (n < 1) TypeCheckFailure(s"$prettyName: n must be >= 1, got $n")
+    else TypeCheckSuccess
+  }
+  override def nullSafeEval(sk: Any): Any = {
+    val f = cached(sk.asInstanceOf[Array[Byte]])
+    val off = f.offset
+    val rows: Array[Any] = f.topK(n).map { case (key, cnt, kb) =>
+      InternalRow(key,
+        if (kb == null) null else UTF8String.fromBytes(kb),
+        cnt, cnt + off): Any
+    }
+    new GenericArrayData(rows)
+  }
+  override protected def withNewChildInternal(c: Expression): SsTopk = copy(child = c)
+}
+
+object SsTopk {
+  val entrySchema: StructType = new StructType()
+    .add("key", LongType, nullable = false)
+    .add("key_str", StringType, nullable = true)
+    .add("lb", LongType, nullable = false)
+    .add("ub", LongType, nullable = false)
+}
+
+/** Upper-bound frequency estimate (the SpaceSaving count): count+offset
+  * when the key is monitored, offset when not — never an underestimate. */
+case class SsEstimate(left: Expression, right: Expression)
+    extends BinaryExpression with SketchCache[FrequentItems] with KeyedProbeCodegen {
+  override def prettyName: String = "ss_estimate"
+  override def dataType: DataType = LongType
+  protected def parse(bytes: Array[Byte]): FrequentItems = FrequentItems.deserialize(bytes)
+  def evalLong(sk: Array[Byte], key: Long): Long = cached(sk).estimate(key)
+  def evalUtf8(sk: Array[Byte], key: UTF8String): Long = evalBytes(sk, key.getBytes)
+  def evalBytes(sk: Array[Byte], b: Array[Byte]): Long = cached(sk).estimateBytes(b)
+  override def nullSafeEval(sk: Any, key: Any): Any = {
+    val bytes = sk.asInstanceOf[Array[Byte]]
+    if (KeyConv.isBytesKey(right.dataType))
+      evalBytes(bytes, KeyConv.toBytes(key, right.dataType))
+    else evalLong(bytes, longKey(key))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SsEstimate =
+    copy(left = l, right = r)
+}
+
+case class SsTotal(child: Expression)
+    extends UnaryExpression with CodegenFallback with SketchCache[FrequentItems] {
+  override def prettyName: String = "ss_total"
+  override def dataType: DataType = LongType
+  protected def parse(bytes: Array[Byte]): FrequentItems = FrequentItems.deserialize(bytes)
+  override def nullSafeEval(sk: Any): Any =
+    cached(sk.asInstanceOf[Array[Byte]]).total
+  override protected def withNewChildInternal(c: Expression): SsTotal = copy(child = c)
+}
+
+/** The sketch's global error offset: max undercount of any counter, max
+  * true count of any absent key; bounded by 2*total/k. In-query bound
+  * checks assert `ss_offset(sk) < threshold` to prove candidate
+  * completeness in the same pass that uses the candidates. */
+case class SsOffset(child: Expression)
+    extends UnaryExpression with CodegenFallback with SketchCache[FrequentItems] {
+  override def prettyName: String = "ss_offset"
+  override def dataType: DataType = LongType
+  protected def parse(bytes: Array[Byte]): FrequentItems = FrequentItems.deserialize(bytes)
+  override def nullSafeEval(sk: Any): Any =
+    cached(sk.asInstanceOf[Array[Byte]]).offset
+  override protected def withNewChildInternal(c: Expression): SsOffset = copy(child = c)
+}
+
+case class SsUnion(left: Expression, right: Expression)
+    extends BinaryExpression with SketchCache2[FrequentItems] with BinaryBytesCodegen {
+  override def prettyName: String = "ss_union"
+  override def dataType: DataType = BinaryType
+  protected def parse(bytes: Array[Byte]): FrequentItems = FrequentItems.deserialize(bytes)
+  def compute(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    cachedLeft(a).copied.mergeInPlace(cachedRight(b)).serialize()
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SsUnion =
+    copy(left = l, right = r)
+}

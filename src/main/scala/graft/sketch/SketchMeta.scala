@@ -19,6 +19,7 @@ import java.nio.{ByteBuffer, ByteOrder}
   * | bloom   | −1             | −1              | set bits/m          | num bits   | expected FPR at current fill   |
   * | tdigest | total weight   | −1              | centroids/δ         | δ          | NaN (no closed-form bound)     |
   * | kll     | items seen     | −1              | retained/capacity   | k          | 1.33/k (normalized rank err)   |
+  * | ss      | total count    | −1              | counters/k          | k          | offset/total (≤ 2/k rel. err)  |
   */
 final case class SketchMetaInfo(
     kind: String,
@@ -43,6 +44,7 @@ object SketchMeta {
       case BloomSketch.Magic => Some("bloom")
       case TDigest.Magic => Some("tdigest")
       case KllSketch.Magic => Some("kll")
+      case FrequentItems.Magic => Some("ss")
       case _ => None
     }
   }
@@ -87,6 +89,11 @@ object SketchMeta {
       val k = KllSketch.deserialize(bytes)
       SketchMetaInfo("kll", bytes.length.toLong, k.n, -1L,
         k.loadFraction, k.k.toLong, 1.33 / k.k.toDouble)
+    case Some("ss") =>
+      val f = FrequentItems.deserialize(bytes)
+      SketchMetaInfo("ss", bytes.length.toLong, f.total, -1L,
+        f.size.toDouble / f.k.toDouble, f.k.toLong,
+        if (f.total == 0L) 0.0 else f.offset.toDouble / f.total.toDouble)
     case _ =>
       throw new IllegalArgumentException(
         s"sketch_meta: unrecognized sketch header (${if (bytes == null) "null"

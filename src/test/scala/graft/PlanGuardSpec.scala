@@ -51,6 +51,21 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("heavy-hitter candidates come from the summary, not a distinct key scan") {
+    // old shape scanned lineitem a 3rd time just to enumerate distinct
+    // keys (billions of rows at 100 TB); the summary shape is 2 scans
+    // (sketch pass + exact recheck) with candidates exploded from ss_topk
+    for (name <- Seq("cms_heavy_hitters", "ss_heavy_hitters")) {
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+      val scans = plan.linesIterator.count(_.trim.matches("""\(\d+\) Scan parquet.*"""))
+      assert(scans <= 2, s"$name scans the fact table $scans times:\n$plan")
+      assert(plan.contains("Generate"),
+        s"$name lost its ss_topk candidate explode:\n$plan")
+    }
+  }
+
   test("scans prune to the referenced columns") {
     // token_counts reads only (source, text) of documents' 6+ columns
     val plan = SparkEntry.queries("token_counts")(spark, dir)

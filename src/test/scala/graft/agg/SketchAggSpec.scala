@@ -242,4 +242,53 @@ class SketchAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(total <= bySource.sum)
     assert(total > 0)
   }
+
+  test("ss_agg over tokens array: shuffle-invariant bounds; SQL surface; two-stage merge") {
+    val df = tokenDf(4000).cache()
+    // exact truth per token across all docs
+    val truth = df.select(explode($"tokens").as("t")).groupBy($"t")
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    val n = truth.values.sum
+
+    def check(bytes: Array[Byte]): Unit = {
+      val f = FrequentItems.deserialize(bytes)
+      assert(f.total == n)
+      assert(f.offset <= 2L * n / f.k + 1)
+      val present = f.entries.map(e => e._1 -> e._2).toMap
+      truth.foreach { case (key, t) =>
+        present.get(key) match {
+          case Some(c) => assert(c <= t && c + f.offset >= t, s"key $key")
+          case None => assert(t <= f.offset, s"absent key $key true=$t off=${f.offset}")
+        }
+      }
+    }
+    // direct aggregate (array child, explode-free)
+    check(df.agg(api.ss_agg($"tokens", 128).as("sk")).head().getAs[Array[Byte]](0))
+    // repartitioned (different partial-merge tree): invariants must hold
+    check(df.repartition(13).agg(api.ss_agg($"tokens", 128).as("sk"))
+      .head().getAs[Array[Byte]](0))
+    // two-stage salted build through ss_merge_agg
+    check(df.withColumn("salt", pmod(xxhash64($"doc_id"), lit(7)))
+      .groupBy($"salt").agg(api.ss_agg($"tokens", 128).as("partial"))
+      .agg(api.ss_merge_agg($"partial").as("sk"))
+      .head().getAs[Array[Byte]](0))
+    // SQL-text surface: registry resolution + ss_topk/ss_estimate probes
+    df.createOrReplaceTempView("ss_v")
+    val row = spark.sql(
+      """SELECT ss_total(sk) total, ss_offset(sk) off, size(ss_topk(sk, 5)) topn,
+        |       ss_topk(sk, 1)[0].lb lb0, ss_topk(sk, 1)[0].ub ub0,
+        |       ss_estimate(sk, 0) est0
+        |FROM (SELECT ss_agg(tokens, 128) sk FROM ss_v)""".stripMargin).head()
+    assert(row.getLong(0) == n)
+    assert(row.getInt(2) == 5)
+    assert(row.getLong(3) <= row.getLong(4))
+    // token 0 is the zipf mode: its estimate must be >= its true count
+    assert(row.getLong(5) >= truth.getOrElse(0L, 0L))
+    // string keys through the aggregate carry the original text back out
+    val top = spark.sql(
+      """SELECT ss_topk(ss_agg(source, 8), 1)[0].key_str FROM ss_v""").head().getString(0)
+    assert(top == "web", s"dominant source should be web, got $top")
+    df.unpersist()
+  }
 }
