@@ -90,7 +90,14 @@ object SparkEntry {
           api.cqf_distinct(col("i")).as("inter_distinct"),
           api.cqf_total(col("i")).as("inter_total"),
           api.cqf_distinct(col("d")).as("diff_distinct"),
-          api.cqf_total(col("d")).as("diff_total"))
+          api.cqf_total(col("d")).as("diff_total"),
+          // named combiners (the reference's closure merge_by as SQL
+          // modes — round 4): satsub must equal the diff kernel,
+          // replace takes the right side's count where present,
+          // absdiff the symmetric difference of multiplicities
+          api.cqf_total(api.cqf_union(col("sk_R"), col("sk_A"), "satsub")).as("satsub_total"),
+          api.cqf_total(api.cqf_union(col("sk_R"), col("sk_A"), "replace")).as("replace_total"),
+          api.cqf_total(api.cqf_union(col("sk_R"), col("sk_A"), "absdiff")).as("absdiff_total"))
     }),
 
     "cqf_intersect_by_bucket" -> ((s, dir) => {
@@ -870,7 +877,10 @@ object SparkEntry {
         |(SELECT count(*) FROM a JOIN b USING (k)) AS inter_distinct,
         |(SELECT CAST(coalesce(sum(least(a.c, b.c)),0) AS BIGINT) FROM a JOIN b USING (k)) AS inter_total,
         |(SELECT count(*) FROM a LEFT JOIN b USING (k) WHERE a.c > coalesce(b.c, 0)) AS diff_distinct,
-        |(SELECT CAST(coalesce(sum(greatest(a.c - coalesce(b.c, 0), 0)),0) AS BIGINT) FROM a LEFT JOIN b USING (k)) AS diff_total""".stripMargin,
+        |(SELECT CAST(coalesce(sum(greatest(a.c - coalesce(b.c, 0), 0)),0) AS BIGINT) FROM a LEFT JOIN b USING (k)) AS diff_total,
+        |(SELECT CAST(coalesce(sum(greatest(a.c - coalesce(b.c, 0), 0)),0) AS BIGINT) FROM a LEFT JOIN b USING (k)) AS satsub_total,
+        |(SELECT CAST(coalesce(sum(coalesce(b.c, a.c)),0) AS BIGINT) FROM a FULL JOIN b USING (k)) AS replace_total,
+        |(SELECT CAST(coalesce(sum(abs(coalesce(a.c,0) - coalesce(b.c,0))),0) AS BIGINT) FROM a FULL JOIN b USING (k)) AS absdiff_total""".stripMargin,
 
     "sketch_state_metrics" ->
       """SELECT 'cqf' AS kind, count(l_partkey) AS meta_n,

@@ -260,22 +260,33 @@ object SketchMetaExpr {
   * 'sum' (default) adds counts, 'max' keeps the pointwise maximum
   * (absent = 0), 'min' keeps the pointwise minimum (= multiset
   * intersection). Arbitrary Scala closures go through Cqf.mergeBy. */
+/** Per-key combine of two CQFs under a NAMED combiner — the SQL surface
+  * of the reference's closure-taking merge_by
+  * (/root/reference/src/cqf.rs:202-213). Built-in modes: 'sum' (kernel
+  * merge fast path), 'max', 'min', 'satsub' (saturating subtract),
+  * 'replace' (right-hand count wins where present), 'absdiff'. User
+  * combiners register via [[CqfUnion.registerCombiner]]; the expression
+  * ships only the NAME, so a user combiner must be registered on every
+  * JVM (e.g. from a static initializer in the application jar) — exactly
+  * the deployment rule for any UDF body. Combined counts <= 0 drop the
+  * key (mergeBy contract). The Scala `Cqf.mergeBy(op)` remains the
+  * arbitrary-closure parity surface. */
 case class CqfUnion(left: Expression, right: Expression, mode: String = "sum")
     extends BinaryExpression with SketchCache2[Cqf] with BinaryBytesCodegen {
   override def prettyName: String = "cqf_union"
   override def dataType: DataType = BinaryType
   // invalid mode literals fail the query at analysis, not on the first row
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (!CqfUnion.Modes.contains(mode))
+    if (!CqfUnion.knownMode(mode))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"cqf_union mode must be one of ${CqfUnion.Modes.mkString("'", "', '", "'")}, got '$mode'")
+        s"cqf_union mode must be 'sum', a built-in combiner " +
+        s"(${CqfUnion.builtinNames.mkString("'", "', '", "'")}), or a " +
+        s"registered combiner name, got '$mode'")
     else super.checkInputDataTypes()
   protected def parse(bytes: Array[Byte]): Cqf = Cqf.deserialize(bytes)
-  @transient private lazy val op: (Long, Long) => Long = mode match {
-    case "sum" => null // fast path: kernel merge
-    case "max" => (x, y) => math.max(x, y)
-    case "min" => (x, y) => math.min(x, y)
-  }
+  @transient private lazy val op: (Long, Long) => Long =
+    if (mode == "sum") null // fast path: kernel merge
+    else CqfUnion.combiner(mode)
   def compute(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
     val x = cachedLeft(a)
     val y = cachedRight(b)
@@ -286,7 +297,31 @@ case class CqfUnion(left: Expression, right: Expression, mode: String = "sum")
     copy(left = l, right = r)
 }
 object CqfUnion {
-  val Modes: Set[String] = Set("sum", "max", "min")
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long) => Long]()
+  // built-ins live in the class's static init, so every executor JVM that
+  // loads the jar resolves them without any runtime registration call
+  registry.put("max", (x: Long, y: Long) => math.max(x, y))
+  registry.put("min", (x: Long, y: Long) => math.min(x, y))
+  registry.put("satsub", (x: Long, y: Long) => math.max(x - y, 0L))
+  registry.put("replace", (x: Long, y: Long) => if (y > 0L) y else x)
+  registry.put("absdiff", (x: Long, y: Long) => math.abs(x - y))
+  val builtinNames: Seq[String] = Seq("max", "min", "satsub", "replace", "absdiff")
+
+  /** Register a user combiner for SQL use: `cqf_union(a, b, 'name')`.
+    * Must run on every JVM that executes the query (static initializer
+    * of the application jar); absent keys see count 0; results <= 0
+    * drop the key. */
+  def registerCombiner(name: String, op: (Long, Long) => Long): Unit = {
+    require(name != "sum" && name.nonEmpty, s"reserved combiner name '$name'")
+    registry.put(name, op)
+  }
+  def knownMode(name: String): Boolean = name == "sum" || registry.containsKey(name)
+  def combiner(name: String): (Long, Long) => Long = {
+    val f = registry.get(name)
+    require(f != null, s"cqf_union combiner '$name' is not registered on this JVM")
+    f
+  }
 }
 
 case class CqfIntersect(left: Expression, right: Expression)

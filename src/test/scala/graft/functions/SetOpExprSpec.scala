@@ -197,4 +197,31 @@ class SetOpExprSpec extends AnyFunSuite with BeforeAndAfterAll {
     c2.insertBytes("xyz".getBytes("UTF-8"))
     assert(!c2.invertible, "byte-key insert must clear invertible")
   }
+
+  test("named combiners: built-in modes match kernel equivalents; registry works") {
+    val a = cqfBytes(Seq(1L, 1L, 1L, 2L, 2L, 3L))        // {1:3, 2:2, 3:1}
+    val b = cqfBytes(Seq(1L, 2L, 2L, 2L, 4L))            // {1:1, 2:3, 4:1}
+    val df = Seq((a, b)).toDF("a", "b")
+    val row = df.select(
+      api.cqf_total(api.cqf_union($"a", $"b", "satsub")).as("satsub"),
+      api.cqf_total(api.cqf_diff($"a", $"b")).as("diff"),
+      api.cqf_total(api.cqf_union($"a", $"b", "replace")).as("replace"),
+      api.cqf_total(api.cqf_union($"a", $"b", "absdiff")).as("absdiff")).head()
+    // satsub == the diff kernel: {1:2, 3:1} -> 3
+    assert(row.getLong(0) == 3L && row.getLong(0) == row.getLong(1))
+    // replace: right wins where present {1:1, 2:3, 4:1} + left-only {3:1} -> 6
+    assert(row.getLong(2) == 6L)
+    // absdiff: |3-1| + |2-3| + |1-0| + |0-1| = 5
+    assert(row.getLong(3) == 5L)
+    // user combiner: register by name, call through SQL text
+    CqfUnion.registerCombiner("takeleft_spec", (x, _) => x)
+    df.createOrReplaceTempView("setop_v")
+    val tl = spark.sql(
+      "SELECT cqf_total(cqf_union(a, b, 'takeleft_spec')) FROM setop_v").head().getLong(0)
+    assert(tl == 6L, "takeleft must reproduce the left sketch's total")
+    // unknown names still fail at analysis
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cqf_union(a, b, 'no_such_mode') FROM setop_v").collect()
+    }
+  }
 }
