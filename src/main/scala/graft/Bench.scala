@@ -90,7 +90,14 @@ object Bench {
     val scanSec = scanSecs.min
     val tokensPerSec = nTokens / buildSec
     val scanTokensPerSec = nTokens / scanSec
-    val buildScanRatio = buildSec / scanSec
+    // PAIRED ratio: build rep i sits between scan reps i and i+1, so
+    // build_i / min(scan_i, scan_i+1) shares its noise window; the median
+    // of those is the window-invariant plan-cost reading. (min-build over
+    // min-scan would divide numbers from different windows — on a host
+    // whose scan rate swings 30x within one run, that ratio is noise.)
+    val pairedRatios = buildSecs.indices
+      .map(i => buildSecs(i) / math.min(scanSecs(i), scanSecs(i + 1))).sorted
+    val buildScanRatio = pairedRatios((pairedRatios.length - 1) / 2)
     // the window disagrees with itself: any conclusion drawn from
     // absolute numbers in this run needs an idle-host rerun
     val noiseFlag = scanSecs.max / scanSecs.min > 1.5

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Component budget for the headline CQF build (VERDICT r3 #3): where
+  * does build time go, relative to what the host can merely scan?
+  *
+  * Three passes over the SAME bucket-clustered token table with the SAME
+  * size-balanced splits, interleaved per rep so all three share every
+  * noise window:
+  *   scan   — sum(octet_length(packed)): the cheapest full pass
+  *   stage1 — groupBy(source, salt) cqf_agg_packed: scan + kernel insert
+  *            + the partial/final split of the FIRST aggregation
+  *            (~120 partial sketches, one tiny shuffle)
+  *   full   — the complete build (stage1 + groupBy(source) kernel merge)
+  * so kernel ≈ stage1 − scan and merge ≈ full − stage1, each reported as
+  * a fraction of scan (window-invariant plan properties).
+  */
+object DecompBench {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-graft"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftFunctions.registerAll(spark)
+
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "3000000").toLong
+    val dir = ScalingBench.materialize(nDocs)
+    val stored = spark.read.parquet(dir)
+    val nTokens = stored.agg(sum(col("n_tok"))).head().getLong(0)
+
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def scanPass(): Unit =
+      require(stored.agg(sum(octet_length(col("packed")))).head().getLong(0) == nTokens * 4L)
+    def stage1Pass(): Unit = {
+      val n = stored
+        .groupBy(col("source"), col("salt"))
+        .agg(api.cqf_agg_packed(col("packed"), 16, 40, compact = true).as("partial"))
+        .agg(sum(api.cqf_total(col("partial")))).head().getLong(0)
+      require(n == nTokens, "stage1 lost tokens")
+    }
+    def fullPass(): Unit =
+      require(ScalingBench.buildJob(stored) == nTokens, "build lost tokens")
+
+    val reps = sys.env.getOrElse("SPARK_GRAFT_DECOMP_REPS", "5").toInt
+    val (scans, s1s, fulls) = ScalingBench.withSplitScan(spark) {
+      // warm-up each plan shape once (JIT + codegen + footer cache)
+      scanPass(); stage1Pass(); fullPass()
+      val a = Array.fill(reps)(0.0); val b = Array.fill(reps)(0.0); val c = Array.fill(reps)(0.0)
+      for (r <- 0 until reps) {
+        a(r) = timed(scanPass()); b(r) = timed(stage1Pass()); c(r) = timed(fullPass())
+        System.err.println(f"rep $r: scan=${a(r)}%.3f stage1=${b(r)}%.3f full=${c(r)}%.3f")
+      }
+      (a, b, c)
+    }
+    val (scan, s1, full) = (scans.min, s1s.min, fulls.min)
+    // the three passes of ONE rep share a noise window, so per-rep ratios
+    // are the window-invariant readings; medians resist residual spikes
+    def median(xs: Array[Double]): Double = {
+      val s = xs.sorted; s((s.length - 1) / 2)
+    }
+    val s1Ratios = scans.indices.map(i => s1s(i) / scans(i)).toArray
+    val fullRatios = scans.indices.map(i => fulls(i) / scans(i)).toArray
+    val j = Bench.jsonNum _
+    println(s"""{"metric":"build_decomposition","unit":"sec","tokens":$nTokens,"cpus":$cpus,"scan_sec":${j(scan)},"stage1_sec":${j(s1)},"full_sec":${j(full)},"kernel_sec":${j(s1 - scan)},"merge_sec":${j(full - s1)},"stage1_scan_ratio":${j(s1 / scan)},"build_scan_ratio":${j(full / scan)},"stage1_scan_ratio_median":${j(median(s1Ratios))},"build_scan_ratio_median":${j(median(fullRatios))},"scan_mtokens_per_sec":${j(nTokens / scan / 1e6)},"build_mtokens_per_sec":${j(nTokens / full / 1e6)},"scan_reps":[${scans.map(j).mkString(",")}],"stage1_reps":[${s1s.map(j).mkString(",")}],"full_reps":[${fulls.map(j).mkString(",")}]}""")
+    spark.stop()
+  }
+}
