@@ -203,6 +203,40 @@ object KernelBench {
     }
   }
 
+  /** Shard-footprint A/B for the 8->32 thread wall (round-4 experiment):
+    * 20M inserts/thread into thread-private compact CQFs whose quotient
+    * grows while load stays ~50% (uniform keys over 2^(q-1) distinct),
+    * so per-insert instruction work is constant (hash + rank/select +
+    * 2-slot counter either way) and ONLY the resident table size varies
+    * (~74 KB at q=14 -> ~18.9 MB/thread at q=22; x32 threads = 600 MB,
+    * far past L3). If the wall were a serialization point in the code,
+    * efficiency would not depend on footprint; if it is shared L3/DRAM,
+    * the in-cache footprint scales and the DRAM-sized one collapses. */
+  def footprintBench(): Unit = {
+    val nPerThread = 20000000
+    def run(threads: Int, q: Int): Double = runShards(threads, nPerThread) { tid =>
+      val keys = 1L << (q - 1)
+      val cqf = Cqf(q, 40, invertible = true, compact = true)
+      var seed = 0x9e3779b97f4a7c15L * (tid + 1)
+      var i = 0L
+      while (i < nPerThread) {
+        seed = xorshift(seed)
+        cqf.insert((seed >>> 20) % keys)
+        i += 1
+      }
+      require(cqf.occupiedSlots > 0)
+    }
+    run(2, 14) // JIT warm-up
+    for (q <- Seq(14, 18, 22)) {
+      val mbPerThread = (1L << q) * 4.5 / 1e6
+      val r8 = (1 to 3).map(_ => run(8, q)).max
+      val r32 = (1 to 3).map(_ => run(32, q)).max
+      val eff = (r32 / r8) / 4.0
+      println(f"[footprint] q=$q (${mbPerThread}%.2f MB/shard): " +
+        f"8t=$r8%.1f M/s 32t=$r32%.1f M/s eff(8->32)=$eff%.3f")
+    }
+  }
+
   /** t-digest insert throughput (compress() dominates: every ~bufferSize
     * inserts triggers a buffer sort + centroid merge). Lognormal-ish
     * values via exp of a crude uniform sum keep centroid churn realistic. */
@@ -488,5 +522,6 @@ object KernelBench {
     if (mode == "membw" || mode == "all") membwBench()
     if (mode == "copybw" || mode == "all") copybwBench()
     if (mode == "kscale" || mode == "all") kernelScaleBench()
+    if (mode == "footprint") footprintBench()
   }
 }
