@@ -349,6 +349,40 @@ object SparkEntry {
       s.table("graft_stream_state")
     }),
 
+    // streaming heavy hitters (6th streaming shape, round 4): the
+    // frequent-items summary built INCREMENTALLY by the streaming engine
+    // (global complete-mode aggregation, AvailableNow), candidates
+    // exploded from the final snapshot with the in-query completeness
+    // proof (offset < thresh), then the batch exact recheck — identical
+    // final rows to the batch ss_heavy_hitters / its DuckDB oracle, so
+    // incremental construction is gated end-to-end exact.
+    "streaming_heavy_hitters" -> ((s, dir) => {
+      GraftFunctions.registerAll(s)
+      val schema = s.read.parquet(s"$dir/lineitem.parquet").schema
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "lineitem.parquet").parquet(dir)
+        .groupBy()
+        .agg(api.ss_agg(col("l_partkey"), 8192).as("ss"), count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName("graft_stream_hh")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val skN = s.table("graft_stream_hh")
+      val candidates = skN.select(
+          explode(api.ss_topk(col("ss"), 8192)).as("e"),
+          expr("n div 1333").as("thresh"),
+          api.ss_offset(col("ss")).as("off"))
+        .where(col("off") < col("thresh") && col("e.ub") >= col("thresh"))
+        .select(col("e.key").as("l_partkey"), col("thresh"))
+      val li = t(s, dir, "lineitem")
+      li.join(broadcast(candidates), Seq("l_partkey"))
+        .groupBy(col("l_partkey").as("partkey"), col("thresh"))
+        .agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= col("thresh"))
+        .select(col("partkey"), col("cnt"))
+    }),
+
     "streaming_dedup_first_seen" -> ((s, dir) => {
       // streaming ingestion dedup: exact first-seen dedup as a stateful
       // stream — the continuous form of dedup_exact_fingerprint. State
@@ -1018,6 +1052,10 @@ object SparkEntry {
       """SELECT l_suppkey, count(*) AS exact_cnt, TRUE AS ss_ok
         |FROM lineitem GROUP BY 1
         |ORDER BY exact_cnt DESC, l_suppkey LIMIT 10""".stripMargin,
+
+    "streaming_heavy_hitters" ->
+      """SELECT l_partkey AS partkey, count(*) AS cnt FROM lineitem GROUP BY 1
+        |HAVING count(*) >= (SELECT count(*) // 1333 FROM lineitem)""".stripMargin,
 
     "bloom_membership" ->
       """SELECT DISTINCT l_suppkey AS suppkey FROM lineitem
