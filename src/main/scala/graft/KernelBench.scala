@@ -481,6 +481,32 @@ object KernelBench {
     * asserted identical). The builder defers both seed mixes to the
     * per-distinct fold, so repeats pay one table probe instead of two
     * mix64s + depth row updates. */
+  /** FrequentItems (ss_agg kernel) insert throughput on the headline
+    * zipf shard workload, several k — the amortized-O(1) claim measured:
+    * duplicate-heavy streams mostly hit the counter-increment fast path;
+    * purges are rare (each drops ~half the counters). */
+  def ssBuildBench(): Unit = {
+    val perShard = 1700000
+    val tokenSets = (0 until 32)
+      .map(tid => zipfTokens(tid, perShard).map(_.toLong)).toArray
+    def build(k: Int)(ks: Array[Long]): graft.sketch.FrequentItems = {
+      val f = graft.sketch.FrequentItems(k)
+      var i = 0
+      while (i < ks.length) { f.add(ks(i)); i += 1 }
+      f
+    }
+    for (k <- Seq(256, 4096)) {
+      val f = build(k) _
+      def run(threads: Int): Double =
+        runShards(threads, perShard) { tid => f(tokenSets(tid)); () }
+      run(2)
+      for (t <- Seq(1, 8, 32)) {
+        val best = (1 to 3).map(_ => run(t)).max
+        println(f"[ssbuild-k$k] $t%2d threads: $best%.1f M inserts/s")
+      }
+    }
+  }
+
   def cmsBuildBench(): Unit = {
     val perShard = 1700000
     val tokenSets = (0 until 32)
@@ -517,6 +543,7 @@ object KernelBench {
     if (mode == "altbuild") altBuildBench()
     if (mode == "distinct") distinctBench()
     if (mode == "cmsbuild") cmsBuildBench()
+    if (mode == "ssbuild") ssBuildBench()
     if (mode == "strbuild") strBuildBench()
     if (mode == "insert" || mode == "all") insertBench(reps = 3)
     if (mode == "membw" || mode == "all") membwBench()
