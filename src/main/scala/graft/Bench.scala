@@ -27,18 +27,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
-      .config("spark.ui.enabled", "false")
-      .config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-graft"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    GraftFunctions.registerAll(spark)
+    val spark = ScalingBench.benchSession(cpus)
 
     // --- headline: distributed CQF build over the stored token table ---
     // (~4x10^8 tokens at the default; scale via SPARK_GRAFT_BENCH_DOCS).
@@ -54,15 +43,12 @@ object Bench {
     val stored = spark.read.parquet(tokenDir)
     val nTokens = stored.agg(sum(col("n_tok"))).head().getLong(0)
 
-    // scan-only denominator: the cheapest possible full pass over the
-    // same bytes the build reads (sum of packed lengths — one codegen'd
-    // aggregation over the vectorized binary column). Build throughput
+    // scan-only denominator (shared with DecompBench): build throughput
     // divided by this is the plan's intrinsic cost multiplier; the raw
     // scan rate is this window's I/O+CPU capacity reading.
     def scanOnce(): Double = {
       val t0 = System.nanoTime()
-      val bytes = stored.agg(sum(octet_length(col("packed")))).head().getLong(0)
-      require(bytes == nTokens * 4L, "packed column lost tokens")
+      ScalingBench.scanOnlyPass(stored, nTokens)
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -134,15 +120,19 @@ object Bench {
       val skBytes = src
         .agg(api.cqf_agg(col("doc_id"), q, hashBits).as("sk"))
         .head().getAs[Array[Byte]](0)
-      val sk = graft.sketch.Cqf.deserialize(skBytes)
       val probes = 1000000L
-      // probing is read-only (queryHash never mutates) — fan the 1M
-      // probes across cores via a parallel stream instead of a serial
-      // driver loop (was ~seconds of single-thread work per run)
+      // fan the 1M probes across cores via a parallel stream instead of
+      // a serial driver loop (was ~seconds of single-thread work per
+      // run). Cqf.queryHash writes the instance's decode-scratch fields
+      // (decRemainder/decCount — kernel instances are per-task buffers
+      // by contract), so each chunk deserializes its OWN kernel: sharing
+      // one instance across fork-join threads races the scratch and
+      // corrupts fp counts nondeterministically.
       val chunks = 64
       val per = probes / chunks
       val fp = java.util.stream.IntStream.range(0, chunks).parallel()
         .mapToLong { c =>
+          val sk = graft.sketch.Cqf.deserialize(skBytes)
           val lo = c * per
           val hiEx = if (c == chunks - 1) probes else lo + per
           var local = 0L
@@ -154,6 +144,7 @@ object Bench {
           }
           local
         }.sum()
+      val sk = graft.sketch.Cqf.deserialize(skBytes)
       (fp, probes, fp.toDouble / probes,
         sk.distinctCount.toDouble / math.pow(2.0, hashBits))
     }

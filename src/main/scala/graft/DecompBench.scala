@@ -21,17 +21,7 @@ object DecompBench {
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
-      .config("spark.ui.enabled", "false")
-      .config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-graft"))
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    GraftFunctions.registerAll(spark)
+    val spark = ScalingBench.benchSession(cpus)
 
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "3000000").toLong
     val dir = ScalingBench.materialize(nDocs)
@@ -41,8 +31,7 @@ object DecompBench {
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    def scanPass(): Unit =
-      require(stored.agg(sum(octet_length(col("packed")))).head().getLong(0) == nTokens * 4L)
+    def scanPass(): Unit = ScalingBench.scanOnlyPass(stored, nTokens)
     def stage1Pass(): Unit = {
       val n = stored
         .groupBy(col("source"), col("salt"))

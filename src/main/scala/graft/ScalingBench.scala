@@ -102,6 +102,32 @@ object ScalingBench {
     .select(col("source"), api.cqf_total(col("sk")).as("total"))
     .collect().map(_.getLong(1)).sum
 
+  /** Session builder shared by the bench mains (Bench, DecompBench):
+    * one config block so their scan/build denominators stay comparable
+    * instead of drifting copy by copy. */
+  def benchSession(cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-graft"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftFunctions.registerAll(spark)
+    spark
+  }
+
+  /** The scan-only denominator pass shared by Bench and DecompBench: the
+    * cheapest full pass over the same bytes the build reads (codegen'd
+    * sum over the vectorized binary column), integrity-checked. */
+  def scanOnlyPass(stored: org.apache.spark.sql.DataFrame, nTokens: Long): Unit =
+    require(stored.agg(sum(octet_length(col("packed")))).head().getLong(0)
+      == nTokens * 4L, "packed column lost tokens")
+
   /** Run `f` with scan splits sized so the build stage is balanced across
     * cores regardless of per-file skew; restores the session default
     * after (queries should keep the stock 128 MB splits). */

@@ -373,7 +373,10 @@ object SparkEntry {
           explode(api.ss_topk(col("ss"), 8192)).as("e"),
           expr("n div 1333").as("thresh"),
           api.ss_offset(col("ss")).as("off"))
-        .where(col("off") < col("thresh") && col("e.ub") >= col("thresh"))
+        // loud completeness assertion — see cms_heavy_hitters
+        .where(assert_true(col("off") < col("thresh"), lit(
+            "streaming_heavy_hitters: summary offset >= threshold; raise k")).isNull &&
+          col("e.ub") >= col("thresh"))
         .select(col("e.key").as("l_partkey"), col("thresh"))
       val li = t(s, dir, "lineitem")
       li.join(broadcast(candidates), Seq("l_partkey"))
@@ -543,7 +546,13 @@ object SparkEntry {
           explode(api.ss_topk(col("ss"), 8192)).as("e"),
           col("cms"), expr("n div 1333").as("thresh"),
           api.ss_offset(col("ss")).as("off"))
-        .where(col("off") < col("thresh") && col("e.ub") >= col("thresh") &&
+        // the completeness proof is a loud runtime ASSERTION, not a silent
+        // filter: offset >= thresh (k too small for the data, or a
+        // degenerate thresh of 0) must fail the query, not return an
+        // empty result that silently diverges from the exact answer
+        .where(assert_true(col("off") < col("thresh"), lit(
+            "cms_heavy_hitters: summary offset >= threshold; raise k")).isNull &&
+          col("e.ub") >= col("thresh") &&
           api.cms_estimate(col("cms"), col("e.key")) >= col("thresh"))
         .select(col("e.key").as("l_partkey"), col("thresh"))
       li.join(broadcast(candidates), Seq("l_partkey"))
@@ -566,7 +575,10 @@ object SparkEntry {
           explode(api.ss_topk(col("ss"), 8192)).as("e"),
           expr("n div 1333").as("thresh"),
           api.ss_offset(col("ss")).as("off"))
-        .where(col("off") < col("thresh") && col("e.ub") >= col("thresh"))
+        // loud completeness assertion — see cms_heavy_hitters
+        .where(assert_true(col("off") < col("thresh"), lit(
+            "ss_heavy_hitters: summary offset >= threshold; raise k")).isNull &&
+          col("e.ub") >= col("thresh"))
         .select(col("e.key").as("l_partkey"), col("thresh"))
       li.join(broadcast(candidates), Seq("l_partkey"))
         .groupBy(col("l_partkey").as("partkey"), col("thresh"))

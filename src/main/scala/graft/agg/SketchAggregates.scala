@@ -417,7 +417,16 @@ case class SsAgg(
     inputAggBufferOffset: Int = 0
 ) extends SketchAggBase[FrequentItems] {
   override def prettyName: String = "ss_agg"
-  override def createAggregationBuffer(): FrequentItems = FrequentItems(k)
+  override def createAggregationBuffer(): FrequentItems = {
+    val f = FrequentItems(k)
+    // string-typed inputs are known UTF-8 text, so ss_topk may render
+    // the stored key bytes as key_str; raw binary keys stay opaque
+    child.dataType match {
+      case StringType | ArrayType(StringType, _) => f.markTextKeys()
+      case _ =>
+    }
+    f
+  }
   protected def makeUpdater: (FrequentItems, Any) => Unit =
     keyedUpdater((s, key) => s.add(key), (s, b) => s.addBytes(b))
   override def merge(a: FrequentItems, b: FrequentItems): FrequentItems = a.mergeInPlace(b)

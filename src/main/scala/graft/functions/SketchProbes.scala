@@ -313,7 +313,9 @@ object CqfUnion {
     * of the application jar); absent keys see count 0; results <= 0
     * drop the key. */
   def registerCombiner(name: String, op: (Long, Long) => Long): Unit = {
-    require(name != "sum" && name.nonEmpty, s"reserved combiner name '$name'")
+    require(name.nonEmpty, "combiner name must be non-empty")
+    require(name != "sum" && !builtinNames.contains(name),
+      s"cannot overwrite built-in combiner '$name'")
     registry.put(name, op)
   }
   def knownMode(name: String): Boolean = name == "sum" || registry.containsKey(name)
@@ -746,7 +748,9 @@ case class WangUnhashExpr(left: Expression, right: Expression)
 /** Top-n heavy-hitter entries of a FrequentItems sketch, ordered by
   * lower-bound count desc then key asc (deterministic given content).
   * Row fields: key (canonical long; the 64-bit fold for byte keys),
-  * key_str (original string for byte-keyed sketches, else null),
+  * key_str (the original string for STRING-keyed sketches; null for
+  * long-keyed and raw-binary-keyed sketches — arbitrary binary keys
+  * must not surface as mojibake text),
   * lb <= true count <= ub. ub - lb == the sketch's offset for every
   * entry, so candidate filters use ub (complete: no true heavy hitter
   * can fall below its ub). */
@@ -765,9 +769,12 @@ case class SsTopk(child: Expression, n: Int)
   override def nullSafeEval(sk: Any): Any = {
     val f = cached(sk.asInstanceOf[Array[Byte]])
     val off = f.offset
+    // key_str renders only KNOWN-text keys; raw binary keys
+    // (fingerprints etc.) must not surface as mojibake strings
+    val text = f.textKeys
     val rows: Array[Any] = f.topK(n).map { case (key, cnt, kb) =>
       InternalRow(key,
-        if (kb == null) null else UTF8String.fromBytes(kb),
+        if (text && kb != null) UTF8String.fromBytes(kb) else null,
         cnt, cnt + off): Any
     }
     new GenericArrayData(rows)

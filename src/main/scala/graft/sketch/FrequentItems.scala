@@ -42,7 +42,8 @@ final class FrequentItems private (
     private var _size: Int,
     private var _total: Long,
     private var _offset: Long,
-    private var _bytesMode: Boolean
+    private var _bytesMode: Boolean,
+    private var _textKeys: Boolean
 ) extends Serializable {
 
   def size: Int = _size
@@ -50,6 +51,13 @@ final class FrequentItems private (
   /** Max undercount of any counter; max true count of any absent key. */
   def offset: Long = _offset
   def bytesMode: Boolean = _bytesMode
+  /** True when the byte keys are known to be UTF-8 text (string-typed
+    * input): only then may reporting surfaces render them as strings —
+    * arbitrary binary keys (fingerprints) would come out as mojibake. */
+  def textKeys: Boolean = _textKeys
+  /** Declare the byte keys UTF-8 text (callers that know the input type,
+    * e.g. a string-typed aggregate child). */
+  def markTextKeys(): Unit = _textKeys = true
 
   @inline private def slotOf(key: Long): Int = {
     val mask = cap - 1
@@ -174,7 +182,7 @@ final class FrequentItems private (
   def copied: FrequentItems = new FrequentItems(k, cap,
     mapKeys.clone(), mapCounts.clone(), mapUsed.clone(),
     if (mapBytes == null) null else mapBytes.clone(),
-    _size, _total, _offset, _bytesMode)
+    _size, _total, _offset, _bytesMode, _textKeys)
 
   /** An empty sketch (no entries, no counted mass) carries no key-mode
     * information: it merges into / absorbs anything. */
@@ -184,13 +192,18 @@ final class FrequentItems private (
     require(other.k == k,
       s"frequent-items k mismatch: $k vs ${other.k}")
     if (other.isEmpty) { _offset += other._offset; return this }
-    if (isEmpty && _bytesMode != other._bytesMode) {
+    if (isEmpty) {
       // empty accumulator adopts the other's key mode wholesale
-      _bytesMode = other._bytesMode
-      mapBytes = if (_bytesMode) new Array[Array[Byte]](cap) else null
+      if (_bytesMode != other._bytesMode) {
+        _bytesMode = other._bytesMode
+        mapBytes = if (_bytesMode) new Array[Array[Byte]](cap) else null
+      }
+      _textKeys = other._textKeys
     }
     require(_bytesMode == other._bytesMode,
       "cannot merge long-keyed and byte-keyed frequent-items sketches")
+    // text-rendering survives only when BOTH sides are known text
+    _textKeys = _textKeys && other._textKeys
     var i = 0
     while (i < other.cap) {
       if (other.mapUsed(i)) {
@@ -234,7 +247,8 @@ final class FrequentItems private (
     buf.putLong(es.length.toLong)
     buf.putLong(_total)
     buf.putLong(_offset)
-    buf.putLong(if (_bytesMode) 1L else 0L)
+    // key mode: 0 = long keys, 1 = raw binary keys, 2 = UTF-8 text keys
+    buf.putLong(if (!_bytesMode) 0L else if (_textKeys) 2L else 1L)
     var i = 0
     while (i < es.length) { buf.putLong(es(i)._1); buf.putLong(es(i)._2); i += 1 }
     if (_bytesMode) {
@@ -273,7 +287,8 @@ object FrequentItems {
     var cap = 8
     while (cap < 2 * k) cap <<= 1
     new FrequentItems(k, cap, new Array[Long](cap), new Array[Long](cap),
-      new Array[Boolean](cap), null, 0, 0L, 0L, _bytesMode = false)
+      new Array[Boolean](cap), null, 0, 0L, 0L, _bytesMode = false,
+      _textKeys = false)
   }
 
   def deserialize(bytes: Array[Byte]): FrequentItems = {
@@ -283,7 +298,9 @@ object FrequentItems {
     val n = buf.getLong().toInt
     val total = buf.getLong()
     val offset = buf.getLong()
-    val bytesMode = buf.getLong() == 1L
+    val mode = buf.getLong()
+    require(mode >= 0L && mode <= 2L, s"corrupt frequent-items: key mode $mode")
+    val bytesMode = mode >= 1L
     require(n >= 0 && n <= k, s"corrupt frequent-items: size=$n k=$k")
     val f = apply(k)
     val ks = new Array[Long](n)
@@ -292,6 +309,7 @@ object FrequentItems {
     while (i < n) { ks(i) = buf.getLong(); cs(i) = buf.getLong(); i += 1 }
     if (bytesMode) {
       f._bytesMode = true
+      f._textKeys = mode == 2L
       f.mapBytes = new Array[Array[Byte]](f.cap)
     }
     i = 0

@@ -289,6 +289,11 @@ class SketchAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     val top = spark.sql(
       """SELECT ss_topk(ss_agg(source, 8), 1)[0].key_str FROM ss_v""").head().getString(0)
     assert(top == "web", s"dominant source should be web, got $top")
+    // raw BINARY keys are opaque: key_str must stay null (no mojibake),
+    // while the canonical long key still identifies the entry
+    val binRow = spark.sql(
+      """SELECT ss_topk(ss_agg(encode(source, 'utf-8'), 8), 1)[0] FROM ss_v""").head()
+    assert(binRow.getStruct(0).isNullAt(1), "binary keys must not render as key_str")
     df.unpersist()
   }
 }

@@ -223,5 +223,10 @@ class SetOpExprSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT cqf_union(a, b, 'no_such_mode') FROM setop_v").collect()
     }
+    // built-ins are protected: user code cannot silently change 'max'
+    intercept[IllegalArgumentException] {
+      CqfUnion.registerCombiner("max", (x, y) => x + y)
+    }
+    intercept[IllegalArgumentException] { CqfUnion.registerCombiner("sum", (x, _) => x) }
   }
 }

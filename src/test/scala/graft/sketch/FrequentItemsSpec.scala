@@ -160,4 +160,20 @@ class FrequentItemsSpec extends AnyFunSuite {
     // k mismatch rejected
     intercept[IllegalArgumentException] { FrequentItems(8).mergeInPlace(FrequentItems(16)) }
   }
+
+  test("textKeys flag: set by callers that know the input is UTF-8, survives serde, ANDs on merge") {
+    val f = FrequentItems(8)
+    f.markTextKeys()
+    f.addBytes("hi".getBytes("UTF-8"))
+    assert(f.textKeys)
+    val g = FrequentItems.deserialize(f.serialize())
+    assert(g.textKeys, "text flag must survive serialization")
+    // merging with a raw-binary-keyed sketch drops the text claim
+    val raw = FrequentItems(8)
+    raw.addBytes(Array[Byte](0, -1, 7))
+    assert(!raw.textKeys)
+    assert(!g.mergeInPlace(raw).textKeys)
+    // empty accumulator adopts the text mode wholesale
+    assert(FrequentItems(8).mergeInPlace(f.copied).textKeys)
+  }
 }
