@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   */
 object BuildSketches {
 
-  /** kind: cqf | hll | cms | tdigest | kll | bloom.
+  /** kind: cqf | hll | cms | tdigest | kll | bloom | ss.
     * groupFirst co-partitions rows by (source, salt) before aggregating:
     * each shard's sketch is built by exactly one task (cache-resident
     * working set, no k-way partial re-merge) — the right plan when group
@@ -50,7 +50,8 @@ object BuildSketches {
       bloomBits: Long = 1L << 20,
       bloomHashes: Int = 5,
       tdCompression: Double = 100.0,
-      kllK: Int = 200)
+      kllK: Int = 200,
+      ssK: Int = 4096)
 
   private def buildAgg(cfg: Config, tokens: Column): Column = cfg.kind match {
     case "cqf" => api.cqf_agg(tokens, cfg.quotientBits, cfg.hashBits, cfg.compact)
@@ -59,6 +60,7 @@ object BuildSketches {
     case "bloom" => api.bloom_agg(tokens, cfg.bloomBits, cfg.bloomHashes)
     case "tdigest" => api.td_agg(tokens, cfg.tdCompression)
     case "kll" => api.kll_agg(tokens, cfg.kllK)
+    case "ss" => api.ss_agg(tokens, cfg.ssK)
     case other => throw new IllegalArgumentException(s"unknown sketch kind $other")
   }
 
@@ -69,6 +71,7 @@ object BuildSketches {
     case "bloom" => api.bloom_merge_agg(sketch)
     case "tdigest" => api.td_merge_agg(sketch)
     case "kll" => api.kll_merge_agg(sketch)
+    case "ss" => api.ss_merge_agg(sketch)
     case other => throw new IllegalArgumentException(s"unknown sketch kind $other")
   }
 

@@ -218,7 +218,7 @@ class BuildSketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("build works for every sketch kind") {
     val input = TokenGen.generate(spark, 300, vocab = 500).cache()
-    for (kind <- Seq("cqf", "hll", "cms", "bloom", "tdigest", "kll")) {
+    for (kind <- Seq("cqf", "hll", "cms", "bloom", "tdigest", "kll", "ss")) {
       val dir = Files.createTempDirectory(s"graft_ckpt_$kind").toString
       val out = BuildSketches.run(spark, input, dir,
         BuildSketches.Config(kind = kind, salts = 4))
