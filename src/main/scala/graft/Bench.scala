@@ -130,9 +130,14 @@ object Bench {
       // corrupts fp counts nondeterministically.
       val chunks = 64
       val per = probes / chunks
+      // one kernel per POOL THREAD (not per chunk): at bench scale the
+      // hb26 sketch is ~19 MB, so 64 per-chunk deserializations cost
+      // more than the probes themselves
+      val tlSk = ThreadLocal.withInitial[graft.sketch.Cqf](
+        () => graft.sketch.Cqf.deserialize(skBytes))
       val fp = java.util.stream.IntStream.range(0, chunks).parallel()
         .mapToLong { c =>
-          val sk = graft.sketch.Cqf.deserialize(skBytes)
+          val sk = tlSk.get()
           val lo = c * per
           val hiEx = if (c == chunks - 1) probes else lo + per
           var local = 0L
