@@ -184,10 +184,11 @@ object SparkEntry {
           api.cms_agg(col("l_partkey"), 5, 2048).as("sk_cms"),
           api.bloom_agg(col("l_partkey"), 1L << 16, 5).as("sk_bloom"),
           api.td_agg(col("l_quantity"), 100.0).as("sk_td"),
-          api.kll_agg(col("l_quantity"), 200).as("sk_kll"))
+          api.kll_agg(col("l_quantity"), 200).as("sk_kll"),
+          api.ss_agg(col("l_partkey"), 4096).as("sk_ss"))
         .crossJoin(li.agg(countDistinct(col("l_partkey")).as("exact_distinct")))
       def m(kind: String) = col(s"m_$kind")
-      val withMeta = Seq("cqf", "hll", "cms", "bloom", "td", "kll")
+      val withMeta = Seq("cqf", "hll", "cms", "bloom", "td", "kll", "ss")
         .foldLeft(base)((df, k) =>
           df.withColumn(s"m_$k", api.sketch_meta(col(s"sk_$k"))))
       def inUnit(c: Column) = c > lit(0.0) && c <= lit(1.0)
@@ -224,7 +225,13 @@ object SparkEntry {
           isnan(m("td").getField("err_bound"))), // t-digest: no closed-form bound
         row("kll", m("kll"), m("kll").getField("distinct"), lit(true),
           inUnit(m("kll").getField("load")),
-          near(m("kll").getField("err_bound"), 1.33 / 200.0)))).as("r"))
+          near(m("kll").getField("err_bound"), 1.33 / 200.0)),
+        // frequent-items (7th family, round 4): n is the exact total;
+        // err_bound is offset/total, bounded by the published 2/k
+        row("ss", m("ss"), m("ss").getField("distinct"), lit(true),
+          inUnit(m("ss").getField("load")),
+          m("ss").getField("err_bound") >= lit(0.0) &&
+            m("ss").getField("err_bound") <= lit(2.0 / 4096.0)))).as("r"))
         .select(col("r.*"))
     }),
 
@@ -936,7 +943,8 @@ object SparkEntry {
         |UNION ALL SELECT 'cms', count(l_partkey), CAST(-1 AS BIGINT), TRUE, TRUE, TRUE FROM lineitem
         |UNION ALL SELECT 'bloom', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), TRUE, TRUE, TRUE
         |UNION ALL SELECT 'td', count(l_quantity), CAST(-1 AS BIGINT), TRUE, TRUE, TRUE FROM lineitem
-        |UNION ALL SELECT 'kll', count(l_quantity), CAST(-1 AS BIGINT), TRUE, TRUE, TRUE FROM lineitem""".stripMargin,
+        |UNION ALL SELECT 'kll', count(l_quantity), CAST(-1 AS BIGINT), TRUE, TRUE, TRUE FROM lineitem
+        |UNION ALL SELECT 'ss', count(l_partkey), CAST(-1 AS BIGINT), TRUE, TRUE, TRUE FROM lineitem""".stripMargin,
 
     "cqf_intersect_by_bucket" ->
       """WITH r AS (SELECT l_suppkey k, count(*) c FROM lineitem
