@@ -302,11 +302,17 @@ object FrequentItems {
     require(mode >= 0L && mode <= 2L, s"corrupt frequent-items: key mode $mode")
     val bytesMode = mode >= 1L
     require(n >= 0 && n <= k, s"corrupt frequent-items: size=$n k=$k")
+    require(total >= 0L && offset >= 0L,
+      s"corrupt frequent-items: total=$total offset=$offset")
     val f = apply(k)
     val ks = new Array[Long](n)
     val cs = new Array[Long](n)
     var i = 0
-    while (i < n) { ks(i) = buf.getLong(); cs(i) = buf.getLong(); i += 1 }
+    while (i < n) {
+      ks(i) = buf.getLong(); cs(i) = buf.getLong()
+      require(cs(i) > 0L, s"corrupt frequent-items: count ${cs(i)}")
+      i += 1
+    }
     if (bytesMode) {
       f._bytesMode = true
       f._textKeys = mode == 2L
@@ -316,6 +322,10 @@ object FrequentItems {
     while (i < n) {
       val kb = if (bytesMode) {
         val len = buf.getInt()
+        // bound BEFORE allocating: a corrupt length must fail cleanly,
+        // not OOM on a multi-GB allocation attempt
+        require(len <= buf.remaining(),
+          s"corrupt frequent-items: key length $len exceeds ${buf.remaining()} remaining bytes")
         if (len < 0) null
         else { val b = new Array[Byte](len); buf.get(b); b }
       } else null

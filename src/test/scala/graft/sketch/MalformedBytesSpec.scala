@@ -15,7 +15,8 @@ class MalformedBytesSpec extends AnyFunSuite {
     "cms" -> (b => CountMinSketch.deserialize(b)),
     "bloom" -> (b => BloomSketch.deserialize(b)),
     "td" -> (b => TDigest.deserialize(b)),
-    "kll" -> (b => KllSketch.deserialize(b)))
+    "kll" -> (b => KllSketch.deserialize(b)),
+    "ss" -> (b => FrequentItems.deserialize(b)))
 
   private def wellFormed: Map[String, Array[Byte]] = {
     val c = Cqf(6, 20); (1L to 50L).foreach(c.insert(_))
@@ -24,10 +25,14 @@ class MalformedBytesSpec extends AnyFunSuite {
     val bl = BloomSketch(1 << 10, 3); (1L to 50L).foreach(bl.add)
     val td = TDigest(50.0); (1 to 50).foreach(i => td.add(i.toDouble))
     val kl = KllSketch(64); (1 to 50).foreach(i => kl.add(i.toDouble))
+    // bytes mode, so truncation cuts into the variable-length key
+    // payloads — the structurally riskiest region
+    val fi = FrequentItems(16)
+    (1 to 50).foreach(i => fi.addBytes(s"key-${i % 20}".getBytes("UTF-8")))
     Map("cqf" -> c.serialize(), "cqf_ref" -> Cqf.exportRefLayout(c),
       "hll" -> h.serialize(), "cms" -> cm.serialize(),
       "bloom" -> bl.serialize(), "td" -> td.serialize(),
-      "kll" -> kl.serialize())
+      "kll" -> kl.serialize(), "ss" -> fi.serialize())
   }
 
   private def expectClean(name: String, f: => Any): Unit = {
