@@ -66,6 +66,7 @@ object GraftFunctions {
     "bloom_agg" -> (a => BloomAgg(a.head, litLong(a, 1, 1L << 16), litInt(a, 2, 5))),
     "bloom_merge_agg" -> (a => BloomMergeAgg(a.head)),
     "ss_agg" -> (a => SsAgg(a.head, litInt(a, 1, 256))),
+    "ss_agg_packed" -> (a => SsPackedAgg(a.head, litInt(a, 1, 256))),
     "ss_merge_agg" -> (a => SsMergeAgg(a.head)),
     "td_agg" -> (a => TDigestAgg(a.head, litDouble(a, 1, 100.0))),
     "td_merge_agg" -> (a => TDigestMergeAgg(a.head)),
@@ -189,6 +190,8 @@ object api {
   def bloom_merge_agg(col: Column): Column = call_function("bloom_merge_agg", col)
   def ss_agg(col: Column, k: Int = 256): Column =
     call_function("ss_agg", col, lit(k))
+  def ss_agg_packed(col: Column, k: Int = 256): Column =
+    call_function("ss_agg_packed", col, lit(k))
   def ss_merge_agg(col: Column): Column = call_function("ss_merge_agg", col)
   def td_agg(col: Column, compression: Double = 100.0): Column =
     call_function("td_agg", col, lit(compression))

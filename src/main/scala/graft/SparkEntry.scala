@@ -594,6 +594,25 @@ object SparkEntry {
         .select(col("partkey"), col("cnt"))
     }),
 
+    // ---- frequent items: packed-layout parity, asserted in-query ----
+    // The packed aggregate must be BYTE-identical to the array aggregate
+    // over the same multiset: both buffers live in the same aggregation
+    // operator, so they see identical update streams and identical
+    // partial-merge trees — any divergence is a decoder bug. The packed
+    // path is how top-k vocabulary runs over the production pack_ints
+    // corpus (vectorized binary scan, no array assembly).
+    "ss_packed_parity" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def keys = array(col("l_partkey").cast("int"), col("l_suppkey").cast("int"))
+      li.agg(
+          api.ss_agg(keys, 512).as("a"),
+          api.ss_agg_packed(api.pack_ints(keys), 512).as("b"),
+          count(lit(1)).as("n_rows"))
+        .select(col("n_rows"),
+          (col("a") === col("b")).as("packed_parity_ok"),
+          (api.ss_total(col("a")) === col("n_rows") * 2).as("total_ok"))
+    }),
+
     // ---- frequent items: per-key bound guarantees on the exact top-10 ----
     // k=64 < distinct(l_suppkey), so purges genuinely fire; the flags
     // are deterministic TRUE because they assert invariants that hold
@@ -1076,6 +1095,10 @@ object SparkEntry {
     "streaming_heavy_hitters" ->
       """SELECT l_partkey AS partkey, count(*) AS cnt FROM lineitem GROUP BY 1
         |HAVING count(*) >= (SELECT count(*) // 1333 FROM lineitem)""".stripMargin,
+
+    "ss_packed_parity" ->
+      """SELECT count(*) AS n_rows, TRUE AS packed_parity_ok, TRUE AS total_ok
+        |FROM lineitem""".stripMargin,
 
     "bloom_membership" ->
       """SELECT DISTINCT l_suppkey AS suppkey FROM lineitem

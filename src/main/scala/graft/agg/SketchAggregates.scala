@@ -214,6 +214,25 @@ case class CqfAgg(
     copy(child = c.head)
 }
 
+/** Little-endian packed-int walk shared by the *_agg_packed aggregates
+  * (the pack_ints layout: 4-byte LE ints, no header). Function1[Long,
+  * Unit] is @specialized, so the per-element call does not box. */
+private[agg] object PackedInts {
+  @inline def foreach(name: String, b: Array[Byte])(f: Long => Unit): Unit = {
+    require((b.length & 3) == 0,
+      s"$name: binary length ${b.length} is not a multiple of 4 " +
+      "(truncated or non-pack_ints input)")
+    var i = 0
+    val n = b.length - 3
+    while (i < n) {
+      val t = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+        ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+      f(t.toLong)
+      i += 4
+    }
+  }
+}
+
 /** CQF aggregate over PACKED tokens: a BinaryType column holding
   * little-endian 4-byte ints (see graft.functions.PackIntsLE). Same
   * kernel, same output bytes as CqfAgg over the equivalent array<int> —
@@ -231,20 +250,8 @@ case class CqfPackedAgg(
   override def prettyName: String = "cqf_agg_packed"
   override def createAggregationBuffer(): CqfBuilder =
     CqfBuilder(quotientBits, hashBits, invertible = true, compact)
-  protected def makeUpdater: (CqfBuilder, Any) => Unit = (s, v) => {
-    val b = v.asInstanceOf[Array[Byte]]
-    require((b.length & 3) == 0,
-      s"cqf_agg_packed: binary length ${b.length} is not a multiple of 4 " +
-      "(truncated or non-pack_ints input)")
-    var i = 0
-    val n = b.length - 3
-    while (i < n) {
-      val t = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
-        ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
-      s.add(t.toLong)
-      i += 4
-    }
-  }
+  protected def makeUpdater: (CqfBuilder, Any) => Unit = (s, v) =>
+    PackedInts.foreach("cqf_agg_packed", v.asInstanceOf[Array[Byte]])(s.add)
   override def merge(a: CqfBuilder, b: CqfBuilder): CqfBuilder = a.mergeInPlace(b)
   override def eval(buffer: CqfBuilder): Any = buffer.result().serialize()
   override def serialize(buffer: CqfBuilder): Array[Byte] = buffer.result().serialize()
@@ -437,6 +444,35 @@ case class SsAgg(
   override def withNewMutableAggBufferOffset(o: Int): SsAgg = copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): SsAgg = copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): SsAgg =
+    copy(child = c.head)
+}
+
+/** Frequent-items aggregate over PACKED tokens (pack_ints layout) —
+  * top-k vocabulary over the production packed corpus in one vectorized
+  * scan, byte-identical to SsAgg over the equivalent array<int>
+  * (spec-asserted), same rationale as [[CqfPackedAgg]]. */
+case class SsPackedAgg(
+    child: Expression,
+    k: Int = 256,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends SketchAggBase[FrequentItems] {
+  override def prettyName: String = "ss_agg_packed"
+  override def createAggregationBuffer(): FrequentItems = FrequentItems(k)
+  protected def makeUpdater: (FrequentItems, Any) => Unit = (s, v) =>
+    PackedInts.foreach("ss_agg_packed", v.asInstanceOf[Array[Byte]])(t => s.add(t))
+  override def merge(a: FrequentItems, b: FrequentItems): FrequentItems = a.mergeInPlace(b)
+  override def eval(buffer: FrequentItems): Any = buffer.serialize()
+  override def serialize(buffer: FrequentItems): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): FrequentItems = FrequentItems.deserialize(bytes)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ss_agg_packed requires a binary packed-int column, got $other")
+  }
+  override def withNewMutableAggBufferOffset(o: Int): SsPackedAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): SsPackedAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): SsPackedAgg =
     copy(child = c.head)
 }
 
