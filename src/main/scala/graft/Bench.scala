@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Driver-run benchmark: times every SparkEntry query on
@@ -132,23 +131,32 @@ object Bench {
       val per = probes / chunks
       // one kernel per POOL THREAD (not per chunk): at bench scale the
       // hb26 sketch is ~19 MB, so 64 per-chunk deserializations cost
-      // more than the probes themselves
+      // more than the probes themselves. A PRIVATE ForkJoinPool (not the
+      // common pool) hosts the parallel stream so the per-thread kernels
+      // die with the pool instead of lingering in common-pool workers'
+      // ThreadLocalMaps (~600 MB of GC pressure under the timed queries).
       val tlSk = ThreadLocal.withInitial[graft.sketch.Cqf](
         () => graft.sketch.Cqf.deserialize(skBytes))
-      val fp = java.util.stream.IntStream.range(0, chunks).parallel()
-        .mapToLong { c =>
-          val sk = tlSk.get()
-          val lo = c * per
-          val hiEx = if (c == chunks - 1) probes else lo + per
-          var local = 0L
-          var k = lo
-          while (k < hiEx) {
-            val b = ("fpprobe_" + k).getBytes("UTF-8")
-            if (sk.queryHash(sk.bytesHash(b)) > 0) local += 1
-            k += 1
-          }
-          local
-        }.sum()
+      val pool = new java.util.concurrent.ForkJoinPool(
+        Runtime.getRuntime.availableProcessors())
+      val fp = try {
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = java.util.stream.IntStream.range(0, chunks).parallel()
+            .mapToLong { c =>
+              val sk = tlSk.get()
+              val lo = c * per
+              val hiEx = if (c == chunks - 1) probes else lo + per
+              var local = 0L
+              var k = lo
+              while (k < hiEx) {
+                val b = ("fpprobe_" + k).getBytes("UTF-8")
+                if (sk.queryHash(sk.bytesHash(b)) > 0) local += 1
+                k += 1
+              }
+              local
+            }.sum()
+        }).get()
+      } finally pool.shutdown()
       val sk = graft.sketch.Cqf.deserialize(skBytes)
       (fp, probes, fp.toDouble / probes,
         sk.distinctCount.toDouble / math.pow(2.0, hashBits))

@@ -165,7 +165,7 @@ object SparkEntry {
     }),
 
     "sketch_state_metrics" -> ((s, dir) => {
-      // kind-agnostic sketch_meta over all six families built in ONE
+      // kind-agnostic sketch_meta over all seven families built in ONE
       // aggregation pass: exact fields (cqf n/distinct, cms/kll/td n)
       // reproduce in DuckDB; per-kind load and published-error-bound
       // fields are asserted as in-query booleans (bound-check pattern).

@@ -294,16 +294,28 @@ object FrequentItems {
   def deserialize(bytes: Array[Byte]): FrequentItems = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     require(buf.getLong() == Magic, "bad frequent-items magic")
-    val k = buf.getLong().toInt
-    val n = buf.getLong().toInt
+    // validate the RAW longs BEFORE any .toInt narrowing — a corrupt high
+    // word must be rejected, not silently truncated into a "valid" value
+    val kL = buf.getLong()
+    require(kL >= 1L && kL <= (1L << 22), s"corrupt frequent-items: k=$kL")
+    val k = kL.toInt
+    val nL = buf.getLong()
+    require(nL >= 0L && nL <= kL, s"corrupt frequent-items: size=$nL k=$kL")
+    val n = nL.toInt
     val total = buf.getLong()
     val offset = buf.getLong()
+    // `mode` doubles as the format discriminator: 0/1/2 are the only
+    // values this (first-release) format writes; anything else is a
+    // future format or corruption and must fail here, not misparse
     val mode = buf.getLong()
     require(mode >= 0L && mode <= 2L, s"corrupt frequent-items: key mode $mode")
     val bytesMode = mode >= 1L
-    require(n >= 0 && n <= k, s"corrupt frequent-items: size=$n k=$k")
     require(total >= 0L && offset >= 0L,
       s"corrupt frequent-items: total=$total offset=$offset")
+    // the fixed-width section must fit before any entry allocation: a
+    // hostile n with a tiny image must fail cleanly up front
+    require(bytes.length >= 48 + 16L * n,
+      s"frequent-items image truncated: $n entries need ${48 + 16L * n} bytes, got ${bytes.length}")
     val f = apply(k)
     val ks = new Array[Long](n)
     val cs = new Array[Long](n)
@@ -323,9 +335,10 @@ object FrequentItems {
       val kb = if (bytesMode) {
         val len = buf.getInt()
         // bound BEFORE allocating: a corrupt length must fail cleanly,
-        // not OOM on a multi-GB allocation attempt
-        require(len <= buf.remaining(),
-          s"corrupt frequent-items: key length $len exceeds ${buf.remaining()} remaining bytes")
+        // not OOM on a multi-GB allocation attempt. -1 is the only legal
+        // null marker (the serializer writes nothing else negative).
+        require(len == -1 || (len >= 0 && len <= buf.remaining()),
+          s"corrupt frequent-items: key length $len (${buf.remaining()} bytes remain)")
         if (len < 0) null
         else { val b = new Array[Byte](len); buf.get(b); b }
       } else null
