@@ -66,6 +66,37 @@ class MalformedBytesSpec extends AnyFunSuite {
     }
   }
 
+  test("frequent-items: forged header fields are rejected before narrowing or allocation") {
+    val fi = FrequentItems(16)
+    (1 to 50).foreach(i => fi.addBytes(s"key-${i % 20}".getBytes("UTF-8")))
+    val whole = fi.serialize()
+    def forged(off: Int, v: Long): Array[Byte] = {
+      val b = whole.clone()
+      java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putLong(off, v)
+      b
+    }
+    // header layout: magic@0, k@8, size@16, total@24, offset@32, mode@40
+    // k with a corrupt high word would narrow to a "valid" 16 via .toInt
+    expectClean("ss k high-word", FrequentItems.deserialize(forged(8, (1L << 32) | 16L)))
+    expectClean("ss k zero", FrequentItems.deserialize(forged(8, 0L)))
+    // size > k violates the summary invariant even if it fits the image
+    expectClean("ss size>k", FrequentItems.deserialize(forged(16, 17L)))
+    // entry count whose fixed-width section exceeds the image must fail
+    // up front, not on a multi-GB allocation or a deep buffer underflow
+    expectClean("ss size huge", FrequentItems.deserialize(forged(16, 16L * 1024 * 1024)))
+    // a negative key length other than the -1 null marker is corruption,
+    // not a null key (previously any negative parsed as null)
+    val kl = {
+      val b = whole.clone()
+      val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val n = buf.getLong(16).toInt
+      buf.putInt(48 + 16 * n, -2) // first key-length slot
+      b
+    }
+    expectClean("ss key length -2", FrequentItems.deserialize(kl))
+  }
+
   test("cross-kind bytes are rejected") {
     // includes cqf_ref in BOTH directions: the reference image has no
     // magic word, so it is the deserializer most at risk of misparsing
