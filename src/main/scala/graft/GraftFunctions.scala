@@ -65,6 +65,8 @@ object GraftFunctions {
     "cms_merge_agg" -> (a => CmsMergeAgg(a.head)),
     "bloom_agg" -> (a => BloomAgg(a.head, litLong(a, 1, 1L << 16), litInt(a, 2, 5))),
     "bloom_merge_agg" -> (a => BloomMergeAgg(a.head)),
+    "kmv_agg" -> (a => KmvAgg(a.head, litInt(a, 1, 1024))),
+    "kmv_merge_agg" -> (a => KmvMergeAgg(a.head)),
     "ss_agg" -> (a => SsAgg(a.head, litInt(a, 1, 256))),
     "ss_agg_packed" -> (a => SsPackedAgg(a.head, litInt(a, 1, 256))),
     "ss_merge_agg" -> (a => SsMergeAgg(a.head)),
@@ -92,6 +94,12 @@ object GraftFunctions {
     "cms_estimate" -> (a => CmsEstimate(a(0), a(1))),
     "cms_total" -> (a => CmsTotal(a.head)),
     "cms_union" -> (a => CmsUnion(a(0), a(1))),
+    "kmv_distinct" -> (a => KmvDistinct(a.head)),
+    "kmv_size" -> (a => KmvSize(a.head)),
+    "kmv_is_exact" -> (a => KmvIsExact(a.head)),
+    "kmv_sample" -> (a => KmvSample(a.head, litInt(a, 1, 10))),
+    "kmv_union" -> (a => KmvUnion(a(0), a(1))),
+    "kmv_jaccard" -> (a => KmvJaccard(a(0), a(1))),
     "ss_topk" -> (a => SsTopk(a.head, litInt(a, 1, 10))),
     "ss_estimate" -> (a => SsEstimate(a(0), a(1))),
     "ss_total" -> (a => SsTotal(a.head)),
@@ -188,6 +196,9 @@ object api {
   def bloom_agg(col: Column, numBits: Long = 1L << 16, numHashes: Int = 5): Column =
     call_function("bloom_agg", col, lit(numBits), lit(numHashes))
   def bloom_merge_agg(col: Column): Column = call_function("bloom_merge_agg", col)
+  def kmv_agg(col: Column, k: Int = 1024): Column =
+    call_function("kmv_agg", col, lit(k))
+  def kmv_merge_agg(col: Column): Column = call_function("kmv_merge_agg", col)
   def ss_agg(col: Column, k: Int = 256): Column =
     call_function("ss_agg", col, lit(k))
   def ss_agg_packed(col: Column, k: Int = 256): Column =
@@ -223,6 +234,13 @@ object api {
   def cms_estimate(sketch: Column, key: Column): Column = call_function("cms_estimate", sketch, key)
   def cms_total(sketch: Column): Column = call_function("cms_total", sketch)
   def cms_union(a: Column, b: Column): Column = call_function("cms_union", a, b)
+  def kmv_distinct(sketch: Column): Column = call_function("kmv_distinct", sketch)
+  def kmv_size(sketch: Column): Column = call_function("kmv_size", sketch)
+  def kmv_is_exact(sketch: Column): Column = call_function("kmv_is_exact", sketch)
+  def kmv_sample(sketch: Column, n: Int = 10): Column =
+    call_function("kmv_sample", sketch, lit(n))
+  def kmv_union(a: Column, b: Column): Column = call_function("kmv_union", a, b)
+  def kmv_jaccard(a: Column, b: Column): Column = call_function("kmv_jaccard", a, b)
   def ss_topk(sketch: Column, n: Int = 10): Column =
     call_function("ss_topk", sketch, lit(n))
   def ss_estimate(sketch: Column, key: Column): Column = call_function("ss_estimate", sketch, key)

@@ -673,6 +673,81 @@ object SparkEntry {
             greatest(lit(3L), (col("exact_docs") * 5 + 99) / 100)).as("hll_ok"))
     }),
 
+    // ---- KMV bottom-k family (exact below capacity — distinct count,
+    // sample and jaccard reproduce DuckDB bit-exactly; the capacity
+    // estimator is oracled via the bound-check pattern) ----
+    "kmv_distinct_by_source" -> ((s, dir) => {
+      // two-level build: per-(type, salt) partials merged per type; k is
+      // far above the per-type user cardinality at every gate SF, so the
+      // sketch stays in exact mode: estimate == countDistinct and the
+      // retained sample IS the full distinct-key set — every sampled key
+      // must join back to a genuine (type, user) pair
+      val ev = t(s, dir, "events")
+      val sk = ev.withColumn("salt", pmod(hash(col("user_id")), lit(8)))
+        .groupBy(col("event_type"), col("salt"))
+        .agg(api.kmv_agg(col("user_id"), 16384).as("partial"))
+        .groupBy(col("event_type"))
+        .agg(api.kmv_merge_agg(col("partial")).as("sk"))
+      val members = ev.select(col("event_type"), col("user_id")).distinct()
+      val sampled = sk.select(col("event_type"),
+          explode(api.kmv_sample(col("sk"), 1 << 20)).as("e"))
+        .select(col("event_type"), col("e.key").as("user_id"))
+      val matched = sampled
+        .join(members, Seq("event_type", "user_id"), "left_semi")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_matched"))
+      sk.select(col("event_type"),
+          api.kmv_distinct(col("sk")).as("est_distinct"),
+          api.kmv_size(col("sk")).as("sample_n"),
+          api.kmv_is_exact(col("sk")).as("is_exact"))
+        .join(broadcast(matched), Seq("event_type"))
+        .select(col("event_type"), col("est_distinct"), col("sample_n"),
+          (col("n_matched") === col("sample_n")).as("members_ok"),
+          col("is_exact"))
+    }),
+
+    "kmv_estimate_bound" -> ((s, dir) => {
+      // high-cardinality composite key forces eviction at every gate SF
+      // (k=256 << per-flag distinct): the (k-1)/u_k estimator must sit
+      // inside 4 RSE = 4/sqrt(k-2) of the exact distinct computed in the
+      // same pass, and the sketch must report estimation mode
+      val li = t(s, dir, "lineitem")
+      li.select(col("l_returnflag"),
+          (col("l_orderkey") * 1000000L + col("l_partkey")).as("ck"))
+        .groupBy(col("l_returnflag"))
+        .agg(api.kmv_agg(col("ck"), 256).as("sk"),
+          countDistinct(col("ck")).as("exact_distinct"))
+        .select(col("l_returnflag"), col("exact_distinct"),
+          (abs(api.kmv_distinct(col("sk")) - col("exact_distinct")) <=
+            col("exact_distinct") * (4.0 / math.sqrt(254.0))).as("est_ok"),
+          (!api.kmv_is_exact(col("sk"))).as("estimation_engaged"),
+          api.kmv_size(col("sk")).as("sample_n"))
+    }),
+
+    "kmv_jaccard_pairs" -> ((s, dir) => {
+      // customer-set resemblance between order priorities. kBig=16384
+      // keeps both sides exact at every gate SF (max per-priority
+      // custkeys ~13k at sf0.1), so jacc_milli reproduces DuckDB's exact
+      // rational; kSmall=256 forces the capacity estimator, bound-checked
+      // against the exact value in the same row (4·sqrt(J(1-J)/k) ≈ 0.11
+      // at the observed J ≈ 0.76). An sf1-class run needs kBig raised.
+      val o = t(s, dir, "orders")
+      val sk = o.groupBy(col("o_orderpriority"))
+        .agg(api.kmv_agg(col("o_custkey"), 16384).as("big"),
+          api.kmv_agg(col("o_custkey"), 256).as("small"))
+      val a = sk.select(col("o_orderpriority").as("pa"),
+        col("big").as("big_a"), col("small").as("small_a"))
+      val b = sk.select(col("o_orderpriority").as("pb"),
+        col("big").as("big_b"), col("small").as("small_b"))
+      a.join(broadcast(b), col("pa") < col("pb"))
+        .select(col("pa"), col("pb"),
+          floor(api.kmv_jaccard(col("big_a"), col("big_b")) * 1000.0 + 0.5)
+            .cast("long").as("jacc_milli"),
+          (abs(api.kmv_jaccard(col("small_a"), col("small_b")) -
+            api.kmv_jaccard(col("big_a"), col("big_b"))) <= 0.11).as("est_ok"),
+          (api.kmv_is_exact(col("big_a")) && api.kmv_is_exact(col("big_b")))
+            .as("both_exact"))
+    }),
+
     // ---- quantile sketches (bound-check oracles: exact rank of the
     // estimated quantile must sit within the sketch's rank-error bound) ----
     "td_quantiles_by_event_type" -> ((s, dir) => {
@@ -1108,6 +1183,36 @@ object SparkEntry {
     "hll_distinct_by_source" ->
       """SELECT source, count(DISTINCT doc_id) AS exact_docs, TRUE AS hll_ok
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "kmv_distinct_by_source" ->
+      """SELECT event_type, count(DISTINCT user_id) AS est_distinct,
+        |       count(DISTINCT user_id) AS sample_n,
+        |       TRUE AS members_ok, TRUE AS is_exact
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "kmv_estimate_bound" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_orderkey * 1000000 + l_partkey) AS exact_distinct,
+        |       TRUE AS est_ok, TRUE AS estimation_engaged,
+        |       CAST(256 AS BIGINT) AS sample_n
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "kmv_jaccard_pairs" ->
+      // float-op order matches the Spark side exactly: (inter/union) as a
+      // double, then *1000.0, then +0.5, then floor — IEEE-deterministic
+      """WITH s AS (SELECT DISTINCT o_orderpriority f, o_custkey c FROM orders),
+        |n AS (SELECT f, count(*) AS cnt FROM s GROUP BY 1),
+        |i AS (SELECT a.f fa, b.f fb, count(*) AS inter
+        |      FROM s a JOIN s b ON a.c = b.c AND a.f < b.f GROUP BY 1, 2),
+        |p AS (SELECT na.f fa, nb.f fb, na.cnt ca, nb.cnt cb,
+        |             COALESCE(i.inter, 0) AS inter
+        |      FROM n na JOIN n nb ON na.f < nb.f
+        |      LEFT JOIN i ON i.fa = na.f AND i.fb = nb.f)
+        |SELECT fa AS pa, fb AS pb,
+        |       CAST(floor((inter / CAST(ca + cb - inter AS DOUBLE)) * 1000.0
+        |         + 0.5) AS BIGINT) AS jacc_milli,
+        |       TRUE AS est_ok, TRUE AS both_exact
+        |FROM p""".stripMargin,
 
     "td_quantiles_by_event_type" ->
       """SELECT event_type, count(*) AS n,

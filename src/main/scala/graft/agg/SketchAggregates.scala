@@ -492,6 +492,58 @@ case class SsMergeAgg(
     copy(child = c.head)
 }
 
+// ---------------------------------------------------------------- KMV
+
+/** Bottom-k distinct sketch aggregate: exact distinct + full sample below
+  * capacity k, the (k-1)/u_k estimator above it, deterministic
+  * hash-order sampling and set-resemblance either way (see
+  * [[graft.sketch.KmvSketch]]). */
+case class KmvAgg(
+    child: Expression,
+    k: Int = 1024,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends SketchAggBase[KmvSketch] {
+  override def prettyName: String = "kmv_agg"
+  override def createAggregationBuffer(): KmvSketch = {
+    val s = KmvSketch(k)
+    // string-typed inputs are known UTF-8 text, so kmv_sample may render
+    // the stored key bytes as key_str; raw binary keys stay opaque
+    child.dataType match {
+      case StringType | ArrayType(StringType, _) => s.markTextKeys()
+      case _ =>
+    }
+    s
+  }
+  protected def makeUpdater: (KmvSketch, Any) => Unit =
+    keyedUpdater((s, key) => s.add(key), (s, b) => s.addBytes(b))
+  override def merge(a: KmvSketch, b: KmvSketch): KmvSketch = a.mergeInPlace(b)
+  override def eval(buffer: KmvSketch): Any = buffer.serialize()
+  override def serialize(buffer: KmvSketch): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): KmvSketch = KmvSketch.deserialize(bytes)
+  override def checkInputDataTypes(): TypeCheckResult = checkKeyedInput
+  override def withNewMutableAggBufferOffset(o: Int): KmvAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): KmvAgg =
+    copy(child = c.head)
+}
+
+case class KmvMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends SketchMergeAggBase[KmvSketch] {
+  override def prettyName: String = "kmv_merge_agg"
+  protected def fromBytes(bytes: Array[Byte]): KmvSketch = KmvSketch.deserialize(bytes)
+  protected def toBytes(s: KmvSketch): Array[Byte] = s.serialize()
+  protected def mergeKernels(a: KmvSketch, b: KmvSketch): KmvSketch = a.mergeInPlace(b)
+  protected def emptyKernel(): KmvSketch = KmvSketch()
+  override def withNewMutableAggBufferOffset(o: Int): KmvMergeAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvMergeAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): KmvMergeAgg =
+    copy(child = c.head)
+}
+
 // ---------------------------------------------------------------- t-digest
 
 case class TDigestAgg(

@@ -844,3 +844,115 @@ case class SsUnion(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SsUnion =
     copy(left = l, right = r)
 }
+
+// ------------------------------------------------------------------ KMV
+
+private[functions] trait KmvUnaryProbe extends SketchCache[KmvSketch] {
+  self: UnaryExpression =>
+  protected def parse(bytes: Array[Byte]): KmvSketch = KmvSketch.deserialize(bytes)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (child.dataType != BinaryType)
+      TypeCheckFailure(s"$prettyName requires a binary sketch column, got ${child.dataType}")
+    else TypeCheckSuccess
+  }
+}
+
+/** Distinct-count readout of a bottom-k sketch: exact below capacity,
+  * the (k-1)/u_k estimator at capacity. */
+case class KmvDistinct(child: Expression)
+    extends UnaryExpression with CodegenFallback with KmvUnaryProbe {
+  override def prettyName: String = "kmv_distinct"
+  override def dataType: DataType = LongType
+  override def nullSafeEval(sk: Any): Any =
+    cached(sk.asInstanceOf[Array[Byte]]).estimateLong
+  override protected def withNewChildInternal(c: Expression): KmvDistinct = copy(child = c)
+}
+
+/** Retained-entry count; equals the exact distinct count whenever it is
+  * below the sketch's k (see kmv_is_exact). */
+case class KmvSize(child: Expression)
+    extends UnaryExpression with CodegenFallback with KmvUnaryProbe {
+  override def prettyName: String = "kmv_size"
+  override def dataType: DataType = LongType
+  override def nullSafeEval(sk: Any): Any =
+    cached(sk.asInstanceOf[Array[Byte]]).size.toLong
+  override protected def withNewChildInternal(c: Expression): KmvSize = copy(child = c)
+}
+
+/** True while the sketch never evicted — its answers are exact, not
+  * estimates. In-query assertions use this to prove a readout is exact
+  * in the same pass that consumes it. */
+case class KmvIsExact(child: Expression)
+    extends UnaryExpression with CodegenFallback with KmvUnaryProbe {
+  override def prettyName: String = "kmv_is_exact"
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(sk: Any): Any =
+    cached(sk.asInstanceOf[Array[Byte]]).isExact
+  override protected def withNewChildInternal(c: Expression): KmvIsExact = copy(child = c)
+}
+
+/** Up to n sampled distinct keys in hash order — a deterministic,
+  * partitioning-invariant uniform sample. key_str renders only
+  * KNOWN-text keys (same policy as ss_topk). */
+case class KmvSample(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback with SketchCache[KmvSketch] {
+  override def prettyName: String = "kmv_sample"
+  override def dataType: DataType = ArrayType(KmvSample.entrySchema, containsNull = false)
+  protected def parse(bytes: Array[Byte]): KmvSketch = KmvSketch.deserialize(bytes)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (child.dataType != BinaryType)
+      TypeCheckFailure(s"$prettyName requires a binary sketch column, got ${child.dataType}")
+    else if (n < 1) TypeCheckFailure(s"$prettyName: n must be >= 1, got $n")
+    else TypeCheckSuccess
+  }
+  override def nullSafeEval(sk: Any): Any = {
+    val s = cached(sk.asInstanceOf[Array[Byte]])
+    val text = s.textKeys
+    val rows: Array[Any] = s.sample(n).map { case (key, kb) =>
+      InternalRow(key,
+        if (text && kb != null) UTF8String.fromBytes(kb) else null): Any
+    }
+    new GenericArrayData(rows)
+  }
+  override protected def withNewChildInternal(c: Expression): KmvSample = copy(child = c)
+}
+
+object KmvSample {
+  val entrySchema: StructType = new StructType()
+    .add("key", LongType, nullable = false)
+    .add("key_str", StringType, nullable = true)
+}
+
+case class KmvUnion(left: Expression, right: Expression)
+    extends BinaryExpression with SketchCache2[KmvSketch] with BinaryBytesCodegen {
+  override def prettyName: String = "kmv_union"
+  override def dataType: DataType = BinaryType
+  protected def parse(bytes: Array[Byte]): KmvSketch = KmvSketch.deserialize(bytes)
+  def compute(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    cachedLeft(a).copied.mergeInPlace(cachedRight(b)).serialize()
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): KmvUnion =
+    copy(left = l, right = r)
+}
+
+/** Bottom-k Jaccard resemblance between two kmv sketch columns: exact
+  * when both sides are below capacity, else within ~O(1/sqrt(k)). */
+case class KmvJaccard(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback with SketchCache2[KmvSketch] {
+  override def prettyName: String = "kmv_jaccard"
+  override def dataType: DataType = DoubleType
+  protected def parse(bytes: Array[Byte]): KmvSketch = KmvSketch.deserialize(bytes)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (left.dataType != BinaryType || right.dataType != BinaryType)
+      TypeCheckFailure(
+        s"$prettyName requires two binary sketch columns, got ${left.dataType}, ${right.dataType}")
+    else TypeCheckSuccess
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    cachedLeft(a.asInstanceOf[Array[Byte]])
+      .jaccard(cachedRight(b.asInstanceOf[Array[Byte]]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): KmvJaccard =
+    copy(left = l, right = r)
+}

@@ -20,6 +20,7 @@ import java.nio.{ByteBuffer, ByteOrder}
   * | tdigest | total weight   | −1              | centroids/δ         | δ          | NaN (no closed-form bound)     |
   * | kll     | items seen     | −1              | retained/capacity   | k          | 1.33/k (normalized rank err)   |
   * | ss      | total count    | −1              | counters/k          | k          | offset/total (≤ 2/k rel. err)  |
+  * | kmv     | −1             | estimate        | retained/k          | k          | 0 exact; 1/sqrt(k−2) else      |
   */
 final case class SketchMetaInfo(
     kind: String,
@@ -45,6 +46,7 @@ object SketchMeta {
       case TDigest.Magic => Some("tdigest")
       case KllSketch.Magic => Some("kll")
       case FrequentItems.Magic => Some("ss")
+      case KmvSketch.Magic => Some("kmv")
       case _ => None
     }
   }
@@ -94,6 +96,10 @@ object SketchMeta {
       SketchMetaInfo("ss", bytes.length.toLong, f.total, -1L,
         f.size.toDouble / f.k.toDouble, f.k.toLong,
         if (f.total == 0L) 0.0 else f.offset.toDouble / f.total.toDouble)
+    case Some("kmv") =>
+      val s = KmvSketch.deserialize(bytes)
+      SketchMetaInfo("kmv", bytes.length.toLong, -1L, s.estimateLong,
+        s.size.toDouble / s.k.toDouble, s.k.toLong, s.errBound)
     case _ =>
       throw new IllegalArgumentException(
         s"sketch_meta: unrecognized sketch header (${if (bytes == null) "null"

@@ -296,4 +296,55 @@ class SketchAggSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(binRow.getStruct(0).isNullAt(1), "binary keys must not render as key_str")
     df.unpersist()
   }
+
+  test("kmv_agg: shuffle-invariant state; exact below k; SQL surface; two-stage merge") {
+    val df = tokenDf(3000).cache()
+    val exactDistinct = df.select(explode($"tokens")).distinct().count()
+    // state is a pure function of the distinct key set: direct, shuffled
+    // and two-stage salted builds must be BYTE-identical, not just close
+    val direct = df.agg(api.kmv_agg($"tokens", 256).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val shuffled = df.repartition(13).agg(api.kmv_agg($"tokens", 256).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val twoStage = df.withColumn("salt", pmod(xxhash64($"doc_id"), lit(7)))
+      .groupBy($"salt").agg(api.kmv_agg($"tokens", 256).as("partial"))
+      .agg(api.kmv_merge_agg($"partial").as("sk"))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(direct, shuffled))
+    assert(java.util.Arrays.equals(direct, twoStage))
+    val s = KmvSketch.deserialize(direct)
+    assert(!s.isExact) // ~4000 distinct tokens >> 256
+    assert(math.abs(s.estimate - exactDistinct) <=
+      4.0 / math.sqrt(254.0) * exactDistinct)
+    // SQL-text surface: probes + exact mode below capacity
+    df.createOrReplaceTempView("kmv_v")
+    val row = spark.sql(
+      """SELECT kmv_distinct(sk) est, kmv_size(sk) sz, kmv_is_exact(sk) ex,
+        |       size(kmv_sample(sk, 7)) sn,
+        |       kmv_jaccard(sk, sk) selfj,
+        |       kmv_distinct(kmv_union(sk, sk)) uest
+        |FROM (SELECT kmv_agg(n_tok, 1024) sk FROM kmv_v)""".stripMargin).head()
+    assert(row.getBoolean(2), "64 distinct n_tok values must stay exact at k=1024")
+    assert(row.getLong(0) == row.getLong(1), "exact mode: estimate == size")
+    assert(row.getLong(0) ==
+      df.select($"n_tok").distinct().count())
+    assert(row.getInt(3) == 7)
+    assert(row.getDouble(4) == 1.0, "self-jaccard must be exactly 1")
+    assert(row.getLong(5) == row.getLong(0), "union is idempotent")
+    // string keys carry original text out through the sample
+    val topStr = spark.sql(
+      """SELECT kmv_sample(kmv_agg(source, 16), 16) FROM kmv_v""").head()
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(topStr.size == 4)
+    assert(topStr.map(_.getString(1)).toSet == Set("web", "books", "code", "wiki"))
+    // raw BINARY keys are opaque: key_str must stay null (no mojibake)
+    val binRow2 = spark.sql(
+      """SELECT kmv_sample(kmv_agg(encode(source, 'utf-8'), 16), 1)[0] FROM kmv_v""").head()
+    assert(binRow2.getStruct(0).isNullAt(1), "binary keys must not render as key_str")
+    // sketch_meta dispatches the new kind
+    val meta = spark.sql(
+      """SELECT sketch_meta(kmv_agg(tokens, 256)) FROM kmv_v""").head().getStruct(0)
+    assert(meta.getString(0) == "kmv")
+    df.unpersist()
+  }
 }

@@ -2,7 +2,7 @@ package graft.sketch
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** sketch_meta's kernel half: magic dispatch across all six kinds and
+/** sketch_meta's kernel half: magic dispatch across all eight kinds and
   * the per-kind field semantics documented on [[SketchMeta]]. */
 class SketchMetaSpec extends AnyFunSuite {
 
@@ -51,6 +51,18 @@ class SketchMetaSpec extends AnyFunSuite {
     assert(mk.kind == "kll" && mk.n == 5000L && mk.param == 200L)
     assert(mk.load > 0 && mk.load <= 1.0)
     assert(math.abs(mk.errBound - 1.33 / 200.0) < 1e-12)
+
+    val kmvExact = KmvSketch(256)
+    (0 until 5000).foreach(i => kmvExact.add((i % 100).toLong))
+    val me = SketchMeta.of(kmvExact.serialize())
+    assert(me.kind == "kmv" && me.n == -1L && me.distinct == 100L)
+    assert(me.load == 100.0 / 256.0 && me.param == 256L && me.errBound == 0.0)
+    val kmvFull = KmvSketch(256)
+    (0 until 5000).foreach(i => kmvFull.add(i.toLong))
+    val mf = SketchMeta.of(kmvFull.serialize())
+    assert(mf.kind == "kmv" && mf.load == 1.0)
+    assert(math.abs(mf.errBound - 1.0 / math.sqrt(254.0)) < 1e-12)
+    assert(math.abs(mf.distinct - 5000.0) <= 4 * mf.errBound * 5000.0)
   }
 
   test("unrecognized or truncated bytes fail cleanly") {
