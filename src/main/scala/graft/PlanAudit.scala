@@ -32,7 +32,12 @@ object PlanAudit {
       // round 4: heavy hitters via the frequent-items summary — the
       // candidate stage must be ONE aggregation pass (no distinct scan
       // of all keys) followed by a broadcast exact recheck
-      "ss_heavy_hitters", "ss_topk_guarantees")
+      "ss_heavy_hitters", "ss_topk_guarantees",
+      // round 4 (late): KMV bottom-k — two-stage builds stay
+      // ObjectHashAggregate partial/final; the sample membership
+      // join-back and the pairwise jaccard must broadcast the tiny
+      // sketch-derived side, never sort-merge
+      "kmv_distinct_by_source", "kmv_jaccard_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

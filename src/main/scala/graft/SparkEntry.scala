@@ -683,23 +683,30 @@ object SparkEntry {
       // retained sample IS the full distinct-key set — every sampled key
       // must join back to a genuine (type, user) pair
       val ev = t(s, dir, "events")
+      // the aggregated result is tiny (one row + sketch per type):
+      // materialize it ONCE (localCheckpoint cuts the lineage) so the
+      // readout columns and the sample explode don't each rebuild the
+      // sketch from a separate fact scan
       val sk = ev.withColumn("salt", pmod(hash(col("user_id")), lit(8)))
         .groupBy(col("event_type"), col("salt"))
         .agg(api.kmv_agg(col("user_id"), 16384).as("partial"))
         .groupBy(col("event_type"))
         .agg(api.kmv_merge_agg(col("partial")).as("sk"))
-      val members = ev.select(col("event_type"), col("user_id")).distinct()
-      val sampled = sk.select(col("event_type"),
-          explode(api.kmv_sample(col("sk"), 1 << 20)).as("e"))
-        .select(col("event_type"), col("e.key").as("user_id"))
-      val matched = sampled
-        .join(members, Seq("event_type", "user_id"), "left_semi")
-        .groupBy(col("event_type")).agg(count(lit(1)).as("n_matched"))
-      sk.select(col("event_type"),
+        .select(col("event_type"),
           api.kmv_distinct(col("sk")).as("est_distinct"),
           api.kmv_size(col("sk")).as("sample_n"),
-          api.kmv_is_exact(col("sk")).as("is_exact"))
-        .join(broadcast(matched), Seq("event_type"))
+          api.kmv_is_exact(col("sk")).as("is_exact"),
+          api.kmv_sample(col("sk"), 1 << 20).as("smp"))
+        .localCheckpoint()
+      val sampled = sk.select(col("event_type"), explode(col("smp")).as("e"))
+        .select(col("event_type"), col("e.key").as("user_id"))
+      // membership check with the SMALL side broadcast: the fact table
+      // stays distributed, the ≤ 5·k sampled pairs ship to every task
+      val matched = ev.select(col("event_type"), col("user_id"))
+        .join(broadcast(sampled), Seq("event_type", "user_id"), "left_semi")
+        .distinct()
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_matched"))
+      sk.join(broadcast(matched), Seq("event_type"))
         .select(col("event_type"), col("est_distinct"), col("sample_n"),
           (col("n_matched") === col("sample_n")).as("members_ok"),
           col("is_exact"))

@@ -66,6 +66,20 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("kmv membership join-back broadcasts the sample, one in-plan fact scan") {
+    // the 5-row sketch result is localCheckpoint-materialized once, so
+    // the visible plan must show exactly ONE parquet scan (the
+    // membership pass) with the ≤5·k sampled pairs on the broadcast
+    // side of the semi join — never the fact table
+    val plan = SparkEntry.queries("kmv_distinct_by_source")(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    val scans = plan.linesIterator.count(_.trim.matches("""\(\d+\) Scan parquet.*"""))
+    assert(scans == 1, s"kmv_distinct_by_source has $scans in-plan fact scans:\n$plan")
+    assert(plan.contains("BroadcastHashJoin LeftSemi BuildRight"),
+      s"kmv membership check lost its broadcast semi join:\n$plan")
+  }
+
   test("scans prune to the referenced columns") {
     // token_counts reads only (source, text) of documents' 6+ columns
     val plan = SparkEntry.queries("token_counts")(spark, dir)
