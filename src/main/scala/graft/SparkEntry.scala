@@ -165,7 +165,7 @@ object SparkEntry {
     }),
 
     "sketch_state_metrics" -> ((s, dir) => {
-      // kind-agnostic sketch_meta over all seven families built in ONE
+      // kind-agnostic sketch_meta over all eight families built in ONE
       // aggregation pass: exact fields (cqf n/distinct, cms/kll/td n)
       // reproduce in DuckDB; per-kind load and published-error-bound
       // fields are asserted as in-query booleans (bound-check pattern).
@@ -185,10 +185,11 @@ object SparkEntry {
           api.bloom_agg(col("l_partkey"), 1L << 16, 5).as("sk_bloom"),
           api.td_agg(col("l_quantity"), 100.0).as("sk_td"),
           api.kll_agg(col("l_quantity"), 200).as("sk_kll"),
-          api.ss_agg(col("l_partkey"), 4096).as("sk_ss"))
+          api.ss_agg(col("l_partkey"), 4096).as("sk_ss"),
+          api.kmv_agg(col("l_partkey"), 1024).as("sk_kmv"))
         .crossJoin(li.agg(countDistinct(col("l_partkey")).as("exact_distinct")))
       def m(kind: String) = col(s"m_$kind")
-      val withMeta = Seq("cqf", "hll", "cms", "bloom", "td", "kll", "ss")
+      val withMeta = Seq("cqf", "hll", "cms", "bloom", "td", "kll", "ss", "kmv")
         .foldLeft(base)((df, k) =>
           df.withColumn(s"m_$k", api.sketch_meta(col(s"sk_$k"))))
       def inUnit(c: Column) = c > lit(0.0) && c <= lit(1.0)
@@ -231,7 +232,19 @@ object SparkEntry {
         row("ss", m("ss"), m("ss").getField("distinct"), lit(true),
           inUnit(m("ss").getField("load")),
           m("ss").getField("err_bound") >= lit(0.0) &&
-            m("ss").getField("err_bound") <= lit(2.0 / 4096.0)))).as("r"))
+            m("ss").getField("err_bound") <= lit(2.0 / 4096.0)),
+        // kmv (8th family, round 4): distinct is exact below k=1024
+        // retained keys (err_bound 0), else the (k-1)/u_k estimate
+        // within 4 RSE of exact; load = retained/k
+        row("kmv", m("kmv"), lit(-1L),
+          (m("kmv").getField("err_bound") === lit(0.0) &&
+            m("kmv").getField("distinct") === col("exact_distinct")) ||
+          (m("kmv").getField("err_bound") > lit(0.0) &&
+            abs(m("kmv").getField("distinct") - col("exact_distinct")) <=
+              lit(4.0) * m("kmv").getField("err_bound") * col("exact_distinct")),
+          inUnit(m("kmv").getField("load")),
+          m("kmv").getField("err_bound") === lit(0.0) ||
+            near(m("kmv").getField("err_bound"), 1.0 / math.sqrt(1022.0))))).as("r"))
         .select(col("r.*"))
     }),
 
@@ -1045,7 +1058,8 @@ object SparkEntry {
         |UNION ALL SELECT 'bloom', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), TRUE, TRUE, TRUE
         |UNION ALL SELECT 'td', count(l_quantity), CAST(-1 AS BIGINT), TRUE, TRUE, TRUE FROM lineitem
         |UNION ALL SELECT 'kll', count(l_quantity), CAST(-1 AS BIGINT), TRUE, TRUE, TRUE FROM lineitem
-        |UNION ALL SELECT 'ss', count(l_partkey), CAST(-1 AS BIGINT), TRUE, TRUE, TRUE FROM lineitem""".stripMargin,
+        |UNION ALL SELECT 'ss', count(l_partkey), CAST(-1 AS BIGINT), TRUE, TRUE, TRUE FROM lineitem
+        |UNION ALL SELECT 'kmv', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), TRUE, TRUE, TRUE""".stripMargin,
 
     "cqf_intersect_by_bucket" ->
       """WITH r AS (SELECT l_suppkey k, count(*) c FROM lineitem

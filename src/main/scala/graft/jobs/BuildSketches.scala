@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   */
 object BuildSketches {
 
-  /** kind: cqf | hll | cms | tdigest | kll | bloom | ss.
+  /** kind: cqf | hll | cms | tdigest | kll | bloom | ss | kmv.
     * groupFirst co-partitions rows by (source, salt) before aggregating:
     * each shard's sketch is built by exactly one task (cache-resident
     * working set, no k-way partial re-merge) — the right plan when group
@@ -51,7 +51,8 @@ object BuildSketches {
       bloomHashes: Int = 5,
       tdCompression: Double = 100.0,
       kllK: Int = 200,
-      ssK: Int = 4096)
+      ssK: Int = 4096,
+      kmvK: Int = 1024)
 
   private def buildAgg(cfg: Config, tokens: Column): Column = cfg.kind match {
     case "cqf" => api.cqf_agg(tokens, cfg.quotientBits, cfg.hashBits, cfg.compact)
@@ -61,6 +62,7 @@ object BuildSketches {
     case "tdigest" => api.td_agg(tokens, cfg.tdCompression)
     case "kll" => api.kll_agg(tokens, cfg.kllK)
     case "ss" => api.ss_agg(tokens, cfg.ssK)
+    case "kmv" => api.kmv_agg(tokens, cfg.kmvK)
     case other => throw new IllegalArgumentException(s"unknown sketch kind $other")
   }
 
@@ -72,6 +74,7 @@ object BuildSketches {
     case "tdigest" => api.td_merge_agg(sketch)
     case "kll" => api.kll_merge_agg(sketch)
     case "ss" => api.ss_merge_agg(sketch)
+    case "kmv" => api.kmv_merge_agg(sketch)
     case other => throw new IllegalArgumentException(s"unknown sketch kind $other")
   }
 

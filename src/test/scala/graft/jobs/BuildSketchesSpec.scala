@@ -218,13 +218,57 @@ class BuildSketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("build works for every sketch kind") {
     val input = TokenGen.generate(spark, 300, vocab = 500).cache()
-    for (kind <- Seq("cqf", "hll", "cms", "bloom", "tdigest", "kll", "ss")) {
+    for (kind <- Seq("cqf", "hll", "cms", "bloom", "tdigest", "kll", "ss", "kmv")) {
       val dir = Files.createTempDirectory(s"graft_ckpt_$kind").toString
       val out = BuildSketches.run(spark, input, dir,
         BuildSketches.Config(kind = kind, salts = 4))
       assert(out.count() == TokenGen.Sources.size.toLong, s"kind=$kind")
       assert(out.where(col("sketch_bytes").isNull).count() == 0, s"kind=$kind")
+      // kind round-trips through the checkpoint's sketch_state metrics
+      val metaKinds = spark.read.parquet(dir)
+        .select(graft.api.sketch_meta(col("sketch_bytes")).getField("kind"))
+        .distinct().collect().map(_.getString(0))
+      assert(metaKinds.sameElements(Array(kind)), s"kind=$kind meta=${metaKinds.mkString}")
     }
+  }
+
+  test("kmv build: below-capacity checkpoint answers exactly; resume is byte-identical") {
+    // 500-key vocab under k=1024 ⇒ the merged per-source sketch never
+    // evicts: kmv_distinct must equal the exact per-source distinct
+    // token count, and a resume from a truncated checkpoint must
+    // reproduce the uninterrupted build byte for byte (bottom-k union
+    // is idempotent, so re-processed overlap cannot perturb state)
+    val input = TokenGen.generate(spark, 400, vocab = 500).cache()
+    val cfg = BuildSketches.Config(kind = "kmv", salts = 4, kmvK = 1024)
+    val full = Files.createTempDirectory("graft_kmv_full").toString + "/ck"
+    val part = Files.createTempDirectory("graft_kmv_part").toString + "/ck"
+    val uninterrupted = BuildSketches.run(spark, input, full, cfg)
+      .select(col("source"), col("sketch_bytes"),
+        graft.api.kmv_distinct(col("sketch_bytes")).as("est"),
+        graft.api.kmv_is_exact(col("sketch_bytes")).as("ok"))
+      .collect().map(r => r.getString(0) -> (r.getAs[Array[Byte]](1), r.getLong(2), r.getBoolean(3))).toMap
+    val exact = input.selectExpr("source", "explode(tokens) t")
+      .groupBy("source").agg(countDistinct(col("t")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((s, (_, est, ok)) <- uninterrupted) {
+      assert(ok, s"source=$s evicted under k=1024 with vocab 500")
+      assert(est == exact(s), s"source=$s kmv=$est exact=${exact(s)}")
+    }
+    // interrupted run: only salts 0-1 got checkpointed before the
+    // "crash" — sharded with the FULL input's scheme, as the
+    // interrupted run itself would have (resume is shard-level)
+    val scheme = BuildSketches.deriveScheme(input, cfg)
+    val prefix = input
+      .withColumn("salt", BuildSketches.saltExprFor(scheme._1, scheme._2))
+      .where(col("salt") < 2).drop("salt")
+    BuildSketches.buildPartials(prefix, cfg, Some(scheme))
+      .write.mode("append").partitionBy("salt").parquet(part)
+    val resumed = BuildSketches.run(spark, input, part, cfg)
+      .select(col("source"), col("sketch_bytes"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    for ((s, (bytes, _, _)) <- uninterrupted)
+      assert(java.util.Arrays.equals(resumed(s), bytes), s"source=$s resume not byte-identical")
+    input.unpersist()
   }
 
   test("resume rejects a kind mismatch against the checkpoint") {
