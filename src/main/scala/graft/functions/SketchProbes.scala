@@ -930,14 +930,18 @@ case class KmvUnion(left: Expression, right: Expression)
   override def prettyName: String = "kmv_union"
   override def dataType: DataType = BinaryType
   protected def parse(bytes: Array[Byte]): KmvSketch = KmvSketch.deserialize(bytes)
+  // shallowCopied, not copied: KMV merge only REASSIGNS the target's
+  // array fields (fresh outputs, inputs read-only), so the cached
+  // operand needs a fresh wrapper object, not clones of up to three
+  // k-length arrays that the merge would immediately discard
   def compute(a: Array[Byte], b: Array[Byte]): Array[Byte] =
-    cachedLeft(a).copied.mergeInPlace(cachedRight(b)).serialize()
+    cachedLeft(a).shallowCopied.mergeInPlace(cachedRight(b)).serialize()
   override protected def withNewChildrenInternal(l: Expression, r: Expression): KmvUnion =
     copy(left = l, right = r)
 }
 
 /** Bottom-k Jaccard resemblance between two kmv sketch columns: exact
-  * when both sides are below capacity, else within ~O(1/sqrt(k)). */
+  * while both sides are exact (never evicted), else within ~O(1/sqrt(k)). */
 case class KmvJaccard(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback with SketchCache2[KmvSketch] {
   override def prettyName: String = "kmv_jaccard"

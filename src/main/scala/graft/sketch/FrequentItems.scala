@@ -293,6 +293,7 @@ object FrequentItems {
 
   def deserialize(bytes: Array[Byte]): FrequentItems = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(buf.remaining() >= 48, "frequent-items image truncated: no header")
     require(buf.getLong() == Magic, "bad frequent-items magic")
     // validate the RAW longs BEFORE any .toInt narrowing — a corrupt high
     // word must be rejected, not silently truncated into a "valid" value
@@ -333,6 +334,12 @@ object FrequentItems {
     i = 0
     while (i < n) {
       val kb = if (bytesMode) {
+        // the length int itself must be present — a byte-mode image
+        // truncated inside the variable-length section must reject with
+        // the same clean error as any other corruption, not escape as a
+        // BufferUnderflowException
+        require(buf.remaining() >= 4,
+          s"frequent-items image truncated: entry $i/$n has no length field")
         val len = buf.getInt()
         // bound BEFORE allocating: a corrupt length must fail cleanly,
         // not OOM on a multi-GB allocation attempt. -1 is the only legal

@@ -8,8 +8,10 @@ import java.nio.{ByteBuffer, ByteOrder}
   *
   *  - a distinct-count estimate `(k-1)/u_k` (Bar-Yossef et al. 2002 /
   *    Beyer et al. SIGMOD'07 unbiased form; relative std err ≈
-  *    1/sqrt(k-2)) that is EXACT whenever fewer than k distinct keys
-  *    were seen (the retained set is then the whole key set);
+  *    1/sqrt(k-2)) that is EXACT until the first hash is dropped —
+  *    i.e. whenever at most k distinct keys were seen (the retained
+  *    set is then the whole key set; tracked explicitly, so a sketch
+  *    holding exactly k distinct keys still answers exactly);
   *  - a deterministic uniform sample over DISTINCT keys (hash-order
   *    bottom-k is an order-invariant sample — the same keys survive no
   *    matter how rows are partitioned, making samples reproducible
@@ -46,7 +48,8 @@ final class KmvSketch private (
     private var keyBytes: Array[Array[Byte]], // null unless bytes mode
     private var _size: Int,
     private var _bytesMode: Boolean,
-    private var _textKeys: Boolean
+    private var _textKeys: Boolean,
+    private var _evicted: Boolean
 ) extends Serializable {
 
   def size: Int = _size
@@ -55,10 +58,14 @@ final class KmvSketch private (
   /** Declare the byte keys UTF-8 text (callers that know the input type). */
   def markTextKeys(): Unit = _textKeys = true
 
-  /** True while the retained set IS the full distinct-key set: the sketch
-    * has never evicted (size only reaches k by eviction pressure), so
-    * every derived answer (estimate, sample, jaccard) is exact. */
-  def isExact: Boolean = _size < k
+  /** True while the retained set IS the full distinct-key set: no
+    * distinct hash was ever dropped (by capacity eviction or merge
+    * truncation), so every derived answer (estimate, sample, jaccard)
+    * is exact. Tracked explicitly — a sketch that saw EXACTLY k
+    * distinct keys is full yet still exact, and the evicted state is a
+    * pure function of the distinct key set (the first drop can only
+    * happen where the union first exceeds k, under any merge tree). */
+  def isExact: Boolean = !_evicted
 
   def add(key: Long): Unit = {
     require(!_bytesMode,
@@ -79,7 +86,14 @@ final class KmvSketch private (
   /** Insert a flipped hash with its payload; O(1) reject when at capacity
     * and not below the current k-th min, O(log k + k·memmove) otherwise. */
   private def addHashed(h: Long, key: Long, kb: Array[Byte]): Unit = {
-    if (_size == k && h >= hashes(k - 1)) return // not smaller than kth min
+    if (_size == k && h >= hashes(k - 1)) {
+      // rejected at capacity: exactness is lost only if this hash is
+      // genuinely new (a duplicate of a retained hash changes nothing);
+      // the O(log k) check runs only while still exact — once evicted,
+      // the hot path is back to the single compare above
+      if (!_evicted && !containsHash(h)) _evicted = true
+      return
+    }
     var lo = 0
     var hi = _size
     while (lo < hi) {
@@ -87,6 +101,7 @@ final class KmvSketch private (
       if (hashes(mid) < h) lo = mid + 1 else hi = mid
     }
     if (lo < _size && hashes(lo) == h) return // duplicate hash
+    if (_size == k) _evicted = true // the current k-th min gets dropped
     val moved = (if (_size == k) k - 1 else _size) - lo
     if (moved > 0) {
       System.arraycopy(hashes, lo, hashes, lo + 1, moved)
@@ -103,7 +118,7 @@ final class KmvSketch private (
     * unbiased KMV estimator (k-1)/u_k with u_k the k-th smallest hash
     * normalized to (0, 1]. */
   def estimate: Double =
-    if (_size < k) _size.toDouble
+    if (!_evicted) _size.toDouble // exact even at _size == k
     else {
       // k-th min as a fraction of 2^64: the stored FLIPPED value is
       // (unsigned raw − 2^63) in signed terms, so adding 2^63 recovers
@@ -141,7 +156,15 @@ final class KmvSketch private (
     * without mutation. */
   def copied: KmvSketch = new KmvSketch(k, hashes.clone(), keys.clone(),
     if (keyBytes == null) null else keyBytes.clone(),
-    _size, _bytesMode, _textKeys)
+    _size, _bytesMode, _textKeys, _evicted)
+
+  /** Fresh object SHARING the operand arrays — safe as a mergeInPlace
+    * target because merge only REASSIGNS the array fields (it allocates
+    * fresh output arrays and never writes into its inputs). Used by the
+    * cached-operand union path to skip cloning up to three k-length
+    * arrays that the merge would immediately discard. */
+  private[graft] def shallowCopied: KmvSketch =
+    new KmvSketch(k, hashes, keys, keyBytes, _size, _bytesMode, _textKeys, _evicted)
 
   /** Bottom-k of the union of both hash sets — associative, commutative,
     * idempotent. Requires equal k (one accuracy contract per column),
@@ -183,6 +206,12 @@ final class KmvSketch private (
       }
       m += 1
     }
+    // exactness after a merge: lost if either input had already lost it,
+    // or the combined hash set overflowed k here (remaining elements are
+    // strictly above the last taken hash, so any leftover means the
+    // union is genuinely larger than k)
+    _evicted = _evicted || other._evicted ||
+      (m == k && (i < _size || j < other._size))
     hashes = nh; keys = nk; keyBytes = nb; _size = m
     this
   }
@@ -198,8 +227,8 @@ final class KmvSketch private (
   }
 
   /** Bottom-k Jaccard resemblance estimate against `other` (must share
-    * this sketch's hash seed — all graft kmv sketches do). Exact when
-    * both sides are below capacity; otherwise the classic estimator
+    * this sketch's hash seed — all graft kmv sketches do). Exact while
+    * both sides are exact; otherwise the classic estimator
     * |X ∩ A ∩ B| / |X| with X the min(kA,kB) smallest distinct hashes
     * of the union — every x ∈ X is below both sides' retention
     * thresholds, so membership tests are exact. Empty-set convention:
@@ -240,8 +269,12 @@ final class KmvSketch private (
     buf.putLong(KmvSketch.Magic)
     buf.putLong(k.toLong)
     buf.putLong(_size.toLong)
-    // key mode: 0 = long keys, 1 = raw binary keys, 2 = UTF-8 text keys
-    buf.putLong(if (!_bytesMode) 0L else if (_textKeys) 2L else 1L)
+    // low 2 bits: key mode (0 = long keys, 1 = raw binary, 2 = UTF-8
+    // text); bit 2: evicted (exactness lost) — needed on the wire
+    // because a full-but-exact sketch (exactly k distinct keys) is
+    // indistinguishable from an evicted one by size alone
+    buf.putLong((if (!_bytesMode) 0L else if (_textKeys) 2L else 1L) |
+      (if (_evicted) 4L else 0L))
     var i = 0
     while (i < _size) {
       buf.putLong(hashes(i) ^ Long.MinValue) // raw hash on the wire
@@ -279,7 +312,7 @@ object KmvSketch {
   def apply(k: Int = 1024): KmvSketch = {
     require(k >= 16 && k <= (1 << 20), s"k must be in [16, 2^20], got $k")
     new KmvSketch(k, new Array[Long](k), new Array[Long](k), null, 0,
-      _bytesMode = false, _textKeys = false)
+      _bytesMode = false, _textKeys = false, _evicted = false)
   }
 
   def deserialize(bytes: Array[Byte]): KmvSketch = {
@@ -294,8 +327,15 @@ object KmvSketch {
     val nL = buf.getLong()
     require(nL >= 0L && nL <= kL, s"corrupt kmv: size=$nL k=$kL")
     val n = nL.toInt
-    val mode = buf.getLong()
-    require(mode >= 0L && mode <= 2L, s"corrupt kmv: key mode $mode")
+    val modeWord = buf.getLong()
+    val mode = modeWord & 3L
+    require(modeWord >= 0L && (modeWord & ~7L) == 0L && mode <= 2L,
+      s"corrupt kmv: mode word $modeWord")
+    val evicted = (modeWord & 4L) != 0L
+    // an evicted sketch is necessarily full; a flag claiming eviction on
+    // a below-capacity image is a forgery
+    require(!evicted || nL == kL,
+      s"corrupt kmv: evicted flag with size=$nL < k=$kL")
     // the fixed-width section must fit before any entry allocation: a
     // hostile n with a tiny image must fail cleanly up front
     require(bytes.length >= 32 + 16L * n,
@@ -323,6 +363,12 @@ object KmvSketch {
     if (mode >= 1L) {
       i = 0
       while (i < n) {
+        // the per-entry length int itself must be present — a byte-mode
+        // image truncated inside the variable-length section must reject
+        // with the same clean error as any other corruption, not escape
+        // as a BufferUnderflowException
+        require(buf.remaining() >= 4,
+          s"kmv image truncated: entry $i/$n has no length field")
         val len = buf.getInt()
         // bound BEFORE allocating: a corrupt length must fail cleanly,
         // not OOM on a multi-GB allocation attempt. -1 is the only legal
@@ -334,6 +380,7 @@ object KmvSketch {
       }
     }
     s._size = n
+    s._evicted = evicted
     s
   }
 }

@@ -176,4 +176,17 @@ class FrequentItemsSpec extends AnyFunSuite {
     // empty accumulator adopts the text mode wholesale
     assert(FrequentItems(8).mergeInPlace(f.copied).textKeys)
   }
+
+  test("byte-mode image truncated inside the variable-length section rejects cleanly") {
+    val f = FrequentItems(8)
+    Seq("alpha", "beta", "gamma").foreach(w => f.addBytes(w.getBytes("UTF-8")))
+    val img = f.serialize()
+    // walk every truncation point of the tail: all must reject with the
+    // corruption IllegalArgumentException, never a BufferUnderflow
+    var cut = img.length - 1
+    while (cut >= 8) {
+      intercept[IllegalArgumentException](FrequentItems.deserialize(img.take(cut)))
+      cut -= 1
+    }
+  }
 }

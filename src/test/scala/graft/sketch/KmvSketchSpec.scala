@@ -159,6 +159,50 @@ class KmvSketchSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](KmvSketch(32).mergeInPlace(KmvSketch(64)))
   }
 
+  test("exactly k distinct keys: full but still exact; k+1st key flips it") {
+    val k = 64
+    val s = KmvSketch(k)
+    (0L until k.toLong).foreach(s.add)
+    assert(s.size == k)
+    assert(s.isExact, "a full sketch that never dropped a hash is exact")
+    assert(s.estimateLong == k.toLong && s.errBound == 0.0)
+    // duplicates of retained keys change nothing, in either reject path
+    (0L until k.toLong).foreach(s.add)
+    assert(s.isExact && s.estimateLong == k.toLong)
+    // round-trips: the wire image must carry the distinction (size alone
+    // cannot tell full-but-exact from evicted)
+    assert(KmvSketch.deserialize(s.serialize()).isExact)
+    s.add(k.toLong) // 65th distinct key: either evicts or is rejected
+    assert(!s.isExact && s.errBound > 0.0)
+    assert(!KmvSketch.deserialize(s.serialize()).isExact)
+  }
+
+  test("merge tracks exactness: union == k stays exact, union > k does not") {
+    val k = 64
+    val a = build((0L until 32L), k)
+    val b = build((32L until 64L), k)
+    val m = a.copied.mergeInPlace(b)
+    assert(m.size == k && m.isExact && m.estimateLong == 64L)
+    // one extra distinct key anywhere in the tree poisons exactness
+    val c = build(Seq(999L), k)
+    val m2 = m.copied.mergeInPlace(c)
+    assert(!m2.isExact)
+    // and an evicted input propagates through a small union
+    val ev = build((0L until 200L), k)
+    assert(!ev.isExact)
+    assert(!build(Seq(1L), k).mergeInPlace(ev.copied).isExact)
+  }
+
+  test("shallowCopied merge target leaves the source operand untouched") {
+    val a = build((0L until 500L), 48)
+    val b = build((300L until 800L), 48)
+    val aImg = a.serialize()
+    val u = a.shallowCopied.mergeInPlace(b)
+    assert(u.size == 48)
+    assert(java.util.Arrays.equals(a.serialize(), aImg),
+      "mergeInPlace on a shallow copy must not write into the shared arrays")
+  }
+
   test("hostile byte images are rejected before allocation") {
     val good = build((0L until 100L), 32).serialize()
     def corrupt(mut: java.nio.ByteBuffer => Unit): Array[Byte] = {
@@ -197,5 +241,22 @@ class KmvSketchSpec extends AnyFunSuite {
     val blen = java.nio.ByteBuffer.wrap(bimg).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     blen.putInt(32 + 16, Int.MaxValue) // length field of entry 0
     intercept[IllegalArgumentException](KmvSketch.deserialize(bimg))
+    // every truncation point of a byte-mode image (including inside the
+    // variable-length section) must reject cleanly, not BufferUnderflow
+    val bimg2 = bs.serialize()
+    var cut = bimg2.length - 1
+    while (cut >= 8) {
+      intercept[IllegalArgumentException](KmvSketch.deserialize(bimg2.take(cut)))
+      cut -= 1
+    }
+    // forged evicted flag on a below-capacity image (`good` is full, so
+    // the flag is legal there — forge it on a 10-entry sketch instead)
+    val small = build((0L until 10L), 32).serialize()
+    java.nio.ByteBuffer.wrap(small).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putLong(24, 4L) // evicted flag, size 10 < k 32
+    intercept[IllegalArgumentException](KmvSketch.deserialize(small))
+    // high garbage bits in the mode word
+    intercept[IllegalArgumentException](
+      KmvSketch.deserialize(corrupt(_.putLong(24, 1L << 32))))
   }
 }
