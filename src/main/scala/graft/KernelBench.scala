@@ -507,6 +507,38 @@ object KernelBench {
     }
   }
 
+  /** KMV (bottom-k) insert throughput — the family's hot path is a
+    * single compare against the k-th min once full, so duplicate-heavy
+    * zipf streams measure the reject floor while uniform random longs
+    * measure the accept-decay path (k·ln(n/k) accepted inserts paying
+    * the O(k) memmove). */
+  def kmvBuildBench(): Unit = {
+    val perShard = 1700000
+    val zipfSets = (0 until 32)
+      .map(tid => zipfTokens(tid, perShard).map(_.toLong)).toArray
+    val rndSets = (0 until 32).map { tid =>
+      val r = new java.util.Random(4242 + tid)
+      Array.fill(perShard)(r.nextLong())
+    }.toArray
+    def build(k: Int)(ks: Array[Long]): graft.sketch.KmvSketch = {
+      val s = graft.sketch.KmvSketch(k)
+      var i = 0
+      while (i < ks.length) { s.add(ks(i)); i += 1 }
+      s
+    }
+    for ((name, sets) <- Seq(("zipf", zipfSets), ("rnd", rndSets));
+         k <- Seq(1024, 16384)) {
+      val f = build(k) _
+      def run(threads: Int): Double =
+        runShards(threads, perShard) { tid => f(sets(tid)); () }
+      run(2)
+      for (t <- Seq(1, 8, 32)) {
+        val best = (1 to 3).map(_ => run(t)).max
+        println(f"[kmvbuild-$name-k$k] $t%2d threads: $best%.1f M inserts/s")
+      }
+    }
+  }
+
   def cmsBuildBench(): Unit = {
     val perShard = 1700000
     val tokenSets = (0 until 32)
@@ -544,6 +576,7 @@ object KernelBench {
     if (mode == "distinct") distinctBench()
     if (mode == "cmsbuild") cmsBuildBench()
     if (mode == "ssbuild") ssBuildBench()
+    if (mode == "kmvbuild") kmvBuildBench()
     if (mode == "strbuild") strBuildBench()
     if (mode == "insert" || mode == "all") insertBench(reps = 3)
     if (mode == "membw" || mode == "all") membwBench()

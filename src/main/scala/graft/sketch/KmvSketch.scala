@@ -30,11 +30,15 @@ import java.nio.{ByteBuffer, ByteOrder}
   * answers "how many distinct / which representatives / how similar",
   * the audit-side questions of the same token pipelines.
   *
-  * Representation: parallel arrays sorted ascending by FLIPPED hash
-  * (hash ^ Long.MinValue, so signed order == unsigned raw order). The
+  * Representation: a sorted base (parallel arrays ascending by FLIPPED
+  * hash — hash ^ Long.MinValue, so signed order == unsigned raw order)
+  * plus an unsorted acceptance buffer compacted by periodic merge. The
   * per-row hot path is a single compare against the current k-th min
-  * (reject); accepted inserts decay as k·ln(n/k), so the O(k) insertion
-  * shift amortizes to noise. Merge is a linear two-pointer walk.
+  * (reject) or an O(log k) base-duplicate check; genuinely new
+  * candidates append in O(1) and pay amortized O(log k) at compaction
+  * (accepted inserts decay as k·ln(n/k), so compactions fade to noise
+  * as the stream grows). Merge is a linear two-pointer walk over two
+  * compacted bases.
   *
   * Keys: canonical longs hash through mix64; string/binary keys fold
   * through mixBytes and keep their first-seen bytes for reporting
@@ -52,7 +56,21 @@ final class KmvSketch private (
     private var _evicted: Boolean
 ) extends Serializable {
 
-  def size: Int = _size
+  // Acceptance buffer: unsorted candidate (hash, key[, bytes]) triples
+  // with hash strictly below the current retention threshold (the base
+  // k-th min once the base is full; unconditional while it is not).
+  // Accepted inserts are O(1) appends; a periodic merge-compaction
+  // (stable sort + two-pointer merge with the sorted base) replaces the
+  // old per-accept O(k) insertion-sort memmove, which made the initial
+  // fill alone O(k^2). Lazily allocated: deserialized probe-side
+  // instances never allocate it, and flush() on an empty buffer is a
+  // pure read (no writes), keeping shared cached sketches race-free.
+  private var bufH: Array[Long] = null
+  private var bufK: Array[Long] = null
+  private var bufB: Array[Array[Byte]] = null
+  private var bufN: Int = 0
+
+  def size: Int = { flush(); _size }
   def bytesMode: Boolean = _bytesMode
   def textKeys: Boolean = _textKeys
   /** Declare the byte keys UTF-8 text (callers that know the input type). */
@@ -65,7 +83,7 @@ final class KmvSketch private (
     * distinct keys is full yet still exact, and the evicted state is a
     * pure function of the distinct key set (the first drop can only
     * happen where the union first exceeds k, under any merge tree). */
-  def isExact: Boolean = !_evicted
+  def isExact: Boolean = { flush(); !_evicted }
 
   def add(key: Long): Unit = {
     require(!_bytesMode,
@@ -75,49 +93,133 @@ final class KmvSketch private (
 
   def addBytes(b: Array[Byte]): Unit = {
     if (!_bytesMode) {
-      require(_size == 0, "cannot mix long and byte keys in one kmv sketch")
+      require(_size == 0 && bufN == 0,
+        "cannot mix long and byte keys in one kmv sketch")
       _bytesMode = true
       keyBytes = new Array[Array[Byte]](k)
+      if (bufH != null) bufB = new Array[Array[Byte]](bufH.length)
     }
     val fold = WangHash.mixBytes(b, KmvSketch.KeySeed)
     addHashed(WangHash.mix64(fold, KmvSketch.KeySeed) ^ Long.MinValue, fold, b)
   }
 
-  /** Insert a flipped hash with its payload; O(1) reject when at capacity
-    * and not below the current k-th min, O(log k + k·memmove) otherwise. */
+  /** Insert a flipped hash with its payload. O(1) reject once the base
+    * is full (a single compare against the base k-th min — any h at or
+    * above it can never enter the bottom-k, and the eviction check is
+    * free: h above the base max is necessarily NEW, h equal to it a
+    * duplicate). Base-duplicates reject in O(log size); genuinely new
+    * candidates append to the buffer in O(1) and amortize to O(log k)
+    * through the periodic merge-compaction in [[flush]]. */
   private def addHashed(h: Long, key: Long, kb: Array[Byte]): Unit = {
     if (_size == k && h >= hashes(k - 1)) {
-      // rejected at capacity: exactness is lost only if this hash is
-      // genuinely new (a duplicate of a retained hash changes nothing);
-      // the O(log k) check runs only while still exact — once evicted,
-      // the hot path is back to the single compare above
-      if (!_evicted && !containsHash(h)) _evicted = true
+      // at/above the base max: everything in the base is <= hashes(k-1),
+      // so h > max is a new hash that will never be retained (exactness
+      // lost), h == max the retained maximum itself (no-op)
+      if (h != hashes(k - 1)) _evicted = true
       return
     }
+    // duplicate of a retained base entry? O(log size) reject keeps
+    // duplicate-heavy streams out of the buffer entirely
     var lo = 0
     var hi = _size
     while (lo < hi) {
       val mid = (lo + hi) >>> 1
       if (hashes(mid) < h) lo = mid + 1 else hi = mid
     }
-    if (lo < _size && hashes(lo) == h) return // duplicate hash
-    if (_size == k) _evicted = true // the current k-th min gets dropped
-    val moved = (if (_size == k) k - 1 else _size) - lo
-    if (moved > 0) {
-      System.arraycopy(hashes, lo, hashes, lo + 1, moved)
-      System.arraycopy(keys, lo, keys, lo + 1, moved)
-      if (_bytesMode) System.arraycopy(keyBytes, lo, keyBytes, lo + 1, moved)
+    if (lo < _size && hashes(lo) == h) return
+    if (bufH == null) {
+      val cap = math.min(k, KmvSketch.MaxBufCap)
+      bufH = new Array[Long](cap)
+      bufK = new Array[Long](cap)
+      if (_bytesMode) bufB = new Array[Array[Byte]](cap)
     }
-    hashes(lo) = h
-    keys(lo) = key
-    if (_bytesMode) keyBytes(lo) = kb
-    if (_size < k) _size += 1
+    bufH(bufN) = h
+    bufK(bufN) = key
+    if (_bytesMode) bufB(bufN) = kb
+    bufN += 1
+    if (bufN == bufH.length) flush()
+  }
+
+  /** Merge-compact the acceptance buffer into the sorted base: stable
+    * sort of the buffer (first-seen wins on duplicate hashes, matching
+    * the old insertion-sort semantics), then a two-pointer merge with
+    * the base keeping the k smallest distinct hashes. A pure read
+    * (no field writes) when the buffer is empty, so concurrently shared
+    * deserialized sketches (probe caches) stay race-free. */
+  private def flush(): Unit = {
+    if (bufN == 0) return
+    // stable index sort by hash (bottom-up merge sort on an int index
+    // array): ~bufN log bufN, amortized O(log k) per accepted insert
+    val n = bufN
+    var idx = new Array[Int](n)
+    var tmp = new Array[Int](n)
+    var i = 0
+    while (i < n) { idx(i) = i; i += 1 }
+    var width = 1
+    while (width < n) {
+      var lo = 0
+      while (lo < n - width) {
+        val mid = lo + width
+        val hi = math.min(lo + 2 * width, n)
+        var a = lo; var b = mid; var o = lo
+        while (a < mid && b < hi) {
+          // <= keeps the left (earlier-seen) side on equal hashes
+          if (bufH(idx(a)) <= bufH(idx(b))) { tmp(o) = idx(a); a += 1 }
+          else { tmp(o) = idx(b); b += 1 }
+          o += 1
+        }
+        while (a < mid) { tmp(o) = idx(a); a += 1; o += 1 }
+        while (b < hi) { tmp(o) = idx(b); b += 1; o += 1 }
+        System.arraycopy(tmp, lo, idx, lo, hi - lo)
+        lo += 2 * width
+      }
+      width <<= 1
+    }
+    val ord = idx // every pass copies the merged runs back into idx
+    // two-pointer merge of base [0, _size) and sorted buffer, dedup on
+    // equal hashes (base wins over buffer; earlier buffer entry wins
+    // within the buffer), capped at k
+    val nh = new Array[Long](k)
+    val nk = new Array[Long](k)
+    val nb = if (_bytesMode) new Array[Array[Byte]](k) else null
+    var bi = 0 // base cursor
+    var ci = 0 // buffer cursor (via ord)
+    var m = 0
+    var prev = 0L
+    var any = false
+    while (m < k && (bi < _size || ci < n)) {
+      val takeBase = ci >= n || (bi < _size && hashes(bi) <= bufH(ord(ci)))
+      val (h, key, kb) =
+        if (takeBase) { val r = (hashes(bi), keys(bi),
+          if (_bytesMode) keyBytes(bi) else null); bi += 1; r }
+        else { val j = ord(ci); val r = (bufH(j), bufK(j),
+          if (_bytesMode) bufB(j) else null); ci += 1; r }
+      if (any && h == prev) () // duplicate hash: first taken wins
+      else {
+        nh(m) = h; nk(m) = key
+        if (_bytesMode) nb(m) = kb
+        prev = h; any = true
+        m += 1
+      }
+    }
+    // leftovers: skip duplicates of the last kept hash before declaring
+    // eviction — remaining candidates at m == k mean the distinct union
+    // exceeded k
+    if (m == k) {
+      while (bi < _size && hashes(bi) == prev) bi += 1
+      while (ci < n && bufH(ord(ci)) == prev) ci += 1
+      if (bi < _size || ci < n) _evicted = true
+    }
+    hashes = nh; keys = nk; keyBytes = nb; _size = m
+    bufN = 0
+    if (_bytesMode) java.util.Arrays.fill(bufB.asInstanceOf[Array[AnyRef]], null)
   }
 
   /** Distinct-count estimate: exact `size` below capacity, else the
     * unbiased KMV estimator (k-1)/u_k with u_k the k-th smallest hash
     * normalized to (0, 1]. */
-  def estimate: Double =
+  def estimate: Double = {
+    flush()
     if (!_evicted) _size.toDouble // exact even at _size == k
     else {
       // k-th min as a fraction of 2^64: the stored FLIPPED value is
@@ -128,6 +230,7 @@ final class KmvSketch private (
         1.8446744073709552E19
       (k - 1).toDouble / u
     }
+  }
 
   def estimateLong: Long = math.round(estimate)
 
@@ -140,6 +243,7 @@ final class KmvSketch private (
     * order- and partitioning-invariant uniform sample over distinct
     * keys). Fields: (key, firstSeenBytes|null). */
   def sample(n: Int): Array[(Long, Array[Byte])] = {
+    flush()
     val m = math.min(n, _size)
     val out = new Array[(Long, Array[Byte])](m)
     var i = 0
@@ -150,27 +254,36 @@ final class KmvSketch private (
     out
   }
 
-  private def isEmpty: Boolean = _size == 0
+  private def isEmpty: Boolean = _size == 0 && bufN == 0
 
   /** Independent deep copy, so shared/cached instances can be combined
     * without mutation. */
-  def copied: KmvSketch = new KmvSketch(k, hashes.clone(), keys.clone(),
-    if (keyBytes == null) null else keyBytes.clone(),
-    _size, _bytesMode, _textKeys, _evicted)
+  def copied: KmvSketch = {
+    flush()
+    new KmvSketch(k, hashes.clone(), keys.clone(),
+      if (keyBytes == null) null else keyBytes.clone(),
+      _size, _bytesMode, _textKeys, _evicted)
+  }
 
   /** Fresh object SHARING the operand arrays — safe as a mergeInPlace
     * target because merge only REASSIGNS the array fields (it allocates
     * fresh output arrays and never writes into its inputs). Used by the
     * cached-operand union path to skip cloning up to three k-length
-    * arrays that the merge would immediately discard. */
-  private[graft] def shallowCopied: KmvSketch =
+    * arrays that the merge would immediately discard. The caller's
+    * operand must be compacted (deserialized instances always are) —
+    * a pending buffer would otherwise flush into the shared arrays. */
+  private[graft] def shallowCopied: KmvSketch = {
+    require(bufN == 0, "shallowCopied requires a compacted sketch")
     new KmvSketch(k, hashes, keys, keyBytes, _size, _bytesMode, _textKeys, _evicted)
+  }
 
   /** Bottom-k of the union of both hash sets — associative, commutative,
     * idempotent. Requires equal k (one accuracy contract per column),
     * and matching key mode unless one side is empty. */
   def mergeInPlace(other: KmvSketch): KmvSketch = {
     require(other.k == k, s"kmv k mismatch: $k vs ${other.k}")
+    flush()
+    other.flush()
     if (other.isEmpty) return this
     if (isEmpty) {
       if (_bytesMode != other._bytesMode) {
@@ -216,15 +329,6 @@ final class KmvSketch private (
     this
   }
 
-  @inline private def containsHash(h: Long): Boolean = {
-    var lo = 0
-    var hi = _size
-    while (lo < hi) {
-      val mid = (lo + hi) >>> 1
-      if (hashes(mid) < h) lo = mid + 1 else hi = mid
-    }
-    lo < _size && hashes(lo) == h
-  }
 
   /** Bottom-k Jaccard resemblance estimate against `other` (must share
     * this sketch's hash seed — all graft kmv sketches do). Exact while
@@ -234,6 +338,8 @@ final class KmvSketch private (
     * thresholds, so membership tests are exact. Empty-set convention:
     * J(∅,∅)=1, J(∅,S)=0. */
   def jaccard(other: KmvSketch): Double = {
+    flush()
+    other.flush()
     if (isEmpty && other.isEmpty) return 1.0
     if (isEmpty || other.isEmpty) return 0.0
     val cap =
@@ -256,6 +362,7 @@ final class KmvSketch private (
   }
 
   def serialize(): Array[Byte] = {
+    flush()
     var bytesLen = 0
     if (_bytesMode) {
       var i = 0
@@ -294,20 +401,28 @@ final class KmvSketch private (
 
   override def equals(o: Any): Boolean = o match {
     case s: KmvSketch =>
-      s.k == k && s._size == _size && s._bytesMode == _bytesMode &&
+      // serialize() flushes both sides, so compare canonical images only
+      s.k == k && s._bytesMode == _bytesMode &&
         java.util.Arrays.equals(s.serialize(), serialize())
     case _ => false
   }
-  override def hashCode(): Int =
+  override def hashCode(): Int = {
+    flush()
     (k, _size, if (_size == 0) 0L else hashes(0)).hashCode()
+  }
 
-  override def toString: String =
+  override def toString: String = {
+    flush()
     s"KmvSketch(k=$k, size=${_size}, exact=$isExact, est=$estimateLong)"
+  }
 }
 
 object KmvSketch {
   private[sketch] final val Magic = 0x31564d4b54465247L // "GRFTKMV1"
   private[graft] final val KeySeed = 0x5851f42d4c957f2dL
+  /** Acceptance-buffer cap: full k below this, clamped above it so the
+    * huge-k end (k up to 2^20) does not double its memory footprint. */
+  private final val MaxBufCap = 8192
 
   def apply(k: Int = 1024): KmvSketch = {
     require(k >= 16 && k <= (1 << 20), s"k must be in [16, 2^20], got $k")
