@@ -66,6 +66,7 @@ object GraftFunctions {
     "bloom_agg" -> (a => BloomAgg(a.head, litLong(a, 1, 1L << 16), litInt(a, 2, 5))),
     "bloom_merge_agg" -> (a => BloomMergeAgg(a.head)),
     "kmv_agg" -> (a => KmvAgg(a.head, litInt(a, 1, 1024))),
+    "kmv_agg_packed" -> (a => KmvPackedAgg(a.head, litInt(a, 1, 1024))),
     "kmv_merge_agg" -> (a => KmvMergeAgg(a.head)),
     "ss_agg" -> (a => SsAgg(a.head, litInt(a, 1, 256))),
     "ss_agg_packed" -> (a => SsPackedAgg(a.head, litInt(a, 1, 256))),
@@ -198,6 +199,8 @@ object api {
   def bloom_merge_agg(col: Column): Column = call_function("bloom_merge_agg", col)
   def kmv_agg(col: Column, k: Int = 1024): Column =
     call_function("kmv_agg", col, lit(k))
+  def kmv_agg_packed(col: Column, k: Int = 1024): Column =
+    call_function("kmv_agg_packed", col, lit(k))
   def kmv_merge_agg(col: Column): Column = call_function("kmv_merge_agg", col)
   def ss_agg(col: Column, k: Int = 256): Column =
     call_function("ss_agg", col, lit(k))

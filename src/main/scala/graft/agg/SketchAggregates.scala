@@ -528,6 +528,35 @@ case class KmvAgg(
     copy(child = c.head)
 }
 
+/** KMV aggregate over PACKED tokens (pack_ints layout) — distinct-token
+  * audit over the production packed corpus in one vectorized scan,
+  * byte-identical to KmvAgg over the equivalent array<int>
+  * (spec-asserted), same rationale as [[CqfPackedAgg]]. */
+case class KmvPackedAgg(
+    child: Expression,
+    k: Int = 1024,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends SketchAggBase[KmvSketch] {
+  override def prettyName: String = "kmv_agg_packed"
+  override def createAggregationBuffer(): KmvSketch = KmvSketch(k)
+  protected def makeUpdater: (KmvSketch, Any) => Unit = (s, v) =>
+    PackedInts.foreach("kmv_agg_packed", v.asInstanceOf[Array[Byte]])(t => s.add(t))
+  override def merge(a: KmvSketch, b: KmvSketch): KmvSketch = a.mergeInPlace(b)
+  override def eval(buffer: KmvSketch): Any = buffer.serialize()
+  override def serialize(buffer: KmvSketch): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): KmvSketch = KmvSketch.deserialize(bytes)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"kmv_agg_packed requires a binary packed-int column, got $other")
+  }
+  override def withNewMutableAggBufferOffset(o: Int): KmvPackedAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvPackedAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): KmvPackedAgg =
+    copy(child = c.head)
+}
+
 case class KmvMergeAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,

@@ -312,6 +312,11 @@ class SketchAggSpec extends AnyFunSuite with BeforeAndAfterAll {
       .head().getAs[Array[Byte]](0)
     assert(java.util.Arrays.equals(direct, shuffled))
     assert(java.util.Arrays.equals(direct, twoStage))
+    // packed-token path: byte-identical to the array<int> build
+    val packed = df.agg(
+        api.kmv_agg_packed(api.pack_ints($"tokens"), 256).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(direct, packed), "kmv_agg_packed != kmv_agg")
     val s = KmvSketch.deserialize(direct)
     assert(!s.isExact) // ~4000 distinct tokens >> 256
     assert(math.abs(s.estimate - exactDistinct) <=
