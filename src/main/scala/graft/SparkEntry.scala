@@ -678,9 +678,15 @@ object SparkEntry {
     // ---- HLL (bound-check oracle: exact distinct + in-bound boolean) ----
     "hll_distinct_by_source" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      docs.groupBy(col("source"))
-        .agg(api.hll_agg(col("doc_id"), 14).as("sk"),
-          countDistinct(col("doc_id")).as("exact_docs"))
+      // exact distinct in its OWN aggregation (lesson 23): mixed with the
+      // sketch agg, the distinct-Expand stage 1 groups by (source,
+      // doc_id) and allocates a 16 KB HLL buffer per distinct doc —
+      // per-key sketch buffers are the scale killer, not the second scan
+      val sk = docs.groupBy(col("source"))
+        .agg(api.hll_agg(col("doc_id"), 14).as("sk"))
+      val exact = docs.groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("exact_docs"))
+      sk.join(broadcast(exact), Seq("source"))
         .select(col("source"), col("exact_docs"),
           (abs(api.hll_estimate(col("sk")) - col("exact_docs")) <=
             greatest(lit(3L), (col("exact_docs") * 5 + 99) / 100)).as("hll_ok"))
