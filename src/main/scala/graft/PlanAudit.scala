@@ -37,7 +37,12 @@ object PlanAudit {
       // ObjectHashAggregate partial/final; the sample membership
       // join-back and the pairwise jaccard must broadcast the tiny
       // sketch-derived side, never sort-merge
-      "kmv_distinct_by_source", "kmv_jaccard_pairs")
+      "kmv_distinct_by_source", "kmv_jaccard_pairs",
+      // round 4 (late): bound-check queries whose exact-distinct oracle
+      // was split OUT of the sketch aggregation — mixed, the
+      // distinct-Expand stage 1 allocates a sketch buffer per DISTINCT
+      // key; the guard asserts no Expand node ever reappears
+      "hll_distinct_by_source", "kmv_estimate_bound")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -684,9 +684,11 @@ object SparkEntry {
       // per-key sketch buffers are the scale killer, not the second scan
       val sk = docs.groupBy(col("source"))
         .agg(api.hll_agg(col("doc_id"), 14).as("sk"))
-      val exact = docs.groupBy(col("source"))
+      val exact = docs.groupBy(col("source").as("source_e"))
         .agg(countDistinct(col("doc_id")).as("exact_docs"))
-      sk.join(broadcast(exact), Seq("source"))
+      // null-safe join key: an equi-join would silently DROP a null
+      // group (null != null), where the single-agg shape kept it
+      sk.join(broadcast(exact), col("source") <=> col("source_e"))
         .select(col("source"), col("exact_docs"),
           (abs(api.hll_estimate(col("sk")) - col("exact_docs")) <=
             greatest(lit(3L), (col("exact_docs") * 5 + 99) / 100)).as("hll_ok"))
@@ -734,8 +736,8 @@ object SparkEntry {
     "kmv_estimate_bound" -> ((s, dir) => {
       // high-cardinality composite key forces eviction at every gate SF
       // (k=256 << per-flag distinct): the (k-1)/u_k estimator must sit
-      // inside 4 RSE = 4/sqrt(k-2) of the exact distinct computed in the
-      // same pass, and the sketch must report estimation mode
+      // inside 4 RSE = 4/sqrt(k-2) of the exact distinct, and the
+      // sketch must report estimation mode
       val li = t(s, dir, "lineitem")
       val keyed = li.select(col("l_returnflag"),
         (col("l_orderkey") * 1000000L + col("l_partkey")).as("ck"))
@@ -746,9 +748,11 @@ object SparkEntry {
       // vs 0.5 s split. Both passes scan; the 3-row join broadcasts.
       val sk = keyed.groupBy(col("l_returnflag"))
         .agg(api.kmv_agg(col("ck"), 256).as("sk"))
-      val exact = keyed.groupBy(col("l_returnflag"))
+      val exact = keyed.groupBy(col("l_returnflag").as("flag_e"))
         .agg(countDistinct(col("ck")).as("exact_distinct"))
-      sk.join(broadcast(exact), Seq("l_returnflag"))
+      // null-safe join key: an equi-join would silently DROP a null
+      // group (null != null), where the single-agg shape kept it
+      sk.join(broadcast(exact), col("l_returnflag") <=> col("flag_e"))
         .select(col("l_returnflag"), col("exact_distinct"),
           (abs(api.kmv_distinct(col("sk")) - col("exact_distinct")) <=
             col("exact_distinct") * (4.0 / math.sqrt(254.0))).as("est_ok"),

@@ -97,7 +97,8 @@ final class KmvSketch private (
         "cannot mix long and byte keys in one kmv sketch")
       _bytesMode = true
       keyBytes = new Array[Array[Byte]](k)
-      if (bufH != null) bufB = new Array[Array[Byte]](bufH.length)
+      // bufB allocation rides the lazy bufH allocation in addHashed:
+      // the require above guarantees no buffer exists yet here
     }
     val fold = WangHash.mixBytes(b, KmvSketch.KeySeed)
     addHashed(WangHash.mix64(fold, KmvSketch.KeySeed) ^ Long.MinValue, fold, b)
@@ -418,7 +419,12 @@ final class KmvSketch private (
 }
 
 object KmvSketch {
-  private[sketch] final val Magic = 0x31564d4b54465247L // "GRFTKMV1"
+  // "GRFTKMV2": v2 added the evicted flag (mode-word bit 2). The magic
+  // was BUMPED with it because a v1 image that had genuinely evicted
+  // (size == k, no flag bit existed) would deserialize under v2 rules as
+  // full-but-exact and silently misreport kmv_distinct as exactly k —
+  // a stale v1 image must fail loudly ("bad kmv magic"), not misparse.
+  private[sketch] final val Magic = 0x32564d4b54465247L // "GRFTKMV2"
   private[graft] final val KeySeed = 0x5851f42d4c957f2dL
   /** Acceptance-buffer cap: full k below this, clamped above it so the
     * huge-k end (k up to 2^20) does not double its memory footprint. */

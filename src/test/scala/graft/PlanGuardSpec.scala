@@ -66,6 +66,23 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bound-check queries never plan the distinct-Expand over a sketch aggregate") {
+    // countDistinct mixed into the sketch aggregation plans the Expand
+    // shape: stage 1 groups by (group, key) and allocates a sketch
+    // buffer PER DISTINCT KEY (16 KB HLL x distinct docs; a kmv buffer
+    // x ~6M composite keys at sf0.1) — the exact oracle must stay in
+    // its own hash pass, joined back null-safely over the tiny side
+    for (name <- Seq("hll_distinct_by_source", "kmv_estimate_bound")) {
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+      assert(!plan.contains("Expand"),
+        s"$name regressed to the distinct-Expand shape:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name lost its broadcast join-back:\n$plan")
+    }
+  }
+
   test("kmv membership join-back broadcasts the sample, one in-plan fact scan") {
     // the 5-row sketch result is localCheckpoint-materialized once, so
     // the visible plan must show exactly ONE parquet scan (the
