@@ -42,7 +42,11 @@ object PlanAudit {
       // was split OUT of the sketch aggregation — mixed, the
       // distinct-Expand stage 1 allocates a sketch buffer per DISTINCT
       // key; the guard asserts no Expand node ever reappears
-      "hll_distinct_by_source", "kmv_estimate_bound")
+      "hll_distinct_by_source", "kmv_estimate_bound",
+      // round 4 (late): one-pass all-families column profile — the
+      // sketch pass must stay a single Expand-free ObjectHashAggregate
+      // scan; the 1-row profile/exact/check frames ride broadcasts
+      "table_profile")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

@@ -824,6 +824,66 @@ object SparkEntry {
           (abs(col("r95") * 100L - col("n") * 95L) <= col("n") * 3L).as("ok95"))
     }),
 
+    "table_profile" -> ((s, dir) => {
+      // One-pass all-families column profile — the data-quality pass a
+      // training pipeline runs before ingest: exact shape stats (count,
+      // nulls, min/max) + an HLL distinct per id column + KLL quantiles
+      // per numeric + the frequent-items top value per categorical, all
+      // built side by side in a SINGLE fact scan (one
+      // ObjectHashAggregate stage). The extra exact passes below exist
+      // only to oracle the estimator bound checks (the hll/kll/ss
+      // patterns above); production cost at 100 TB is pass 1 alone.
+      val li = t(s, dir, "lineitem")
+      val top1 = element_at(api.ss_topk(col("flag_ss"), 1), 1)
+      val prof = li.agg(
+          count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col("l_extendedprice"))).as("price_nulls"),
+          min(col("l_extendedprice")).as("price_min"),
+          max(col("l_extendedprice")).as("price_max"),
+          api.hll_agg(col("l_partkey"), 14).as("pk_hll"),
+          api.kll_agg(col("l_extendedprice"), 256).as("price_kll"),
+          api.ss_agg(col("l_returnflag"), 16).as("flag_ss"))
+        .select(col("n_rows"), col("price_nulls"), col("price_min"),
+          col("price_max"),
+          api.hll_estimate(col("pk_hll")).as("pk_est"),
+          api.kll_quantile(col("price_kll"), lit(0.5)).as("e50"),
+          api.kll_quantile(col("price_kll"), lit(0.95)).as("e95"),
+          top1.getField("key_str").as("flag_top"),
+          top1.getField("lb").as("flag_top_lb"),
+          api.ss_offset(col("flag_ss")).as("flag_off"))
+        // 1 row; localCheckpoint so the recheck scan and the readout
+        // don't each rebuild the sketch pass from its own fact scan
+        .localCheckpoint()
+      // exact distinct stays in its OWN hash pass (lesson 23): mixed
+      // into the sketch aggregation, the distinct-Expand stage 1 would
+      // allocate a sketch buffer per DISTINCT l_partkey
+      val exactD = li.agg(countDistinct(col("l_partkey")).as("pk_distinct"))
+      // one recheck scan rank-verifies both quantiles and exact-counts
+      // the reported top value; the 1-row profile side broadcasts
+      val check = li
+        .crossJoin(broadcast(prof.select(col("e50"), col("e95"), col("flag_top"))))
+        .agg(
+          sum(when(col("l_extendedprice") <= col("e50"), 1L).otherwise(0L)).as("r50"),
+          sum(when(col("l_extendedprice") <= col("e95"), 1L).otherwise(0L)).as("r95"),
+          sum(when(col("l_returnflag") === col("flag_top"), 1L).otherwise(0L))
+            .as("flag_top_cnt"))
+      prof.crossJoin(broadcast(exactD)).crossJoin(broadcast(check))
+        .select(
+          col("n_rows"), col("price_nulls"), col("price_min"), col("price_max"),
+          col("pk_distinct"),
+          (abs(col("pk_est") - col("pk_distinct")) <=
+            greatest(lit(3L), (col("pk_distinct") * 5 + 99) / 100)).as("pk_hll_ok"),
+          (abs(col("r50") * 100L - col("n_rows") * 50L) <= col("n_rows") * 3L)
+            .as("price_p50_ok"),
+          (abs(col("r95") * 100L - col("n_rows") * 95L) <= col("n_rows") * 3L)
+            .as("price_p95_ok"),
+          col("flag_top"), col("flag_top_cnt"),
+          // 3 distinct flags < k=16: Misra-Gries never evicts, so the
+          // summary is EXACT here — equality asserted, not a bound
+          (col("flag_top_lb") === col("flag_top_cnt") &&
+            col("flag_off") === 0L).as("flag_top_ok"))
+    }),
+
     // ---- dedup family ----
     "dedup_exact_props" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -1260,6 +1320,19 @@ object SparkEntry {
     "kll_quantiles_by_flag" ->
       """SELECT l_returnflag, count(*) AS n, TRUE AS ok50, TRUE AS ok95
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "table_profile" ->
+      """WITH top AS (SELECT l_returnflag AS flag_top, count(*) AS flag_top_cnt
+        |             FROM lineitem GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 1)
+        |SELECT (SELECT count(*) FROM lineitem) AS n_rows,
+        |       (SELECT count(*) - count(l_extendedprice) FROM lineitem)
+        |         AS price_nulls,
+        |       (SELECT min(l_extendedprice) FROM lineitem) AS price_min,
+        |       (SELECT max(l_extendedprice) FROM lineitem) AS price_max,
+        |       (SELECT count(DISTINCT l_partkey) FROM lineitem) AS pk_distinct,
+        |       TRUE AS pk_hll_ok, TRUE AS price_p50_ok, TRUE AS price_p95_ok,
+        |       flag_top, flag_top_cnt, TRUE AS flag_top_ok
+        |FROM top""".stripMargin,
 
     "dedup_exact_props" ->
       """SELECT props, min(event_id) AS kept_event_id, count(*) AS n_dups

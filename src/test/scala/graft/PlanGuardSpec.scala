@@ -83,6 +83,21 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("table_profile: Expand-free, broadcast-only joins, no cartesian shuffle") {
+    // the profile's sketch pass must stay a single ObjectHashAggregate
+    // (no distinct-Expand), and the 1-row profile/exact/check frames
+    // must ride broadcasts (nested-loop on 1 row is fine), never a
+    // shuffled cartesian or sort-merge join
+    val plan = SparkEntry.queries("table_profile")(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(!plan.contains("Expand"),
+      s"table_profile planned a distinct-Expand:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"sort-merge join crept in:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"non-broadcast cartesian crept in:\n$plan")
+  }
+
   test("kmv membership join-back broadcasts the sample, one in-plan fact scan") {
     // the 5-row sketch result is localCheckpoint-materialized once, so
     // the visible plan must show exactly ONE parquet scan (the
