@@ -34,6 +34,28 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("cqf_count_by_flag")(spark, "/root/testdata/sf0.001")
 
+  /** table_profile's sketch pass, pre-materialization: every family's
+    * summary for the profiled columns built side by side in ONE fact
+    * scan. Exposed (package-private) because the query immediately
+    * localCheckpoints the 1-row result, which hides this plan from the
+    * final query's explain — PlanGuardSpec asserts the single-scan
+    * Expand-free ObjectHashAggregate shape on THIS frame. */
+  private[graft] def tableProfileSketchPass(li: DataFrame): DataFrame =
+    li.agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("l_extendedprice"))).as("price_nulls"),
+        min(col("l_extendedprice")).as("price_min"),
+        max(col("l_extendedprice")).as("price_max"),
+        api.hll_agg(col("l_partkey"), 14).as("pk_hll"),
+        api.kll_agg(col("l_extendedprice"), 256).as("price_kll"),
+        api.ss_agg(col("l_returnflag"), 16).as("flag_ss"))
+      .select(col("n_rows"), col("price_nulls"), col("price_min"),
+        col("price_max"),
+        api.hll_estimate(col("pk_hll")).as("pk_est"),
+        api.kll_quantile(col("price_kll"), lit(0.5)).as("e50"),
+        api.kll_quantile(col("price_kll"), lit(0.95)).as("e95"),
+        col("flag_ss"))
+
   // ------------------------------------------------------------------
   // Queries
   // ------------------------------------------------------------------
@@ -691,7 +713,10 @@ object SparkEntry {
       sk.join(broadcast(exact), col("source") <=> col("source_e"))
         .select(col("source"), col("exact_docs"),
           (abs(api.hll_estimate(col("sk")) - col("exact_docs")) <=
-            greatest(lit(3L), (col("exact_docs") * 5 + 99) / 100)).as("hll_ok"))
+            // truncating cast makes the +99 idiom a true long ceiling
+            // (Column `/` on integrals returns double)
+            greatest(lit(3L), ((col("exact_docs") * 5 + 99) / 100).cast("long")))
+            .as("hll_ok"))
     }),
 
     // ---- KMV bottom-k family (exact below capacity — distinct count,
@@ -828,60 +853,60 @@ object SparkEntry {
       // One-pass all-families column profile — the data-quality pass a
       // training pipeline runs before ingest: exact shape stats (count,
       // nulls, min/max) + an HLL distinct per id column + KLL quantiles
-      // per numeric + the frequent-items top value per categorical, all
+      // per numeric + a frequent-items summary per categorical, all
       // built side by side in a SINGLE fact scan (one
-      // ObjectHashAggregate stage). The extra exact passes below exist
-      // only to oracle the estimator bound checks (the hll/kll/ss
-      // patterns above); production cost at 100 TB is pass 1 alone.
+      // ObjectHashAggregate stage — tableProfileSketchPass, whose
+      // pre-materialization plan the guard spec asserts). The extra
+      // exact passes below exist only to oracle the estimator bound
+      // checks (the hll/kll/ss patterns above); production cost at
+      // 100 TB is pass 1 alone.
       val li = t(s, dir, "lineitem")
-      val top1 = element_at(api.ss_topk(col("flag_ss"), 1), 1)
-      val prof = li.agg(
-          count(lit(1)).as("n_rows"),
-          (count(lit(1)) - count(col("l_extendedprice"))).as("price_nulls"),
-          min(col("l_extendedprice")).as("price_min"),
-          max(col("l_extendedprice")).as("price_max"),
-          api.hll_agg(col("l_partkey"), 14).as("pk_hll"),
-          api.kll_agg(col("l_extendedprice"), 256).as("price_kll"),
-          api.ss_agg(col("l_returnflag"), 16).as("flag_ss"))
-        .select(col("n_rows"), col("price_nulls"), col("price_min"),
-          col("price_max"),
-          api.hll_estimate(col("pk_hll")).as("pk_est"),
-          api.kll_quantile(col("price_kll"), lit(0.5)).as("e50"),
-          api.kll_quantile(col("price_kll"), lit(0.95)).as("e95"),
-          top1.getField("key_str").as("flag_top"),
-          top1.getField("lb").as("flag_top_lb"),
-          api.ss_offset(col("flag_ss")).as("flag_off"))
-        // 1 row; localCheckpoint so the recheck scan and the readout
-        // don't each rebuild the sketch pass from its own fact scan
-        .localCheckpoint()
+      // 1 row; localCheckpoint so the recheck scan and the readout
+      // don't each rebuild the sketch pass from its own fact scan
+      val prof = tableProfileSketchPass(li).localCheckpoint()
       // exact distinct stays in its OWN hash pass (lesson 23): mixed
       // into the sketch aggregation, the distinct-Expand stage 1 would
       // allocate a sketch buffer per DISTINCT l_partkey
       val exactD = li.agg(countDistinct(col("l_partkey")).as("pk_distinct"))
       // one recheck scan rank-verifies both quantiles and exact-counts
-      // the reported top value; the 1-row profile side broadcasts
-      val check = li
-        .crossJoin(broadcast(prof.select(col("e50"), col("e95"), col("flag_top"))))
-        .agg(
-          sum(when(col("l_extendedprice") <= col("e50"), 1L).otherwise(0L)).as("r50"),
-          sum(when(col("l_extendedprice") <= col("e95"), 1L).otherwise(0L)).as("r95"),
-          sum(when(col("l_returnflag") === col("flag_top"), 1L).otherwise(0L))
-            .as("flag_top_cnt"))
+      // the per-flag groups; the 1-row profile side broadcasts. The top
+      // value is the EXACT argmax with DuckDB's tie-break (count desc,
+      // value asc — min_by over (-cnt, flag)), so the output stays
+      // deterministic even if two flags ever tie; the sketch is then
+      // judged against it in flag_top_ok
+      val byFlag = li
+        .crossJoin(broadcast(prof.select(col("e50"), col("e95"))))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("l_extendedprice") <= col("e50"), 1L).otherwise(0L)).as("g50"),
+          sum(when(col("l_extendedprice") <= col("e95"), 1L).otherwise(0L)).as("g95"))
+      val tieOrd = struct((-col("cnt")).as("nc"), col("l_returnflag"))
+      val check = byFlag.agg(
+        sum(col("g50")).as("r50"), sum(col("g95")).as("r95"),
+        min_by(col("l_returnflag"), tieOrd).as("flag_top"),
+        min_by(col("cnt"), tieOrd).as("flag_top_cnt"))
+      // rank checks calibrate against the KLL population: non-null
+      // prices only (null-price rows count in n_rows but not in the
+      // sketch or in r50/r95)
+      val nn = col("n_rows") - col("price_nulls")
       prof.crossJoin(broadcast(exactD)).crossJoin(broadcast(check))
         .select(
           col("n_rows"), col("price_nulls"), col("price_min"), col("price_max"),
           col("pk_distinct"),
+          // ceiling of 5% in LONG arithmetic: Column `/` on integrals
+          // returns double, so the +99 idiom needs the truncating cast
+          // to actually floor
           (abs(col("pk_est") - col("pk_distinct")) <=
-            greatest(lit(3L), (col("pk_distinct") * 5 + 99) / 100)).as("pk_hll_ok"),
-          (abs(col("r50") * 100L - col("n_rows") * 50L) <= col("n_rows") * 3L)
-            .as("price_p50_ok"),
-          (abs(col("r95") * 100L - col("n_rows") * 95L) <= col("n_rows") * 3L)
-            .as("price_p95_ok"),
+            greatest(lit(3L), ((col("pk_distinct") * 5 + 99) / 100).cast("long")))
+            .as("pk_hll_ok"),
+          (abs(col("r50") * 100L - nn * 50L) <= nn * 3L).as("price_p50_ok"),
+          (abs(col("r95") * 100L - nn * 95L) <= nn * 3L).as("price_p95_ok"),
           col("flag_top"), col("flag_top_cnt"),
           // 3 distinct flags < k=16: Misra-Gries never evicts, so the
-          // summary is EXACT here — equality asserted, not a bound
-          (col("flag_top_lb") === col("flag_top_cnt") &&
-            col("flag_off") === 0L).as("flag_top_ok"))
+          // summary must score the exact argmax EXACTLY — equality on
+          // its estimate, zero offset — not a bound
+          (api.ss_estimate(col("flag_ss"), col("flag_top")) === col("flag_top_cnt") &&
+            api.ss_offset(col("flag_ss")) === 0L).as("flag_top_ok"))
     }),
 
     // ---- dedup family ----
