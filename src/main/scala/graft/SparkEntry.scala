@@ -41,20 +41,17 @@ object SparkEntry {
     * final query's explain — PlanGuardSpec asserts the single-scan
     * Expand-free ObjectHashAggregate shape on THIS frame. */
   private[graft] def tableProfileSketchPass(li: DataFrame): DataFrame =
-    li.agg(
-        count(lit(1)).as("n_rows"),
-        (count(lit(1)) - count(col("l_extendedprice"))).as("price_nulls"),
-        min(col("l_extendedprice")).as("price_min"),
-        max(col("l_extendedprice")).as("price_max"),
-        api.hll_agg(col("l_partkey"), 14).as("pk_hll"),
-        api.kll_agg(col("l_extendedprice"), 256).as("price_kll"),
-        api.ss_agg(col("l_returnflag"), 16).as("flag_ss"))
-      .select(col("n_rows"), col("price_nulls"), col("price_min"),
-        col("price_max"),
-        api.hll_estimate(col("pk_hll")).as("pk_est"),
-        api.kll_quantile(col("price_kll"), lit(0.5)).as("e50"),
-        api.kll_quantile(col("price_kll"), lit(0.95)).as("e95"),
-        col("flag_ss"))
+    graft.ops.ProfileOps.profile(li, graft.ops.ProfileOps.ProfileSpec(
+        idCols = Seq("l_partkey"), numCols = Seq("l_extendedprice"),
+        catCols = Seq("l_returnflag"), hllP = 14, kllK = 256, ssK = 16))
+      .select(col("n_rows"),
+        col("l_extendedprice_nulls").as("price_nulls"),
+        col("l_extendedprice_min").as("price_min"),
+        col("l_extendedprice_max").as("price_max"),
+        api.hll_estimate(col("l_partkey_hll")).as("pk_est"),
+        api.kll_quantile(col("l_extendedprice_kll"), lit(0.5)).as("e50"),
+        api.kll_quantile(col("l_extendedprice_kll"), lit(0.95)).as("e95"),
+        col("l_returnflag_ss").as("flag_ss"))
 
   // ------------------------------------------------------------------
   // Queries
