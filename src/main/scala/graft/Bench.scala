@@ -21,7 +21,10 @@ import org.apache.spark.sql.functions._
 object Bench {
 
   def jsonNum(d: Double): String =
-    if (d.isNaN || d.isInfinite) "0" else f"$d%.4f"
+    // Locale.ROOT: the f-interpolator honors the default locale, which
+    // on a de_DE/fr_FR JVM prints comma decimals — invalid JSON
+    if (d.isNaN || d.isInfinite) "0"
+    else String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -100,25 +103,36 @@ object Bench {
     // (n/2^26); hashBits=40 is the production width (expect ~0 of 1M).
     // The kernel-level statistical version lives in CqfSpec ("published
     // bound"); this records the property at bench scale per round.
-    def fpMeasure(hashBits: Int): (Long, Long, Double, Double) = {
-      // cap the measured cardinality so the quotient fits inside
-      // hashBits even at huge SPARK_GRAFT_BENCH_DOCS (q > hashBits would
-      // fail Cqf's precondition; n beyond ~0.85*2^(hashBits-4) would
-      // also push the 26-bit bound toward saturation and measure
-      // nothing) — a deterministic doc_id subsample keeps the bound
-      // n/2^b in a readable range; the bound itself uses the sketch's
-      // actual distinct count, so the subsample stays self-consistent
-      val fpCap = 3000000L
-      val src = if (nDocs <= fpCap) stored
-        else stored.where(
-          pmod(xxhash64(col("doc_id")), lit(math.max(2L, (nDocs + fpCap - 1) / fpCap))) === 0)
-      // pre-size the quotient for the measured cardinality at <=0.85
-      // load (auto-grow exists but pre-sizing keeps the build one-pass)
-      val q = math.min(hashBits - 4, math.max(10,
-        math.ceil(math.log(math.min(nDocs, fpCap) / 0.85) / math.log(2)).toInt))
-      val skBytes = src
-        .agg(api.cqf_agg(col("doc_id"), q, hashBits).as("sk"))
-        .head().getAs[Array[Byte]](0)
+    // cap the measured cardinality so the quotient fits inside
+    // hashBits even at huge SPARK_GRAFT_BENCH_DOCS (q > hashBits would
+    // fail Cqf's precondition; n beyond ~0.85*2^(hashBits-4) would
+    // also push the 26-bit bound toward saturation and measure
+    // nothing) — a deterministic doc_id subsample keeps the bound
+    // n/2^b in a readable range; the bound itself uses the sketch's
+    // actual distinct count, so the subsample stays self-consistent
+    val fpCap = 3000000L
+    val fpSrc = if (nDocs <= fpCap) stored
+      else stored.where(
+        pmod(xxhash64(col("doc_id")), lit(math.max(2L, (nDocs + fpCap - 1) / fpCap))) === 0)
+    // starting quotient sized for the PER-PARTITION share of the keys:
+    // the aggregation buffer exists per map-side partial and
+    // Cqf.serialize is dense, so pre-sizing every partial for the FULL
+    // corpus (q=22 at 3M keys ≈ 34 MB serialized × one partial per
+    // partition through the shuffle) pays ~cpus× the serialization the
+    // data needs; sized per-partition the partials never grow and only
+    // the single final merge buffer auto-grows to the full cardinality.
+    // The q/remainder split does not affect the FP rate — collisions
+    // are full-hash equalities, governed by hashBits alone.
+    def fpQ(hashBits: Int): Int = math.min(hashBits - 4, math.max(10,
+      math.ceil(math.log(
+        math.min(nDocs, fpCap).toDouble / 0.85 / cpus.toInt) / math.log(2)).toInt))
+    val fpT0 = System.nanoTime()
+    // ONE distributed pass builds both hash widths side by side (was
+    // two full scans + two aggregations for what is logically one pass)
+    val fpRow = fpSrc.agg(
+      api.cqf_agg(col("doc_id"), fpQ(26), 26).as("sk26"),
+      api.cqf_agg(col("doc_id"), fpQ(40), 40).as("sk40")).head()
+    def fpProbe(skBytes: Array[Byte], hashBits: Int): (Long, Long, Double, Double) = {
       val probes = 1000000L
       // fan the 1M probes across cores via a parallel stream instead of
       // a serial driver loop (was ~seconds of single-thread work per
@@ -150,7 +164,7 @@ object Bench {
               var k = lo
               while (k < hiEx) {
                 val b = ("fpprobe_" + k).getBytes("UTF-8")
-                if (sk.queryHash(sk.bytesHash(b)) > 0) local += 1
+                if (sk.countBytes(b) > 0) local += 1
                 k += 1
               }
               local
@@ -161,9 +175,10 @@ object Bench {
       (fp, probes, fp.toDouble / probes,
         sk.distinctCount.toDouble / math.pow(2.0, hashBits))
     }
-    val fpT0 = System.nanoTime()
-    val (fpLossy, fpProbes, fpRateLossy, fpBoundLossy) = fpMeasure(26)
-    val (fpProd, _, fpRateProd, fpBoundProd) = fpMeasure(40)
+    val (fpLossy, fpProbes, fpRateLossy, fpBoundLossy) =
+      fpProbe(fpRow.getAs[Array[Byte]]("sk26"), 26)
+    val (fpProd, _, fpRateProd, fpBoundProd) =
+      fpProbe(fpRow.getAs[Array[Byte]]("sk40"), 40)
     val fpSec = (System.nanoTime() - fpT0) / 1e9
     // bound check with binomial slack: rate <= bound + 4*sqrt(bound/probes)
     def fpOk(rate: Double, bound: Double) =
@@ -183,10 +198,16 @@ object Bench {
       // the error is surfaced only when no rep succeeded (a transient
       // first-rep failure still logs to stderr but doesn't poison timing)
       val q0 = System.nanoTime()
+      // NonFatal only: an OOM/LinkageError must kill the bench rather
+      // than keep timing ~40 more queries in a corrupted JVM whose
+      // output line carries no witness of it
       val err = try { fn(spark, sfDir).collect(); null } catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
+          // strip quotes, backslashes and ALL control chars — a raw
+          //  or \f inside the JSON string breaks parsers
           val msg = (e.getClass.getSimpleName + ": " +
-            String.valueOf(e.getMessage).take(200)).replaceAll("[\"\\\\\n\r\t]", " ")
+            String.valueOf(e.getMessage).take(200))
+            .replaceAll("[\"\\\\\\p{Cntrl}]", " ")
           System.err.println(s"[bench] $name rep $rep FAILED: $msg")
           msg
       }
@@ -203,7 +224,11 @@ object Bench {
     val errs = results.collect { case (k, _, e) if e != null => "\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val nErr = results.count(_._3 != null)
-    val total = results.map(_._2).sum + buildSec
+    // total sums only SUCCESSFUL queries (+ the headline build): a
+    // query failing instantly (or hanging before failing) would
+    // otherwise silently deflate/inflate the cross-round comparison;
+    // with n_query_errors == 0 (the normal case) this is unchanged
+    val total = results.collect { case (_, v, e) if e == null => v }.sum + buildSec
     println(s"""{"metric":"total","value":${jsonNum(total)},"unit":"sec","queries":$qs,"query_errors":$errs,"n_query_errors":$nErr,"sf":"$sfDir","headline_build_sec":${jsonNum(buildSec)},"headline_tokens":$nTokens,"headline_mtokens_per_sec":${jsonNum(tokensPerSec / 1e6)},"scan_sec":${jsonNum(scanSec)},"scan_mtokens_per_sec":${jsonNum(scanTokensPerSec / 1e6)},"build_scan_ratio":${jsonNum(buildScanRatio)},"scan_secs":[${scanSecs.map(jsonNum).mkString(",")}],"build_secs":[${buildSecs.map(jsonNum).mkString(",")}],"noise_flag":$noiseFlag,"fp_probes":$fpProbes,"fp_sec":${jsonNum(fpSec)},"fp_rate_hb26":$fpRateLossy,"fp_bound_hb26":$fpBoundLossy,"fp_count_hb26":$fpLossy,"fp_rate_hb40":$fpRateProd,"fp_bound_hb40":$fpBoundProd,"fp_count_hb40":$fpProd,"fp_within_bound":$fpAllOk,"cpus":$cpus}""")
     spark.stop()
   }
