@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
   * cannot poison both reps of the same query. */
 object Bench {
 
+  /** True median: averages the middle two on even-length input (the
+    * lower-middle shortcut biases even-rep readings low). */
+  def median(xs: Seq[Double]): Double = {
+    require(xs.nonEmpty, "median of empty sequence")
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   def jsonNum(d: Double): String =
     // Locale.ROOT: the f-interpolator honors the default locale, which
     // on a de_DE/fr_FR JVM prints comma decimals — invalid JSON
@@ -84,8 +93,8 @@ object Bench {
     // min-scan would divide numbers from different windows — on a host
     // whose scan rate swings 30x within one run, that ratio is noise.)
     val pairedRatios = buildSecs.indices
-      .map(i => buildSecs(i) / math.min(scanSecs(i), scanSecs(i + 1))).sorted
-    val buildScanRatio = pairedRatios((pairedRatios.length - 1) / 2)
+      .map(i => buildSecs(i) / math.min(scanSecs(i), scanSecs(i + 1)))
+    val buildScanRatio = median(pairedRatios)
     // the window disagrees with itself: any conclusion drawn from
     // absolute numbers in this run needs an idle-host rerun
     val noiseFlag = scanSecs.max / scanSecs.min > 1.5

@@ -176,7 +176,7 @@ object ScalingBench {
     * partials crossing process boundaries through netty shuffle exactly
     * as on a standalone cluster. `slots` = total executor cores, used to
     * size shuffle partitions. */
-  private def runOnce(master: String, slots: Int, nDocs: Long, dir: String,
+  private def runOnce(master: String, slots: Int, dir: String,
       warmup: Boolean): (Double, Long) = {
     val spark = SparkSession.builder()
       .master(master)
@@ -192,7 +192,7 @@ object ScalingBench {
     awaitExecutors(spark, master)
     val tokens = spark.read.parquet(dir)
     val nTokens = tokens.agg(sum(col("n_tok"))).head().getLong(0)
-    withSplitScan(spark) {
+    val result = withSplitScan(spark) {
       // threads mode: a 5% sample JITs the persistent JVM once; executors
       // mode spawns fresh executor JVMs per cluster, so the timed run
       // must follow a FULL untimed pass (C2-compiles the kernel + stage
@@ -205,9 +205,13 @@ object ScalingBench {
       val builtTokens = buildJob(tokens)
       val sec = (System.nanoTime() - t0) / 1e9
       require(builtTokens == nTokens)
-      spark.stop()
       (sec, nTokens)
     }
+    // AFTER withSplitScan: its finally-restore of the split setting must
+    // run against a live session (stopping inside the block silently
+    // voided the helper's restore contract)
+    spark.stop()
+    result
   }
 
   def main(args: Array[String]): Unit = {
@@ -224,6 +228,7 @@ object ScalingBench {
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "3000000").toLong
     val dir = materialize(nDocs)
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+    require(reps > 0, s"SPARK_GRAFT_SCALE_REPS must be >= 1, got $reps")
     var tok = 0L
     val (losecs, hisecs) = (Array.fill(reps)(0.0), Array.fill(reps)(0.0))
     // threads mode reuses one JVM across reps (JIT persists — warm up
@@ -231,8 +236,8 @@ object ScalingBench {
     // every rep must warm its own cluster before the timed build
     val warmEvery = mode == "executors"
     for (r <- 0 until reps) {
-      val (sl, t1) = runOnce(masterLo, slotsLo, nDocs, dir, warmup = warmEvery || r == 0)
-      val (sh, t2) = runOnce(masterHi, slotsHi, nDocs, dir, warmup = warmEvery || r == 0)
+      val (sl, t1) = runOnce(masterLo, slotsLo, dir, warmup = warmEvery || r == 0)
+      val (sh, t2) = runOnce(masterHi, slotsHi, dir, warmup = warmEvery || r == 0)
       require(t1 == t2); tok = t1
       losecs(r) = sl; hisecs(r) = sh
       System.err.println(f"rep $r: lo=${sl}%.2f s hi=${sh}%.2f s")

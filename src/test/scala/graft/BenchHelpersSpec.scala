@@ -32,4 +32,22 @@ class BenchHelpersSpec extends AnyFunSuite {
     // all — null session proves the guard short-circuits
     ScalingBench.awaitExecutors(null, "local[4]")
   }
+
+  test("median averages the middle two on even length (no low bias)") {
+    assert(Bench.median(Seq(2.0)) === 2.0)
+    assert(Bench.median(Seq(3.0, 1.0, 2.0)) === 2.0)
+    // the old lower-middle shortcut returned 2.1 here
+    assert(Bench.median(Seq(2.0, 2.1, 2.9, 3.0)) === 2.5)
+    intercept[IllegalArgumentException] { Bench.median(Seq.empty) }
+  }
+
+  test("jsonNum is locale-independent and finite-only") {
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      assert(Bench.jsonNum(12.3456789) === "12.3457")
+      assert(Bench.jsonNum(Double.NaN) === "0")
+      assert(Bench.jsonNum(Double.PositiveInfinity) === "0")
+    } finally java.util.Locale.setDefault(prev)
+  }
 }
