@@ -426,13 +426,16 @@ object SparkEntry {
     }),
 
     "streaming_dedup_first_seen" -> ((s, dir) => {
-      // streaming ingestion dedup: exact first-seen dedup as a stateful
-      // stream — the continuous form of dedup_exact_fingerprint. State
-      // per 64-bit content fingerprint is (kept_id, n_dups) — 16 bytes
-      // per distinct content, never the text. The canonical winner is
-      // min(doc_id) (deterministic regardless of within-batch iterator
-      // order); AvailableNow over the single documents file = one batch,
-      // so update mode emits exactly one final row per distinct content,
+      // streaming ingestion dedup as a stateful stream — the continuous
+      // form of dedup_exact_fingerprint. State per 64-bit content
+      // fingerprint is (kept_id, n_dups) — 16 bytes per distinct
+      // content, never the text. The canonical winner is min(doc_id),
+      // the SAME convention as the batch exactDedup and
+      // batch-order-independent (literal first-arrival would depend on
+      // how a reprocessed stream batches); across batches a smaller id
+      // re-emits its fp row with the new winner, superseding by fp.
+      // AvailableNow over the single documents file = one batch, so
+      // update mode emits exactly one final row per distinct content,
       // equal to the batch/DuckDB answer.
       GraftFunctions.registerAll(s)
       import s.implicits._
@@ -444,14 +447,16 @@ object SparkEntry {
       val q = src.groupByKey(_._1)
         .mapGroupsWithState(
           org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())(
-          graft.streaming.StreamingSketch.dedupStateFn)
-        .toDF("kept_id", "n_dups")
+          graft.streaming.StreamingSketch.dedupStateFn())
+        .toDF("fp", "kept_id", "n_dups")
         .writeStream.format("memory").queryName("graft_stream_dedup")
         .outputMode("update")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.table("graft_stream_dedup")
+      // the fp key rides the update-mode rows so multi-batch consumers
+      // can supersede by it; the oracle compares the value columns
+      s.table("graft_stream_dedup").select(col("kept_id"), col("n_dups"))
     }),
 
     "rollup_distinct_parts" -> ((s, dir) => {

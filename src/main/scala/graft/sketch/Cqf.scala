@@ -502,6 +502,17 @@ final class Cqf private (
     n
   }
 
+  /** (distinct, total) in ONE cursor pass — callers that need both
+    * (per-key streaming emits on every trigger) would otherwise walk
+    * the whole filter twice. */
+  def distinctAndTotal: (Long, Long) = {
+    var d = 0L
+    var t = 0L
+    val c = cursor
+    while (c.advance()) { d += 1; t += c.count }
+    (d, t)
+  }
+
   // ---- merge / grow ---------------------------------------------------
 
   /** Append (hash, count) with strictly ascending hashes; `isLast` marks

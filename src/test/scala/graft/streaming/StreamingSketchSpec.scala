@@ -83,4 +83,66 @@ class StreamingSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.contains(("a", 4L, 6L)), rows.mkString(",")) // incl. the 2^40 id (Long keys survive)
     assert(rows.contains(("b", 1L, 1L)))
   }
+
+  test("dedup state carries the fp key and supersedes the winner across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[(Long, Long)] // (fp, doc_id)
+    val query = stream.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(
+        StreamingSketch.dedupStateFn())
+      .toDF("fp", "kept_id", "n_dups")
+      .writeStream.format("memory").queryName("dedup_state")
+      .outputMode(OutputMode.Update()).start()
+
+    stream.addData((7L, 100L), (8L, 5L))
+    query.processAllAvailable()
+    // batch 2: same content fp=7 arrives with a SMALLER id — the update
+    // row must re-emit fp=7 with the new min-id winner so a consumer
+    // keyed on fp supersedes the earlier (100, 1) row
+    stream.addData((7L, 50L), (7L, 200L))
+    query.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM dedup_state").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    query.stop()
+    assert(rows.contains((7L, 100L, 1L)), rows.mkString(",")) // batch-1 emission
+    assert(rows.contains((7L, 50L, 3L)), rows.mkString(","))  // superseding update
+    assert(rows.contains((8L, 5L, 1L)))
+    // keyed on fp, the LAST emission per fp is the batch answer
+    val last = rows.groupBy(_._1).map { case (fp, rs) => fp -> rs.last }
+    assert(last(7L) === ((7L, 50L, 3L)))
+  }
+
+  test("timeout invocation flushes the final snapshot and expires the state") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    import org.apache.spark.api.java.Optional
+    // cqf: stored sketch with {1:2, 9:1}
+    val cqf = Cqf(8, 64)
+    cqf.insert(1L); cqf.insert(1L); cqf.insert(9L)
+    val s1 = TestGroupState.create[Array[Byte]](
+      Optional.of(cqf.serialize()), GroupStateTimeout.ProcessingTimeTimeout(),
+      1000L, Optional.empty[Long](), hasTimedOut = true)
+    val out1 = StreamingSketch.cqfStateFn(8, ttl = Some("10 seconds"))(
+      "k", Iterator.empty, s1)
+    assert(out1 === (("k", 2L, 3L))) // final snapshot, not zeros
+    assert(s1.isRemoved, "timed-out sketch state must expire, not resurrect")
+    // dedup: stored (kept, n)
+    val s2 = TestGroupState.create[(Long, Long)](
+      Optional.of((42L, 7L)), GroupStateTimeout.ProcessingTimeTimeout(),
+      1000L, Optional.empty[Long](), hasTimedOut = true)
+    val out2 = StreamingSketch.dedupStateFn(ttl = Some("10 seconds"))(
+      99L, Iterator.empty, s2)
+    assert(out2 === ((99L, 42L, 7L)))
+    assert(s2.isRemoved)
+    // non-timeout invocation with a ttl registers the timeout
+    val s3 = TestGroupState.create[(Long, Long)](
+      Optional.empty[(Long, Long)], GroupStateTimeout.ProcessingTimeTimeout(),
+      1000L, Optional.empty[Long](), hasTimedOut = false)
+    val out3 = StreamingSketch.dedupStateFn(ttl = Some("10 seconds"))(
+      5L, Iterator((5L, 11L)), s3)
+    assert(out3 === ((5L, 11L, 1L)))
+    assert(s3.getTimeoutTimestampMs.isPresent,
+      "ttl must arm the processing-time timeout")
+  }
 }
