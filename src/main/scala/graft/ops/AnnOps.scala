@@ -23,22 +23,40 @@ object AnnOps {
     TextOps.toColumn(VecLshBucket(TextOps.expression(vec),
       TextOps.expression(lit(nPlanes)), seed))
 
+  /** Rank scored (query_id, neighbor_id, cos) candidates per query and
+    * keep the top k — ties broken by neighbor_id so the answer is
+    * deterministic. Single-sourced: every ANN variant must trim with the
+    * SAME dedup/ordering contract or their recall comparisons lie. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Drop null embeddings from a (id, vec) side. CosineSim is
+    * null-intolerant (null in -> cos null), and row_number ranks
+    * NULLS-LAST rows too — so a null QUERY vector would claim the k
+    * smallest corpus ids as "neighbors" with cos=null, and a null corpus
+    * vector would pad top-k lists wherever fewer than k real candidates
+    * exist. One dirty row must not fabricate results (same contract as
+    * the ivfCodebook null guard). */
+  private def nonNullVecs(side: DataFrame, vecCol: String): DataFrame =
+    side.where(col(vecCol).isNotNull)
+
   /** Exact top-k by cosine: queries broadcast against the corpus, windowed
     * rank per query (ties broken by corpus id for determinism).
     * Output: query_id, rank, neighbor_id, cos. */
   def bruteForceTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
       queries: DataFrame, queryId: Column, queryVec: Column,
       k: Int, excludeSelf: Boolean = true): DataFrame = {
-    val c = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("cv"))
-    val q = queries.select(queryId.as("query_id"), queryVec.as("qv"))
+    val c = nonNullVecs(corpus.select(corpusId.as("neighbor_id"), corpusVec.as("cv")), "cv")
+    val q = nonNullVecs(queries.select(queryId.as("query_id"), queryVec.as("qv")), "qv")
     val scored = c.join(broadcast(q),
         if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    rankTopK(scored, k)
   }
 
   /** Nearest-centroid cell of a vector against a plan-embedded codebook
@@ -105,7 +123,7 @@ object AnnOps {
       queries: DataFrame, queryId: Column, queryVec: Column,
       k: Int, nCells: Int = 16, nProbe: Int = 4,
       kmeansIters: Int = 2): DataFrame = {
-    val c = corpus.select(corpusId.as("cid"), corpusVec.as("cv"))
+    val c = nonNullVecs(corpus.select(corpusId.as("cid"), corpusVec.as("cv")), "cv")
     val codebook = ivfCodebook(corpus, corpusVec, corpusId, nCells, kmeansIters)
     // corpus assignment: single codegen'd pass, zero shuffle
     val assigned = c.select(nearestCell(col("cv"), codebook).as("cell"),
@@ -118,7 +136,8 @@ object AnnOps {
       .toDF("cell", "centroid")
     val qw = Window.partitionBy(col("query_id"))
       .orderBy(col("qsim").desc, col("cell").asc)
-    val probes = queries.select(queryId.as("query_id"), queryVec.as("qv"))
+    val probes = nonNullVecs(
+        queries.select(queryId.as("query_id"), queryVec.as("qv")), "qv")
       .crossJoin(broadcast(centroidDf))
       .select(col("query_id"), col("qv"), col("cell"),
         cosine(col("qv"), col("centroid")).as("qsim"))
@@ -129,11 +148,7 @@ object AnnOps {
       .where(col("cid") =!= col("query_id"))
       .select(col("query_id"), col("cid").as("neighbor_id"),
         cosine(col("qv"), col("cv")).as("cos"))
-    val rw = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(rw))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    rankTopK(scored, k)
   }
 
   /** LSH-bucketed ANN: queries only scan the corpus vectors sharing a
@@ -151,8 +166,8 @@ object AnnOps {
       queries: DataFrame, queryId: Column, queryVec: Column,
       k: Int, nPlanes: Int = 8, nTables: Int = 1, seed: Long = 42L): DataFrame = {
     require(nTables >= 1, s"nTables must be >= 1, got $nTables")
-    val c = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("cv"))
-    val q = queries.select(queryId.as("query_id"), queryVec.as("qv"))
+    val c = nonNullVecs(corpus.select(corpusId.as("neighbor_id"), corpusVec.as("cv")), "cv")
+    val q = nonNullVecs(queries.select(queryId.as("query_id"), queryVec.as("qv")), "qv")
     def tableBuckets(vec: Column): Column = array((0 until nTables).map { t =>
       // distinct plane sets per table: large odd stride keeps seeds apart
       lshBucket(vec, nPlanes, seed + 0x9e3779b97f4a7c15L * (t + 1))
@@ -165,16 +180,16 @@ object AnnOps {
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
-    // candidate volume is bounded by |queries| x the per-query bucket
-    // fraction — broadcast-sized whenever the query set is (the same
-    // contract bruteForceTopK places on `queries`)
-    val scored = c.join(broadcast(pairs), Seq("neighbor_id"))
+    // the candidate set is CORPUS-proportional — each query's buckets
+    // hold ~|corpus|/2^nPlanes ids per table, so at 1B corpus rows and
+    // the default 8 planes a 100-query batch already carries ~400M
+    // pairs: forcing a broadcast here would hit the 8 GB broadcast wall
+    // / driver OOM. The pairs instead shuffle by neighbor_id (8-byte
+    // rows) and hash-build against the corpus scan (never sort-merge);
+    // only the genuinely query-sized side (the query vectors) broadcasts.
+    val scored = c.join(pairs.hint("shuffle_hash"), Seq("neighbor_id"))
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    rankTopK(scored, k)
   }
 }

@@ -75,6 +75,25 @@ object DedupOps {
       .distinct()
   }
 
+  /** Join `payload` (id, valueCols...) onto bare (id_a, id_b) pairs, once
+    * per side, suffixing the value columns `_a`/`_b` — the single-sourced
+    * re-join every pair op uses after its bucket-join dedup.
+    *
+    * Shared contract of ALL pair ops: `id` is assumed UNIQUE in the input
+    * (exact dedup runs upstream — the module scaladoc's pipeline order).
+    * Duplicated ids fan each pair out once per copy here; the trailing
+    * distinct in each op collapses exact-duplicate rows, but copies
+    * carrying DIFFERENT payloads (same id, edited text) produce pair rows
+    * with different metrics that no distinct can reconcile. */
+  private def joinPairPayload(pairs: DataFrame, payload: DataFrame,
+      valueCols: Seq[String]): DataFrame = {
+    val pa = payload.select(
+      (col("id").as("id_a") +: valueCols.map(c => col(c).as(s"${c}_a"))): _*)
+    val pb = payload.select(
+      (col("id").as("id_b") +: valueCols.map(c => col(c).as(s"${c}_b"))): _*)
+    pairs.join(pa, Seq("id_a")).join(pb, Seq("id_b"))
+  }
+
   /** MinHash-LSH candidate pairs: signatures of `bands*rowsPerBand`
     * hashes, banded; pairs sharing >= 1 band bucket are candidates, then
     * filtered by estimated Jaccard (signature agreement) >= threshold.
@@ -117,9 +136,7 @@ object DedupOps {
     val sigs = sigged.select(col("id"), col("sig"))
     val pairs = bucketPairs(bandSignatures(sigs, bands, rowsPerBand),
       Seq("band", "bucket"), bucketCap)
-    pairs
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+    joinPairPayload(pairs, sigs, Seq("sig"))
       .select(col("id_a"), col("id_b"),
         (aggregate(zip_with(col("sig_a"), col("sig_b"),
             (x, y) => when(x === y, 1).otherwise(0)),
@@ -156,9 +173,7 @@ object DedupOps {
   private def verifyByJaccard(pairs: DataFrame, grams: DataFrame,
       threshold: Double): DataFrame = {
     val thrPpm = math.round(threshold * 1000000L)
-    pairs
-      .join(grams.select(col("id").as("id_a"), col("grams").as("g_a")), Seq("id_a"))
-      .join(grams.select(col("id").as("id_b"), col("grams").as("g_b")), Seq("id_b"))
+    joinPairPayload(pairs, grams.select(col("id"), col("grams").as("g")), Seq("g"))
       .withColumn("ov", TextOps.toColumn(SortedLongOverlap(
         TextOps.expression(col("g_a")), TextOps.expression(col("g_b")))))
       .select(col("id_a"), col("id_b"),
@@ -175,12 +190,11 @@ object DedupOps {
       maxDist: Int = 3, nBands: Int = 4, bucketCap: Int = 5000): DataFrame = {
     val printed = df.select(id.as("id"), simhash(tokens).as("sh"))
     val pairs = bucketPairs(simhashBanded(printed, nBands), Seq("band", "bucket"), bucketCap)
-    pairs
-      .join(printed.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(printed.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+    joinPairPayload(pairs, printed, Seq("sh"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("dist"))
       .where(col("dist") <= maxDist)
+      .distinct() // duplicated input ids fan pairs out through the sh re-join
   }
 
   /** Split the 64-bit print into `nBands` equal blocks (Manku et al.,
@@ -253,7 +267,10 @@ object DedupOps {
   /** Exact n-gram (word k-shingle) Jaccard pairs within blocking keys.
     * Blocking bounds the join fan-out; pairs in different blocks are not
     * compared (standard blocking trade-off, identical on the oracle side).
-    * Output: id_a, id_b, inter, uni (set sizes; jaccard = inter/uni). */
+    * Output: id_a, id_b, inter, uni (long set sizes, uni > 0 — same
+    * schema and degenerate-doc guard as [[verifyByJaccard]]: null-text or
+    * sub-k-token documents have no gram set, and a (0, 0) row would make
+    * the documented jaccard = inter/uni readout divide by zero). */
   def ngramJaccardPairs(df: DataFrame, text: Column, id: Column,
       blockKeys: Seq[Column], k: Int = 3, blockCap: Int = 5000): DataFrame = {
     // hash each document's shingles ONCE into a sorted distinct long set;
@@ -271,7 +288,8 @@ object DedupOps {
       .withColumn("ov", TextOps.toColumn(SortedLongOverlap(
         TextOps.expression(col("g_a")), TextOps.expression(col("g_b")))))
       .select(col("id_a"), col("id_b"),
-        col("ov.inter").as("inter"), col("ov.uni").as("uni"))
+        col("ov.inter").cast("long").as("inter"), col("ov.uni").cast("long").as("uni"))
+      .where(col("uni") > 0)
   }
 
   /** Connected components over an undirected similarity-pair graph by
@@ -409,9 +427,7 @@ object DedupOps {
         AnnOps.lshBucket(vec, planesPerBand, seed + 1000L * b)): _*))
         .as(Seq("band", "bucket")))
     val pairs = bucketPairs(banded, Seq("band", "bucket"), bucketCap)
-    pairs
-      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
-      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+    joinPairPayload(pairs, vecs, Seq("v"))
       .where(AnnOps.cosine(col("v_a"), col("v_b")) >= minCos)
       .select(col("id_a"), col("id_b"))
       .distinct() // duplicated input ids fan pairs out through the vector re-join

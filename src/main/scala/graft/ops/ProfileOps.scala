@@ -47,8 +47,17 @@ object ProfileOps {
       ssK: Int = 256) {
     require(idCols.nonEmpty || numCols.nonEmpty || catCols.nonEmpty,
       "profile spec names no columns")
+    require(allCols.map(ProfileOps.stem).distinct.size == allCols.size,
+      s"profiled columns collide after dot->underscore flattening: $allCols")
     def allCols: Seq[String] = (idCols ++ numCols ++ catCols).distinct
   }
+
+  /** Output-name stem for a profiled column: nested-field dots flatten to
+    * underscores. profile() CAN alias an output literally "payload.score_
+    * nulls", but merge() could never re-resolve it — col() would parse the
+    * dot as struct access on the profile row — so the flat name is the
+    * contract for both. */
+  private def stem(c: String): String = c.replace('.', '_')
 
   /** Single-row profile frame: `n_rows` plus, per profiled column,
     * `<c>_nulls` (every role), `<c>_min`/`<c>_max`/`<c>_kll` (numeric),
@@ -58,13 +67,13 @@ object ProfileOps {
     val aggs =
       Seq(count(lit(1)).as("n_rows")) ++
       spec.allCols.map(c =>
-        (count(lit(1)) - count(col(c))).as(s"${c}_nulls")) ++
+        (count(lit(1)) - count(col(c))).as(s"${stem(c)}_nulls")) ++
       spec.numCols.flatMap(c => Seq(
-        min(col(c)).as(s"${c}_min"),
-        max(col(c)).as(s"${c}_max"),
-        api.kll_agg(col(c), spec.kllK).as(s"${c}_kll"))) ++
-      spec.idCols.map(c => api.hll_agg(col(c), spec.hllP).as(s"${c}_hll")) ++
-      spec.catCols.map(c => api.ss_agg(col(c), spec.ssK).as(s"${c}_ss"))
+        min(col(c)).as(s"${stem(c)}_min"),
+        max(col(c)).as(s"${stem(c)}_max"),
+        api.kll_agg(col(c), spec.kllK).as(s"${stem(c)}_kll"))) ++
+      spec.idCols.map(c => api.hll_agg(col(c), spec.hllP).as(s"${stem(c)}_hll")) ++
+      spec.catCols.map(c => api.ss_agg(col(c), spec.ssK).as(s"${stem(c)}_ss"))
     df.agg(aggs.head, aggs.tail: _*)
   }
 
@@ -77,15 +86,15 @@ object ProfileOps {
     graft.GraftFunctions.registerAll(profiles.sparkSession)
     val aggs =
       Seq(sum(col("n_rows")).as("n_rows")) ++
-      spec.allCols.map(c => sum(col(s"${c}_nulls")).as(s"${c}_nulls")) ++
+      spec.allCols.map(c => sum(col(s"${stem(c)}_nulls")).as(s"${stem(c)}_nulls")) ++
       spec.numCols.flatMap(c => Seq(
-        min(col(s"${c}_min")).as(s"${c}_min"),
-        max(col(s"${c}_max")).as(s"${c}_max"),
-        api.kll_merge_agg(col(s"${c}_kll")).as(s"${c}_kll"))) ++
+        min(col(s"${stem(c)}_min")).as(s"${stem(c)}_min"),
+        max(col(s"${stem(c)}_max")).as(s"${stem(c)}_max"),
+        api.kll_merge_agg(col(s"${stem(c)}_kll")).as(s"${stem(c)}_kll"))) ++
       spec.idCols.map(c =>
-        api.hll_merge_agg(col(s"${c}_hll")).as(s"${c}_hll")) ++
+        api.hll_merge_agg(col(s"${stem(c)}_hll")).as(s"${stem(c)}_hll")) ++
       spec.catCols.map(c =>
-        api.ss_merge_agg(col(s"${c}_ss")).as(s"${c}_ss"))
+        api.ss_merge_agg(col(s"${stem(c)}_ss")).as(s"${stem(c)}_ss"))
     profiles.agg(aggs.head, aggs.tail: _*)
   }
 }

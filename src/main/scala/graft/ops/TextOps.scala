@@ -94,8 +94,11 @@ case class LangIdExpr(child: Expression)
   override def prettyName: String = "lang_id"
   override def dataType: DataType = StringType
   override def nullSafeEval(v: Any): Any = {
+    // Locale.ROOT: default-locale lowercasing makes the answer depend on
+    // the executor JVM's locale (tr_TR maps I to dotless ı, so "DIE"/"IST"
+    // never hit the de markers) — same doc, different language per cluster
     val words = v.asInstanceOf[UTF8String].toString
-      .toLowerCase.split("\\s+")
+      .toLowerCase(java.util.Locale.ROOT).split("\\s+")
     val hits = new java.util.HashMap[String, Integer]()
     var i = 0
     while (i < words.length) {

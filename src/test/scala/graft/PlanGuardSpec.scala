@@ -40,6 +40,18 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("lsh candidate re-join shuffles, never broadcasts the corpus-proportional side") {
+    // the LSH candidate set grows with the CORPUS (|queries| x nTables x
+    // corpus/2^nPlanes), so a broadcast there walks into the 8 GB wall at
+    // scale; the pairs must hash-build over a shuffle while only the
+    // query vectors broadcast
+    val plan = SparkEntry.queries("ann_lsh_topk")(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("ShuffledHashJoin"),
+      s"ann_lsh_topk lost the shuffled-hash candidate join:\n$plan")
+  }
+
   test("sketch aggregates split partial/final as ObjectHashAggregate") {
     for (name <- Seq("cqf_count_by_flag", "cqf_merge_two_stage",
         "cqf_intersect_by_bucket")) {

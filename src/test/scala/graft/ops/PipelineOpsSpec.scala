@@ -79,9 +79,79 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val a = doc(3, 100)
     val df = Seq((0L, a, "x"), (1L, a, "x"), (2L, doc(4, 100), "x")).toDF("id", "text", "blk")
     val pairs = DedupOps.ngramJaccardPairs(df, $"text", $"id", Seq($"blk"), k = 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getInt(2), r.getInt(3))).toMap
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
     val (i01, u01) = pairs((0L, 1L))
     assert(i01 == u01 && i01 > 0, "identical docs must have jaccard 1")
+  }
+
+  test("ngram jaccard guards degenerate docs: null text and sub-k-token docs emit no rows") {
+    // null text -> null gram set -> null overlap; two 2-token docs -> empty
+    // gram sets -> (0, 0). Either kind of row would break the documented
+    // jaccard = inter/uni readout (null pollution / divide-by-zero), so
+    // the op must filter them like verifyByJaccard does.
+    val df = Seq(
+      (0L, Option(doc(3, 100)), "x"), (1L, Option(doc(3, 100)), "x"),
+      (2L, None, "x"), (3L, None, "x"),
+      (4L, Option("just two"), "x"), (5L, Option("just two"), "x")
+    ).toDF("id", "text", "blk")
+    val out = DedupOps.ngramJaccardPairs(df, $"text", $"id", Seq($"blk"), k = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+    // null-text docs (2, 3) appear in NO pair (their overlap is null);
+    // the all-degenerate pair (4, 5) has uni = 0 and is dropped; a
+    // half-degenerate pair like (0, 4) keeps uni = |grams(0)| > 0
+    assert(out.forall { case ((a, b), _) => a != 2L && a != 3L && b != 2L && b != 3L },
+      s"null-text docs leaked into pairs: ${out.mkString(",")}")
+    assert(!out.map(_._1).contains((4L, 5L)),
+      "the empty-gram pair (4,5) must be dropped (uni = 0)")
+    assert(out.forall { case (_, (_, uni)) => uni > 0 },
+      s"a uni = 0 row survived: ${out.mkString(",")}")
+    assert(out.map(_._1).contains((0L, 1L)))
+  }
+
+  test("simhash pairs: exact-duplicate input rows do not duplicate pair rows") {
+    val a = doc(21, 150)
+    val b = a.split(" ").updated(3, "zulu").mkString(" ")
+    // id=0 ingested twice with identical text (the re-crawl case)
+    val df = Seq((0L, a), (0L, a), (1L, b)).toDF("id", "text")
+    val out = DedupOps.simhashPairs(df, TextOps.tokens($"text"), $"id", maxDist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == out.distinct.length,
+      s"duplicate input rows fanned out pair rows: ${out.mkString(",")}")
+    assert(out.contains((0L, 1L)))
+  }
+
+  test("null embeddings are excluded, not ranked as cos=null neighbors") {
+    val rnd = new scala.util.Random(17)
+    def vec(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val rows = Seq.tabulate(10)(i => (i.toLong, vec()))
+    val df = rows.toDF("vec_id", "embedding")
+      .union(Seq((99L, Option.empty[Array[Float]]),
+        (98L, Option.empty[Array[Float]])).toDF("vec_id", "embedding"))
+    // null QUERY: would otherwise claim the k smallest corpus ids with
+    // cos=null (row_number ranks NULLS-LAST rows too); null CORPUS row:
+    // would pad top-k lists as a cos=null neighbor
+    val out = AnnOps.bruteForceTopK(df, $"vec_id", $"embedding",
+      df.where($"vec_id" >= 8), $"vec_id", $"embedding", k = 5).collect()
+    val byQuery = out.groupBy(_.getLong(0))
+    assert(!byQuery.contains(99L) && !byQuery.contains(98L),
+      "null-embedding queries must return no rows")
+    assert(out.forall(r => r.getLong(2) != 99L && r.getLong(2) != 98L),
+      "null-embedding corpus rows must never appear as neighbors")
+    assert(out.forall(!_.isNullAt(3)), "no cos=null rows may survive")
+  }
+
+  test("lang id is locale-independent (Turkish-I regression)") {
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      // uppercase German: default-locale lowercasing maps I -> dotless ı,
+      // so "DIE"/"IST"/"NICHT"/"MIT"/"EIN" would all miss the de markers
+      val out = LangIdExpr(org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          "DIE KATZE IST NICHT MIT EIN HUND"), org.apache.spark.sql.types.StringType))
+        .eval(null).toString
+      assert(out == "de", s"locale-dependent lang_id: got $out under tr_TR")
+    } finally java.util.Locale.setDefault(prev)
   }
 
   test("brute-force ANN returns the planted nearest neighbor first") {

@@ -120,4 +120,33 @@ class ProfileOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fi.estimateBytes("en".getBytes("UTF-8")) === 2L)
     assert(fi.estimateBytes("de".getBytes("UTF-8")) === 1L)
   }
+
+  test("nested struct fields profile and MERGE under flattened output names") {
+    import spark.implicits._
+    // merge() re-resolves profile outputs by name: an output literally
+    // named "payload.score_nulls" would parse as struct access and fail —
+    // nested specs must flatten to payload_score_* in BOTH directions
+    val df = Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "a"), (4L, 40L, "c"))
+      .toDF("id", "score", "tag")
+      .select(col("id"), struct(col("score"), col("tag")).as("payload"))
+    val spec = ProfileSpec(idCols = Seq("id"), numCols = Seq("payload.score"),
+      catCols = Seq("payload.tag"))
+    val whole = ProfileOps.profile(df, spec)
+    val cols = whole.columns.toSet
+    assert(cols.contains("payload_score_min") && cols.contains("payload_tag_ss"),
+      s"flattened names missing: $cols")
+    val parts = (0 until 2).map(i =>
+      ProfileOps.profile(df.where(pmod(col("id"), lit(2)) === i), spec))
+    val merged = ProfileOps.merge(parts.reduce(_ unionAll _), spec).collect()(0)
+    assert(merged.getAs[Long]("n_rows") === 4L)
+    assert(merged.getAs[Long]("payload_score_min") === 10L)
+    assert(merged.getAs[Long]("payload_score_max") === 40L)
+    val fi = graft.sketch.FrequentItems.deserialize(
+      merged.getAs[Array[Byte]]("payload_tag_ss"))
+    assert(fi.estimateBytes("a".getBytes("UTF-8")) === 2L)
+    // "payload.score" and "payload_score" would collide post-flattening
+    intercept[IllegalArgumentException] {
+      ProfileSpec(numCols = Seq("payload.score", "payload_score"))
+    }
+  }
 }
