@@ -69,8 +69,12 @@ object MediaDecode {
       var i = 12
       while (i + 8 <= bytes.length && i >= 0) {
         val size = le32(bytes, i + 4)
+        // size >= 16: a fmt chunk DECLARING fewer than the 16 standard
+        // bytes must fall through to 'unknown', not read channels/rate/
+        // depth out of the NEXT chunk's bytes (the i+8+16 length check
+        // alone cannot tell the two apart)
         if (bytes(i) == 'f' && bytes(i + 1) == 'm' && bytes(i + 2) == 't' &&
-            bytes(i + 3) == ' ' && i + 8 + 16 <= bytes.length) {
+            bytes(i + 3) == ' ' && size >= 16 && i + 8 + 16 <= bytes.length) {
           return InternalRow(UTF8String.fromString("wav"),
             0, 0, le16(bytes, i + 10), le32(bytes, i + 12), le16(bytes, i + 22), n)
         }

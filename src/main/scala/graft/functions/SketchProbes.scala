@@ -74,19 +74,49 @@ private[functions] trait SketchCache2[S <: AnyRef] {
   }
 }
 
+/** Analysis-time guard for probes whose every child is a serialized
+  * sketch column: non-binary input must fail the query at analysis, not
+  * as a per-row ClassCastException (same rule KeyedProbeCodegen states
+  * for keyed probes). */
+private[functions] trait SketchBytesInput { self: Expression =>
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    self.children.find(_.dataType != BinaryType) match {
+      case Some(c) => TypeCheckFailure(
+        s"$prettyName requires a binary sketch column, got ${c.dataType}")
+      case None => TypeCheckSuccess
+    }
+  }
+}
+
 /** Whole-stage codegen for (sketch, sketch) binary ops: the generated code
   * calls `compute(byte[], byte[])` directly — no CodegenFallback
-  * InternalRow boxing when the op runs down a row-heavy column. */
+  * InternalRow boxing when the op runs down a row-heavy column. Both
+  * operands must be binary AT ANALYSIS — unchecked, a non-binary column
+  * breaks janino compilation (an int slot into compute(byte[], byte[])). */
 private[functions] trait BinaryBytesCodegen { self: BinaryExpression =>
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (left.dataType != BinaryType || right.dataType != BinaryType)
+      TypeCheckFailure(s"$prettyName requires two binary sketch columns, " +
+        s"got (${left.dataType}, ${right.dataType})")
+    else TypeCheckSuccess
+  }
   def compute(a: Array[Byte], b: Array[Byte]): Array[Byte]
+  /** Total over the zero-length "no sketch" image (a merge-agg's output
+    * for a whole-null group): empty is the merge identity on either side,
+    * so unions never feed it to a kernel parse. Public: the generated
+    * code calls it on the reference object. */
+  final def combineBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    if (a.length == 0) b else if (b.length == 0) a else compute(a, b)
   override def nullSafeEval(a: Any, b: Any): Any =
-    compute(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    combineBytes(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
     val ref = ctx.addReferenceObj("expr", this, getClass.getName)
-    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.combineBytes($a, $b);")
   }
 }
 
@@ -187,7 +217,8 @@ case class CqfContains(left: Expression, right: Expression)
 }
 
 case class CqfDistinct(child: Expression)
-    extends UnaryExpression with CodegenFallback with SketchCache[Cqf] {
+    extends UnaryExpression with CodegenFallback with SketchCache[Cqf]
+    with SketchBytesInput {
   override def prettyName: String = "cqf_distinct"
   override def dataType: DataType = LongType
   protected def parse(bytes: Array[Byte]): Cqf = Cqf.deserialize(bytes)
@@ -197,7 +228,8 @@ case class CqfDistinct(child: Expression)
 }
 
 case class CqfTotal(child: Expression)
-    extends UnaryExpression with CodegenFallback with SketchCache[Cqf] {
+    extends UnaryExpression with CodegenFallback with SketchCache[Cqf]
+    with SketchBytesInput {
   override def prettyName: String = "cqf_total"
   override def dataType: DataType = LongType
   protected def parse(bytes: Array[Byte]): Cqf = Cqf.deserialize(bytes)
@@ -207,7 +239,8 @@ case class CqfTotal(child: Expression)
 }
 
 case class CqfStats(child: Expression)
-    extends UnaryExpression with CodegenFallback with SketchCache[Cqf] {
+    extends UnaryExpression with CodegenFallback with SketchCache[Cqf]
+    with SketchBytesInput {
   override def prettyName: String = "cqf_stats"
   override def dataType: DataType = CqfStats.schema
   protected def parse(bytes: Array[Byte]): Cqf = Cqf.deserialize(bytes)
@@ -235,7 +268,7 @@ object CqfStats {
   * probes run once per sketch row, and a mixed-kind column would defeat
   * a single-slot cache anyway. */
 case class SketchMetaExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with SketchBytesInput {
   override def prettyName: String = "sketch_meta"
   override def dataType: DataType = SketchMetaExpr.schema
   override def nullSafeEval(sk: Any): Any = {
@@ -369,6 +402,8 @@ case class CqfSetCount(first: Expression, second: Expression, third: Expression)
         TypeCheckFailure(s"$prettyName: key must be integral or string, got $other")
     }
   }
+  /** Converter resolved once, not re-pattern-matched per row. */
+  @transient private lazy val longKey: Any => Long = KeyConv.toLong(second.dataType)
   override def nullSafeEval(sk: Any, key: Any, count: Any): Any = {
     val cqf = Cqf.deserialize(sk.asInstanceOf[Array[Byte]])
     val c = count match {
@@ -380,7 +415,7 @@ case class CqfSetCount(first: Expression, second: Expression, third: Expression)
     // clears the invertible flag — enumeration must not fabricate longs
     if (KeyConv.isBytesKey(second.dataType))
       cqf.setCountBytes(KeyConv.toBytes(key, second.dataType), c)
-    else cqf.setCount(KeyConv.toLong(second.dataType)(key), c)
+    else cqf.setCount(longKey(key), c)
     cqf.serialize()
   }
   override protected def withNewChildrenInternal(a: Expression, b: Expression,
@@ -394,7 +429,8 @@ case class CqfSetCount(first: Expression, second: Expression, third: Expression)
   * /root/reference/src/reversible_hasher.rs:16-51).
   */
 case class CqfItems(child: Expression)
-    extends UnaryExpression with Generator with CodegenFallback {
+    extends UnaryExpression with Generator with CodegenFallback
+    with SketchBytesInput {
   override def prettyName: String = "cqf_items"
   override def elementSchema: StructType = new StructType()
     .add("hash", LongType, nullable = false)
@@ -433,7 +469,8 @@ case class CqfItems(child: Expression)
   * become one generator call instead of two cqf_items explosions + a
   * join. */
 case class CqfZipItems(left: Expression, right: Expression)
-    extends BinaryExpression with Generator with CodegenFallback {
+    extends BinaryExpression with Generator with CodegenFallback
+    with SketchBytesInput {
   override def prettyName: String = "cqf_zip_items"
   override def elementSchema: StructType = new StructType()
     .add("hash", LongType, nullable = false)
@@ -461,7 +498,8 @@ case class CqfZipItems(left: Expression, right: Expression)
 // ------------------------------------------------------------------ HLL
 
 case class HllEstimate(child: Expression)
-    extends UnaryExpression with CodegenFallback with SketchCache[HllSketch] {
+    extends UnaryExpression with CodegenFallback with SketchCache[HllSketch]
+    with SketchBytesInput {
   override def prettyName: String = "hll_estimate"
   override def dataType: DataType = LongType
   protected def parse(bytes: Array[Byte]): HllSketch = HllSketch.deserialize(bytes)
@@ -497,10 +535,7 @@ case class CmsEstimate(left: Expression, right: Expression)
   override def nullSafeEval(sk: Any, key: Any): Any = {
     val bytes = sk.asInstanceOf[Array[Byte]]
     if (KeyConv.isBytesKey(right.dataType))
-      evalUtf8(bytes, key match {
-        case u: UTF8String => u
-        case b: Array[Byte] => UTF8String.fromBytes(b)
-      })
+      evalBytes(bytes, KeyConv.toBytes(key, right.dataType))
     else evalLong(bytes, longKey(key))
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CmsEstimate =
@@ -508,7 +543,8 @@ case class CmsEstimate(left: Expression, right: Expression)
 }
 
 case class CmsTotal(child: Expression)
-    extends UnaryExpression with CodegenFallback with SketchCache[CountMinSketch] {
+    extends UnaryExpression with CodegenFallback with SketchCache[CountMinSketch]
+    with SketchBytesInput {
   override def prettyName: String = "cms_total"
   override def dataType: DataType = LongType
   protected def parse(bytes: Array[Byte]): CountMinSketch = CountMinSketch.deserialize(bytes)
@@ -530,24 +566,54 @@ case class CmsUnion(left: Expression, right: Expression)
 
 // ------------------------------------------------------------------ t-digest
 
+/** (sketchBytes, numeric) probes: the numeric argument accepts ANY
+  * numeric type and converts once to Double — SQL literals do NOT arrive
+  * as DoubleType (`td_quantile(td, 0.5)` parses 0.5 as DECIMAL(1,1),
+  * `kll_rank(sk, 100)` as INT), so a bare asInstanceOf[Double] would pass
+  * analysis and then ClassCastException on every row. */
+private[functions] trait SketchDoubleArg { self: BinaryExpression =>
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (left.dataType != BinaryType)
+      TypeCheckFailure(s"$prettyName requires a binary sketch column, got ${left.dataType}")
+    else right.dataType match {
+      case _: NumericType => TypeCheckSuccess
+      case other => TypeCheckFailure(s"$prettyName: argument must be numeric, got $other")
+    }
+  }
+  /** Converter resolved once, not re-pattern-matched per row. */
+  @transient protected lazy val argToDouble: Any => Double = right.dataType match {
+    case DoubleType => v => v.asInstanceOf[Double]
+    case FloatType => v => v.asInstanceOf[Float].toDouble
+    case _: DecimalType => v => v.asInstanceOf[Decimal].toDouble
+    case ByteType => v => v.asInstanceOf[Byte].toDouble
+    case ShortType => v => v.asInstanceOf[Short].toDouble
+    case IntegerType => v => v.asInstanceOf[Int].toDouble
+    case LongType => v => v.asInstanceOf[Long].toDouble
+    case other => throw new IllegalArgumentException(s"unsupported numeric type $other")
+  }
+}
+
 case class TdQuantile(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback with SketchCache[TDigest] {
+    extends BinaryExpression with CodegenFallback with SketchCache[TDigest]
+    with SketchDoubleArg {
   override def prettyName: String = "td_quantile"
   override def dataType: DataType = DoubleType
   protected def parse(bytes: Array[Byte]): TDigest = TDigest.deserialize(bytes)
   override def nullSafeEval(sk: Any, q: Any): Any =
-    cached(sk.asInstanceOf[Array[Byte]]).quantile(q.asInstanceOf[Double])
+    cached(sk.asInstanceOf[Array[Byte]]).quantile(argToDouble(q))
   override protected def withNewChildrenInternal(l: Expression, r: Expression): TdQuantile =
     copy(left = l, right = r)
 }
 
 case class TdCdf(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback with SketchCache[TDigest] {
+    extends BinaryExpression with CodegenFallback with SketchCache[TDigest]
+    with SketchDoubleArg {
   override def prettyName: String = "td_cdf"
   override def dataType: DataType = DoubleType
   protected def parse(bytes: Array[Byte]): TDigest = TDigest.deserialize(bytes)
   override def nullSafeEval(sk: Any, x: Any): Any =
-    cached(sk.asInstanceOf[Array[Byte]]).cdf(x.asInstanceOf[Double])
+    cached(sk.asInstanceOf[Array[Byte]]).cdf(argToDouble(x))
   override protected def withNewChildrenInternal(l: Expression, r: Expression): TdCdf =
     copy(left = l, right = r)
 }
@@ -568,29 +634,32 @@ case class TdUnion(left: Expression, right: Expression)
 // ------------------------------------------------------------------ KLL
 
 case class KllQuantile(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback with SketchCache[KllSketch] {
+    extends BinaryExpression with CodegenFallback with SketchCache[KllSketch]
+    with SketchDoubleArg {
   override def prettyName: String = "kll_quantile"
   override def dataType: DataType = DoubleType
   protected def parse(bytes: Array[Byte]): KllSketch = KllSketch.deserialize(bytes)
   override def nullSafeEval(sk: Any, q: Any): Any =
-    cached(sk.asInstanceOf[Array[Byte]]).quantile(q.asInstanceOf[Double])
+    cached(sk.asInstanceOf[Array[Byte]]).quantile(argToDouble(q))
   override protected def withNewChildrenInternal(l: Expression, r: Expression): KllQuantile =
     copy(left = l, right = r)
 }
 
 case class KllRank(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback with SketchCache[KllSketch] {
+    extends BinaryExpression with CodegenFallback with SketchCache[KllSketch]
+    with SketchDoubleArg {
   override def prettyName: String = "kll_rank"
   override def dataType: DataType = LongType
   protected def parse(bytes: Array[Byte]): KllSketch = KllSketch.deserialize(bytes)
   override def nullSafeEval(sk: Any, x: Any): Any =
-    cached(sk.asInstanceOf[Array[Byte]]).rank(x.asInstanceOf[Double])
+    cached(sk.asInstanceOf[Array[Byte]]).rank(argToDouble(x))
   override protected def withNewChildrenInternal(l: Expression, r: Expression): KllRank =
     copy(left = l, right = r)
 }
 
 case class KllN(child: Expression)
-    extends UnaryExpression with CodegenFallback with SketchCache[KllSketch] {
+    extends UnaryExpression with CodegenFallback with SketchCache[KllSketch]
+    with SketchBytesInput {
   override def prettyName: String = "kll_n"
   override def dataType: DataType = LongType
   protected def parse(bytes: Array[Byte]): KllSketch = KllSketch.deserialize(bytes)
@@ -625,10 +694,7 @@ case class BloomMightContain(left: Expression, right: Expression)
   override def nullSafeEval(sk: Any, key: Any): Any = {
     val bytes = sk.asInstanceOf[Array[Byte]]
     if (KeyConv.isBytesKey(right.dataType))
-      evalUtf8(bytes, key match {
-        case u: UTF8String => u
-        case b: Array[Byte] => UTF8String.fromBytes(b)
-      })
+      evalBytes(bytes, KeyConv.toBytes(key, right.dataType))
     else evalLong(bytes, longKey(key))
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): BloomMightContain =
@@ -636,7 +702,8 @@ case class BloomMightContain(left: Expression, right: Expression)
 }
 
 case class BloomFpp(child: Expression)
-    extends UnaryExpression with CodegenFallback with SketchCache[BloomSketch] {
+    extends UnaryExpression with CodegenFallback with SketchCache[BloomSketch]
+    with SketchBytesInput {
   override def prettyName: String = "bloom_fpp"
   override def dataType: DataType = DoubleType
   protected def parse(bytes: Array[Byte]): BloomSketch = BloomSketch.deserialize(bytes)
@@ -663,7 +730,7 @@ case class BloomUnion(left: Expression, right: Expression)
   * bytes a `new_file` checkpoint holds, so reference users can hand
   * sketches back and forth without re-building. */
 case class CqfToRef(child: Expression)
-    extends UnaryExpression with SketchCache[Cqf] {
+    extends UnaryExpression with SketchCache[Cqf] with SketchBytesInput {
   override def prettyName: String = "cqf_to_ref"
   override def dataType: DataType = BinaryType
   protected def parse(bytes: Array[Byte]): Cqf = Cqf.deserialize(bytes)
@@ -683,7 +750,7 @@ case class CqfToRef(child: Expression)
 /** Parse a reference-engine byte image (e.g. a file written by the
   * reference's `new_file`) into a graft CQF. */
 case class CqfFromRef(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with SketchBytesInput {
   override def prettyName: String = "cqf_from_ref"
   override def dataType: DataType = BinaryType
   def compute(a: Array[Byte]): Array[Byte] =
@@ -811,7 +878,8 @@ case class SsEstimate(left: Expression, right: Expression)
 }
 
 case class SsTotal(child: Expression)
-    extends UnaryExpression with CodegenFallback with SketchCache[FrequentItems] {
+    extends UnaryExpression with CodegenFallback with SketchCache[FrequentItems]
+    with SketchBytesInput {
   override def prettyName: String = "ss_total"
   override def dataType: DataType = LongType
   protected def parse(bytes: Array[Byte]): FrequentItems = FrequentItems.deserialize(bytes)
@@ -825,7 +893,8 @@ case class SsTotal(child: Expression)
   * checks assert `ss_offset(sk) < threshold` to prove candidate
   * completeness in the same pass that uses the candidates. */
 case class SsOffset(child: Expression)
-    extends UnaryExpression with CodegenFallback with SketchCache[FrequentItems] {
+    extends UnaryExpression with CodegenFallback with SketchCache[FrequentItems]
+    with SketchBytesInput {
   override def prettyName: String = "ss_offset"
   override def dataType: DataType = LongType
   protected def parse(bytes: Array[Byte]): FrequentItems = FrequentItems.deserialize(bytes)

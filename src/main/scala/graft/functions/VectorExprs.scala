@@ -223,6 +223,10 @@ case class MinHashSig(left: Expression, right: Expression)
     VecChecks.both(VecChecks.stringArray(left.dataType, prettyName),
       VecChecks.intArg(right.dataType, prettyName, "nHashes"))
   def compute(arr: ArrayData, nHashes: Int): ArrayData = {
+    // nHashes < 1 would NegativeArraySizeException (or emit a zero-length
+    // signature every LSH band slices out of range) — reject like
+    // vec_lsh_bucket rejects its plane count
+    require(nHashes >= 1, s"minhash_sig: nHashes must be >= 1, got $nHashes")
     val mins = Array.fill(nHashes)(Long.MaxValue)
     val n = arr.numElements()
     var i = 0
@@ -305,6 +309,12 @@ case class ShingleMinHash(first: Expression, second: Expression, third: Expressi
       VecChecks.both(VecChecks.intArg(second.dataType, prettyName, "k"),
         VecChecks.intArg(third.dataType, prettyName, "nHashes")))
   def compute(arr: ArrayData, k: Int, nHashes: Int): ArrayData = {
+    // k < 1 makes every window hash the same constant (the inner j < k
+    // loop never runs) — every document would get an IDENTICAL signature
+    // and LSH dedup would silently collapse the whole corpus into one
+    // cluster; nHashes < 1 crashes Array.fill. Reject both.
+    require(k >= 1, s"shingle_minhash: k must be >= 1, got $k")
+    require(nHashes >= 1, s"shingle_minhash: nHashes must be >= 1, got $nHashes")
     val n = arr.numElements()
     val mins = Array.fill(nHashes)(Long.MaxValue)
     if (n >= k) {
@@ -352,6 +362,10 @@ case class ShingleHashSet(left: Expression, right: Expression)
     VecChecks.both(VecChecks.stringArray(left.dataType, prettyName),
       VecChecks.intArg(right.dataType, prettyName, "k"))
   def compute(arr: ArrayData, k: Int): ArrayData = {
+    // k < 1 would make the n < k guard unreachable and every document
+    // share the constant empty-window hash — silent total collapse of
+    // exact Jaccard (inter == uni == 1 for every pair)
+    require(k >= 1, s"shingle_hash_set: k must be >= 1, got $k")
     val n = arr.numElements()
     if (n < k)
       return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
@@ -479,6 +493,14 @@ case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
     extends UnaryExpression {
   override def prettyName: String = "nearest_centroid"
   override def dataType: DataType = IntegerType
+  // an empty codebook would silently assign every row to nonexistent
+  // cell 0; a non-numeric-array child would pass analysis and die at the
+  // first row inside the getter (VecChecks is the family convention)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (centroids.isEmpty)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: the codebook must be non-empty")
+    else VecChecks.numericArray(child.dataType, prettyName)
   @transient private lazy val get = CosineSim.getter(child.dataType)
   @transient private lazy val normed: Array[Array[Double]] =
     centroids.map { c =>

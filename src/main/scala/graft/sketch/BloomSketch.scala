@@ -67,7 +67,17 @@ final class BloomSketch private (
     * cached/shared instances without mutating them. */
   def copied: BloomSketch = new BloomSketch(numBits, numHashes, words.clone())
 
+  /** Bitwise-or union. Callers must use the RETURN VALUE: when this side
+    * is stateless (no bits set) and the shapes mismatch, the result is a
+    * COPY of `other` and `this` is left unchanged — a default-shape empty
+    * sketch (e.g. a merge-agg's output for a whole-null group) is a legal
+    * merge identity regardless of its shape; real state with mismatched
+    * shape still rejects. */
   def mergeInPlace(other: BloomSketch): BloomSketch = {
+    if (other.numBits != numBits || other.numHashes != numHashes) {
+      if (other.setBits == 0L) return this
+      if (setBits == 0L) return other.copied
+    }
     require(other.numBits == numBits && other.numHashes == numHashes,
       "Bloom shape mismatch")
     var i = 0

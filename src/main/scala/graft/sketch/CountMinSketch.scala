@@ -72,7 +72,17 @@ final class CountMinSketch private (
     * cached/shared instances without mutating them. */
   def copied: CountMinSketch = new CountMinSketch(depth, width, table.clone(), _total)
 
+  /** Cell-wise sum. Callers must use the RETURN VALUE: when this side is
+    * stateless (zero total, all cells zero) and the shapes mismatch, the
+    * result is a COPY of `other` and `this` is left unchanged — a
+    * default-shape empty sketch (e.g. a merge-agg's output for a
+    * whole-null group) is a legal merge identity regardless of its shape;
+    * real state with mismatched shape still rejects. */
   def mergeInPlace(other: CountMinSketch): CountMinSketch = {
+    if (other.depth != depth || other.width != width) {
+      if (other._total == 0L && other.nonzeroCounters == 0) return this
+      if (_total == 0L && nonzeroCounters == 0) return other.copied
+    }
     require(other.depth == depth && other.width == width,
       s"CMS shape mismatch: ${depth}x$width vs ${other.depth}x${other.width}")
     var i = 0

@@ -188,7 +188,17 @@ final class FrequentItems private (
     * information: it merges into / absorbs anything. */
   private def isEmpty: Boolean = _size == 0 && _total == 0L
 
+  /** Misra-Gries union. Callers must use the RETURN VALUE: when this side
+    * is empty with zero offset and the k parameters mismatch, the result
+    * is a COPY of `other` and `this` is left unchanged — a default-k
+    * empty sketch (e.g. a merge-agg's output for a whole-null group) is a
+    * legal merge identity regardless of its k; real state (or a nonzero
+    * offset, which carries error mass) with mismatched k still rejects. */
   def mergeInPlace(other: FrequentItems): FrequentItems = {
+    if (other.k != k) {
+      if (other.isEmpty && other._offset == 0L) return this
+      if (isEmpty && _offset == 0L) return other.copied
+    }
     require(other.k == k,
       s"frequent-items k mismatch: $k vs ${other.k}")
     if (other.isEmpty) { _offset += other._offset; return this }

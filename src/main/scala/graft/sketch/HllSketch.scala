@@ -63,7 +63,17 @@ final class HllSketch private (val p: Int, private val registers: Array[Byte])
     * cached/shared instances without mutating them. */
   def copied: HllSketch = new HllSketch(p, registers.clone())
 
+  /** Register-max union. Callers must use the RETURN VALUE: when this
+    * side is stateless (all registers zero) and the precisions mismatch,
+    * the result is a COPY of `other` and `this` is left unchanged — a
+    * default-precision empty sketch (e.g. a merge-agg's output for a
+    * whole-null group) is a legal merge identity regardless of its p;
+    * real state with mismatched p still rejects. */
   def mergeInPlace(other: HllSketch): HllSketch = {
+    if (other.p != p) {
+      if (other.nonzeroRegisters == 0) return this
+      if (nonzeroRegisters == 0) return other.copied
+    }
     require(other.p == p, s"HLL precision mismatch: $p vs ${other.p}")
     var i = 0
     while (i < m) {

@@ -183,7 +183,17 @@ final class KllSketch private (
   def copied: KllSketch =
     new KllSketch(k, levels.map(_.clone()), _n, rngState)
 
+  /** Level-wise union + compact. Callers must use the RETURN VALUE: when
+    * this side is stateless (n == 0) and the k parameters mismatch, the
+    * result is a COPY of `other` and `this` is left unchanged — a
+    * default-k empty sketch (e.g. a merge-agg's output for a whole-null
+    * group) is a legal merge identity regardless of its k; real state
+    * with mismatched k still rejects. */
   def mergeInPlace(other: KllSketch): KllSketch = {
+    if (other.k != k) {
+      if (other._n == 0L) return this
+      if (_n == 0L) return other.copied
+    }
     require(other.k == k, s"KLL k mismatch: $k vs ${other.k}")
     _version += 1
     while (levels.length < other.levels.length) levels += new ArrayBuffer[Double]

@@ -282,6 +282,17 @@ final class KmvSketch private (
     * idempotent. Requires equal k (one accuracy contract per column),
     * and matching key mode unless one side is empty. */
   def mergeInPlace(other: KmvSketch): KmvSketch = {
+    // Callers must use the RETURN VALUE: when this side is stateless
+    // (nothing retained, never evicted) and the k parameters mismatch,
+    // the result is a COPY of `other` and `this` is left unchanged — a
+    // default-k empty sketch (e.g. a merge-agg's output for a whole-null
+    // group) is a legal merge identity regardless of its k; real state
+    // with mismatched k still rejects.
+    if (other.k != k) {
+      flush(); other.flush()
+      if (other._size == 0 && !other._evicted) return this
+      if (_size == 0 && !_evicted) return other.copied
+    }
     require(other.k == k, s"kmv k mismatch: $k vs ${other.k}")
     flush()
     other.flush()

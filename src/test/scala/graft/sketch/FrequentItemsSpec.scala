@@ -157,8 +157,12 @@ class FrequentItemsSpec extends AnyFunSuite {
     val viaRight = f.copied.mergeInPlace(e2)
     assert(viaRight == f)
     assert(FrequentItems(32).mergeInPlace(FrequentItems(32)).total == 0L)
-    // k mismatch rejected
-    intercept[IllegalArgumentException] { FrequentItems(8).mergeInPlace(FrequentItems(16)) }
+    // k mismatch: a STATELESS side is a merge identity (adopts the other),
+    // real state on both sides still rejects
+    assert(FrequentItems(8).mergeInPlace(FrequentItems(16)).total == 0L)
+    val r8 = FrequentItems(8); r8.add(1L)
+    val r16 = FrequentItems(16); r16.add(2L)
+    intercept[IllegalArgumentException](r8.mergeInPlace(r16))
   }
 
   test("textKeys flag: set by callers that know the input is UTF-8, survives serde, ANDs on merge") {

@@ -156,7 +156,12 @@ class KmvSketchSpec extends AnyFunSuite {
     val b = KmvSketch(32)
     b.addBytes("a".getBytes("UTF-8"))
     intercept[IllegalArgumentException](s.mergeInPlace(b))
-    intercept[IllegalArgumentException](KmvSketch(32).mergeInPlace(KmvSketch(64)))
+    // k mismatch: a STATELESS side is a merge identity (adopts the other),
+    // real state on both sides still rejects
+    assert(KmvSketch(32).mergeInPlace(KmvSketch(64)).size == 0)
+    val r32 = KmvSketch(32); r32.add(1L)
+    val r64 = KmvSketch(64); r64.add(2L)
+    intercept[IllegalArgumentException](r32.mergeInPlace(r64))
   }
 
   test("exactly k distinct keys: full but still exact; k+1st key flips it") {
