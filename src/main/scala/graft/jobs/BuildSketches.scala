@@ -66,6 +66,24 @@ object BuildSketches {
     case other => throw new IllegalArgumentException(s"unknown sketch kind $other")
   }
 
+  /** Canonical encoding of the kind's BUILD PARAMETERS — written into
+    * every checkpoint partial so a resume with drifted config (hllP
+    * bumped, cms resized...) is rejected BEFORE appending incompatible
+    * partials beside the old ones. Without it the kind check passes, the
+    * mixed-geometry shards land in the done-set, and stage 2 crashes on
+    * a merge mismatch that no re-run with any single config can clear. */
+  private[jobs] def paramString(cfg: Config): String = cfg.kind match {
+    case "cqf" => s"cqf;q=${cfg.quotientBits};hb=${cfg.hashBits};compact=${cfg.compact}"
+    case "hll" => s"hll;p=${cfg.hllP}"
+    case "cms" => s"cms;d=${cfg.cmsDepth};w=${cfg.cmsWidth}"
+    case "bloom" => s"bloom;bits=${cfg.bloomBits};h=${cfg.bloomHashes}"
+    case "tdigest" => s"tdigest;c=${cfg.tdCompression}"
+    case "kll" => s"kll;k=${cfg.kllK}"
+    case "ss" => s"ss;k=${cfg.ssK}"
+    case "kmv" => s"kmv;k=${cfg.kmvK}"
+    case other => throw new IllegalArgumentException(s"unknown sketch kind $other")
+  }
+
   private def mergeAgg(cfg: Config, sketch: Column): Column = cfg.kind match {
     case "cqf" => api.cqf_merge_agg(sketch)
     case "hll" => api.hll_merge_agg(sketch)
@@ -83,8 +101,12 @@ object BuildSketches {
     * clamped to [1, 4096]. Deterministic for a given input, so the
     * resume anti-join recomputes identical salts. */
   def saltCounts(df: DataFrame, cfg: Config): Map[String, Int] = {
+    // a NULL source is legal input: it cannot ride the scheme map (a null
+    // map key breaks typedLit and the scheme sort) so it takes the default
+    // shard count via the saltExprFor coalesce — same as any source first
+    // seen after the scheme was derived
     val counts = df.groupBy(col("source")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().flatMap(r => Option(r.getString(0)).map(_ -> r.getLong(1))).toMap
     val total = math.max(1L, counts.values.sum)
     val budget = cfg.salts.toDouble * counts.size
     counts.map { case (s, n) =>
@@ -178,6 +200,8 @@ object BuildSketches {
         // under ANSI mode, unlike sum
         expr("bit_xor(xxhash64(doc_id, n_tok))").as("input_hash"))
       .withColumn("sketch_kind", lit(cfg.kind))
+      // the kind's build parameters — resume rejects config drift up front
+      .withColumn("build_params", lit(paramString(cfg)))
       // the scheme every row was sharded under — resume validates/reuses it
       .withColumn("salt_scheme", lit(schemeString(saltMap, saltDefault)))
       // per-partial sketch-state metrics (load factor, counts, error
@@ -196,8 +220,16 @@ object BuildSketches {
       new java.net.URI(checkpointDir),
       spark.sparkContext.hadoopConfiguration)
     val path = new org.apache.hadoop.fs.Path(checkpointDir)
+    // VISIBLE entries only: a killed first run leaves _temporary/ (and a
+    // committed empty run leaves _SUCCESS) — counting those as checkpoint
+    // data would send the advertised killed-job resume into a parquet
+    // read with zero data files (UNABLE_TO_INFER_SCHEMA) instead of a
+    // fresh start
     val existing: Option[DataFrame] =
-      if (fs.exists(path) && fs.listStatus(path).nonEmpty)
+      if (fs.exists(path) && fs.listStatus(path).exists { st =>
+            val n = st.getPath.getName
+            !n.startsWith("_") && !n.startsWith(".")
+          })
         Some(spark.read.parquet(checkpointDir))
       else None
 
@@ -224,6 +256,19 @@ object BuildSketches {
             s"'${kinds.mkString(",")}' but this run builds '${cfg.kind}' — " +
             "use a fresh checkpoint dir per kind")
         }
+        // same-kind resumes with drifted parameters are rejected BEFORE
+        // any append (pre-param-tracking checkpoints skip the check —
+        // they stay resumable, the doc'd compatibility rule)
+        if (ck.columns.contains("build_params")) {
+          val params = ck.select(col("build_params")).distinct()
+            .collect().map(_.getString(0))
+          require(params.sameElements(Array(paramString(cfg))),
+            s"checkpoint at $checkpointDir was built with parameters " +
+            s"'${params.mkString(",")}' but this run uses " +
+            s"'${paramString(cfg)}' — appending would poison the " +
+            "checkpoint with unmergeable partials; resume with the " +
+            "original config or rebuild from a fresh dir")
+        }
         val recorded = ck.select(col("salt_scheme")).distinct()
           .collect().map(_.getString(0))
         require(recorded.length == 1,
@@ -240,26 +285,37 @@ object BuildSketches {
     val remaining = existing match {
       case None => observed
       case Some(ck) =>
-        val done = ck.select(col("source"), col("salt")).distinct()
+        // null-safe keys: a NULL source forms a legitimate shard, but an
+        // equi anti-join never matches null == null, so its partial would
+        // be re-appended (and double-counted) on EVERY resume
+        val done = ck.select(col("source").as("done_source"),
+          col("salt").as("done_salt")).distinct()
         observed
           .withColumn("salt", salt)
-          .join(broadcast(done), Seq("source", "salt"), "left_anti")
+          .join(broadcast(done),
+            col("source") <=> col("done_source") &&
+              col("salt") <=> col("done_salt"), "left_anti")
           .drop("salt")
     }
 
-    if (remaining.take(1).nonEmpty) {
-      buildPartials(remaining, cfg, Some(scheme))
-        .write.mode(SaveMode.Append).partitionBy("salt").parquet(checkpointDir)
-    }
+    // unconditional append: probing emptiness first (remaining.take(1))
+    // costs a second full anti-join scan of the input; an empty append
+    // writes no data files and the visible-entry guard above ignores its
+    // _SUCCESS marker
+    buildPartials(remaining, cfg, Some(scheme))
+      .write.mode(SaveMode.Append).partitionBy("salt").parquet(checkpointDir)
 
-    // first run over an EMPTY input writes no partials and the dir does
-    // not exist yet — a scheduled build on a zero-row day must return an
-    // empty result, not crash on PATH_NOT_FOUND
+    // a build over an EMPTY input writes no data files — whether the dir
+    // does not exist (PATH_NOT_FOUND), was pre-created by ops (UNABLE_TO_
+    // INFER_SCHEMA on a dir with no data files), or holds only the empty
+    // append's _SUCCESS marker — a scheduled build on a zero-row day must
+    // return an empty result, not crash
     val partials =
       try spark.read.parquet(checkpointDir)
       catch {
         case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("PATH_NOT_FOUND") =>
+            if e.getMessage.contains("PATH_NOT_FOUND") ||
+              e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
           return spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             org.apache.spark.sql.types.StructType(Seq(
@@ -272,7 +328,20 @@ object BuildSketches {
               org.apache.spark.sql.types.StructField("n_tokens",
                 org.apache.spark.sql.types.LongType))))
       }
-    partials.groupBy(col("source"))
+    // Concurrent resumes (operator retry, overlapping cron) can append
+    // the same shard twice: identical re-appends (same input_hash over
+    // the same rows) dedupe to one harmlessly; a shard appearing with
+    // DIVERGING hashes means the input changed between appends and the
+    // merged counts would be silently wrong — reject loudly.
+    val uniq = partials.dropDuplicates("source", "salt", "input_hash")
+    val conflicted = uniq.groupBy(col("source"), col("salt"))
+      .agg(count(lit(1)).as("n")).where(col("n") > 1)
+      .select(col("source"), col("salt")).take(5)
+    require(conflicted.isEmpty,
+      s"checkpoint at $checkpointDir holds shards with DIVERGING input " +
+      s"hashes (input changed between appends?): ${conflicted.mkString(", ")} — " +
+      "the merged counts would silently double; rebuild from a fresh dir")
+    uniq.groupBy(col("source"))
       .agg(
         mergeAgg(cfg, col("sketch_bytes")).as("sketch_bytes"),
         sum(col("n_rows")).as("n_rows"),

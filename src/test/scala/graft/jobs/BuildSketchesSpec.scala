@@ -313,6 +313,77 @@ class BuildSketchesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.isEmpty)
   }
 
+  test("a checkpoint dir holding only hidden entries is a fresh start, not a broken resume") {
+    // a killed first run commits nothing but leaves _temporary/ (and an
+    // empty committed run leaves _SUCCESS); either must NOT be read as
+    // checkpoint data — the old guard counted any dir entry and sent the
+    // resume into UNABLE_TO_INFER_SCHEMA
+    val input = TokenGen.generate(spark, 200, vocab = 500).cache()
+    val cfg = BuildSketches.Config(kind = "cqf", salts = 4, quotientBits = 10)
+    val dir = Files.createTempDirectory("graft_ckpt_hidden").toString
+    Files.createDirectory(java.nio.file.Paths.get(dir, "_temporary"))
+    Files.createFile(java.nio.file.Paths.get(dir, "_SUCCESS"))
+    val out = BuildSketches.run(spark, input, dir, cfg).collect()
+    assert(out.nonEmpty, "hidden-only checkpoint dir must build fresh")
+  }
+
+  test("resume with drifted build parameters is rejected before any append") {
+    val input = TokenGen.generate(spark, 300, vocab = 500).cache()
+    val dir = Files.createTempDirectory("graft_ckpt_params").toString
+    BuildSketches.run(spark, input, dir, BuildSketches.Config(kind = "hll", hllP = 12))
+    val e = intercept[IllegalArgumentException] {
+      BuildSketches.run(spark, input, dir, BuildSketches.Config(kind = "hll", hllP = 14))
+    }
+    assert(e.getMessage.contains("parameters"), e.getMessage)
+    // the original config still resumes cleanly (nothing was appended)
+    val again = BuildSketches.run(spark, input, dir,
+      BuildSketches.Config(kind = "hll", hllP = 12)).collect()
+    assert(again.nonEmpty)
+  }
+
+  test("null-source rows shard, build, and stay resume-idempotent") {
+    import spark.implicits._
+    val base = TokenGen.generate(spark, 300, vocab = 500)
+    // the null-source shard: an equi anti-join would never match it
+    // against the done-set and every resume would double-count it
+    val nulled = base.withColumn("source",
+      when(pmod(xxhash64(col("doc_id")), lit(10)) === 0, lit(null).cast("string"))
+        .otherwise(col("source"))).cache()
+    val cfg = BuildSketches.Config(kind = "cqf", salts = 4, quotientBits = 10)
+    val dir = Files.createTempDirectory("graft_ckpt_null").toString
+    val first = BuildSketches.run(spark, nulled, dir, cfg)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(2)).toMap
+    assert(first.contains(None), "the null source must form its own group")
+    // resuming the COMPLETE checkpoint must append nothing and reproduce
+    // the same counts (pre-fix this doubled the null shard's n_rows)
+    val again = BuildSketches.run(spark, nulled, dir, cfg)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(2)).toMap
+    assert(again == first, s"resume drifted: $again vs $first")
+  }
+
+  test("an identically re-appended shard dedupes; diverging input hashes reject") {
+    val input = TokenGen.generate(spark, 300, vocab = 500).cache()
+    val cfg = BuildSketches.Config(kind = "cqf", salts = 2, quotientBits = 10)
+    val dir = Files.createTempDirectory("graft_ckpt_dupe").toString
+    val clean = BuildSketches.run(spark, input, dir, cfg)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // concurrent-resume simulation: the same shards appended a second time
+    val scheme = BuildSketches.deriveScheme(input, cfg)
+    BuildSketches.buildPartials(input, cfg, Some(scheme))
+      .write.mode("append").partitionBy("salt").parquet(dir)
+    val deduped = BuildSketches.run(spark, input, dir, cfg)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(deduped == clean, "identical duplicate shards must not double-count")
+    // diverging duplicate (different rows -> different input_hash) rejects
+    BuildSketches.buildPartials(
+        input.where(pmod(xxhash64(col("doc_id"), lit(7)), lit(2)) === 0), cfg, Some(scheme))
+      .write.mode("append").partitionBy("salt").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      BuildSketches.run(spark, input, dir, cfg).collect()
+    }
+    assert(e.getMessage.contains("DIVERGING"), e.getMessage)
+  }
+
   test("TokenGen nTok=0 rows carry genuinely empty token arrays") {
     val df = TokenGen.generate(spark, 400, vocab = 100, minTok = 0, maxTok = 3)
     val rows = df.select(col("n_tok"), size(col("tokens")).as("sz"),
