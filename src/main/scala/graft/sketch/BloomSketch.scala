@@ -111,6 +111,12 @@ object BloomSketch {
   def apply(numBits: Long = 1 << 16, numHashes: Int = 5): BloomSketch = {
     require(numBits >= 64 && numHashes >= 1 && numHashes <= 32)
     val roundBits = (numBits + 63) / 64 * 64
+    // the Long word count truncated to Int silently wraps past 2^37 bits
+    // (fromExpected at tens of billions of items): apply would "succeed"
+    // with an undersized bitset and the first out-of-range probe throws —
+    // reject tables that cannot be one JVM array (the CMS.apply rule)
+    require(roundBits / 64 <= Int.MaxValue - 8,
+      s"Bloom bitset too large: $numBits bits = ${roundBits / 64} words")
     new BloomSketch(roundBits, numHashes, new Array[Long]((roundBits / 64).toInt))
   }
 
@@ -122,10 +128,19 @@ object BloomSketch {
   }
 
   def deserialize(bytes: Array[Byte]): BloomSketch = {
+    require(bytes.length >= 24, s"bloom image too short: ${bytes.length} bytes")
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     require(buf.getLong() == Magic, "bad Bloom magic")
     val bits = buf.getLong()
     val k = buf.getLong().toInt
+    // header fields validated against the remaining payload BEFORE any
+    // allocation sized from them (the KLL/HLL hardening rule): corrupt
+    // bits would otherwise NegativeArraySize or wrap the word count to a
+    // small positive and index out of bounds on the first probe
+    require(bits >= 64 && bits % 64 == 0 && k >= 1 && k <= 32,
+      s"corrupt bloom header: bits=$bits k=$k")
+    require(bits / 64 * 8L == (bytes.length - 24).toLong,
+      s"corrupt bloom payload: $bits bits vs ${bytes.length - 24} bytes")
     val words = new Array[Long]((bits / 64).toInt)
     buf.asLongBuffer().get(words)
     new BloomSketch(bits, k, words)

@@ -132,13 +132,21 @@ object CountMinSketch {
       math.ceil(math.E / eps).toInt)
 
   def deserialize(bytes: Array[Byte]): CountMinSketch = {
+    require(bytes.length >= 32, s"CMS image too short: ${bytes.length} bytes")
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     require(buf.getLong() == Magic, "bad CMS magic")
-    val d = buf.getLong().toInt
-    val w = buf.getLong().toInt
+    val d = buf.getLong()
+    val w = buf.getLong()
     val total = buf.getLong()
-    val table = new Array[Long](d * w)
+    // header fields validated against the remaining payload BEFORE any
+    // allocation sized from them (the KLL/HLL hardening rule): corrupt
+    // d*w would otherwise overflow the Int multiply, NegativeArraySize,
+    // OOM, or BufferUnderflow — and d=0 would estimate Long.MaxValue
+    require(d >= 1 && d <= 32 && w >= 8, s"corrupt CMS header: depth=$d width=$w")
+    require(d * w * 8L == (bytes.length - 32).toLong,
+      s"corrupt CMS payload: ${d}x$w cells vs ${bytes.length - 32} bytes")
+    val table = new Array[Long]((d * w).toInt)
     buf.asLongBuffer().get(table)
-    new CountMinSketch(d, w, table, total)
+    new CountMinSketch(d.toInt, w.toInt, table, total)
   }
 }

@@ -23,13 +23,34 @@ final class KllSketch private (
   def n: Long = _n
   def numLevels: Int = levels.length
 
+  // retained-item count and total capacity, maintained incrementally:
+  // recomputing them per add() costs two O(levels) scans — the capacity
+  // one with a math.pow PER LEVEL — on the kll_agg per-row hot path.
+  // _items bumps on add and recomputes after compact/merge; capacity only
+  // changes when the level count does.
+  private var _items: Int = {
+    var s = 0
+    var i = 0
+    while (i < levels.length) { s += levels(i).length; i += 1 }
+    s
+  }
+  @transient private var _capLevels: Int = -1
+  @transient private var _capTotal: Int = 0
+  private def capacityCached: Int = {
+    if (_capLevels != levels.length) {
+      _capTotal = totalCapacity
+      _capLevels = levels.length
+    }
+    _capTotal
+  }
+
   /** Items currently retained across all compactor levels (vs [[n]]
     * items represented) — surfaced by sketch_meta. */
-  def retainedItems: Int = totalItems
+  def retainedItems: Int = _items
 
   /** retained / capacity — the structure-fill metric surfaced by
     * sketch_meta (compaction triggers just above 1.0). */
-  def loadFraction: Double = totalItems.toDouble / totalCapacity.toDouble
+  def loadFraction: Double = _items.toDouble / capacityCached.toDouble
 
   @inline private def nextBit(): Boolean = {
     var x = rngState
@@ -61,11 +82,14 @@ final class KllSketch private (
     require(!x.isNaN, "cannot add NaN to KLL")
     levels(0) += x
     _n += 1
+    _items += 1
     _version += 1
-    if (totalItems > totalCapacity) compact()
+    if (_items > capacityCached) compact()
   }
 
   private def compact(): Unit = {
+    // compaction is amortized-rare: the exact O(levels) recounts here are
+    // fine, only the per-add path needs the cached counters
     while (totalItems > totalCapacity) {
       // find the lowest level at or over its capacity
       var lvl = 0
@@ -76,7 +100,9 @@ final class KllSketch private (
       }
       if (found < 0) found = 0
       val buf = levels(found)
-      if (buf.length < 2) return // nothing to compact; capacity rules prevent this
+      // nothing to compact; capacity rules prevent this — but the cached
+      // item count must still be refreshed before bailing
+      if (buf.length < 2) { _items = totalItems; return }
       val sorted = buf.toArray
       java.util.Arrays.sort(sorted)
       buf.clear()
@@ -90,6 +116,7 @@ final class KllSketch private (
       var i = if (nextBit()) 1 else 0
       while (i < m) { up += sorted(i); i += 2 }
     }
+    _items = totalItems
   }
 
   /** Number of items ≤ x, estimated (weighted). */
@@ -255,6 +282,11 @@ object KllSketch {
       lens.foldLeft(0L)(_ + _) * 8 == buf.remaining(),
       s"corrupt KLL payload: level lengths ${lens.mkString(",")} vs " +
       s"${buf.remaining()} bytes")
+    // n and the retained items must agree on emptiness: n > 0 with zero
+    // items would crash quantile() with an index -1 lookup, n == 0 with
+    // items would fabricate nonzero ranks — either way corrupt, not valid
+    require((n == 0L) == lens.forall(_ == 0),
+      s"corrupt KLL image: n=$n with ${lens.sum} retained items")
     val levels = new ArrayBuffer[ArrayBuffer[Double]](nLevels)
     lens.foreach { len =>
       val l = new ArrayBuffer[Double](len)

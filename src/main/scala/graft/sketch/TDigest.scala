@@ -48,7 +48,22 @@ final class TDigest private (
   def copied: TDigest = new TDigest(compression, means.clone(), weights.clone(),
     nCentroids, bufMeans.clone(), bufWeights.clone(), nBuf, _totalWeight, _min, _max)
 
+  /** Centroid re-feed merge. Callers must use the RETURN VALUE: when this
+    * side is stateless and the compressions mismatch, the result is a
+    * COPY of `other` and `this` is left unchanged — a default-compression
+    * empty digest (e.g. a merge-agg's output for a whole-null group) is a
+    * legal merge identity; real state with mismatched compression rejects
+    * (silently re-clustering a c=1000 digest through a c=20 compressor
+    * would quietly cost ~7x quantile accuracy — the sibling kernels'
+    * mismatch rule). */
   def mergeInPlace(other: TDigest): TDigest = {
+    if (other.compression != compression) {
+      compress(); other.compress()
+      if (other.nCentroids == 0) return this
+      if (nCentroids == 0) return other.copied
+      require(other.compression == compression,
+        s"t-digest compression mismatch: $compression vs ${other.compression}")
+    }
     other.compress()
     var i = 0
     while (i < other.nCentroids) {
@@ -211,7 +226,15 @@ final class TDigest private (
       cum += weights(i)
       i += 1
     }
-    1.0
+    // tail: x between the last centroid mean and _max — interpolate like
+    // the head branch does from _min, instead of snapping to 1.0 (which
+    // made cdf(quantile(q)) overshoot for q near 1)
+    val lastMean = means(nCentroids - 1)
+    val lastMid = _totalWeight - weights(nCentroids - 1) / 2.0
+    val span = _max - lastMean
+    val frac = if (span <= 0) 1.0 else (x - lastMean) / span
+    math.min(1.0, math.max(0.0,
+      (lastMid + (_totalWeight - lastMid) * frac) / _totalWeight))
   }
 
   def serialize(): Array[Byte] = {
@@ -240,12 +263,21 @@ object TDigest {
   }
 
   def deserialize(bytes: Array[Byte]): TDigest = {
+    require(bytes.length >= 40, s"t-digest image too short: ${bytes.length} bytes")
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     require(buf.getLong() == Magic, "bad TDigest magic")
     val compression = buf.getDouble()
-    val n = buf.getLong().toInt
+    val nLong = buf.getLong()
     val mn = buf.getDouble()
     val mx = buf.getDouble()
+    // header fields validated against the remaining payload BEFORE any
+    // allocation sized from them (the KLL/HLL hardening rule): a corrupt
+    // count would otherwise NegativeArraySize, OOM, or BufferUnderflow
+    require(compression >= 20 && compression <= 10000,
+      s"corrupt t-digest header: compression=$compression")
+    require(nLong >= 0L && nLong * 16L == (bytes.length - 40).toLong,
+      s"corrupt t-digest header: $nLong centroids vs ${bytes.length - 40} payload bytes")
+    val n = nLong.toInt
     val means = new Array[Double](n)
     val weights = new Array[Double](n)
     var i = 0

@@ -148,6 +148,80 @@ class TypeGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("t-digest: compression mismatch adopts from a stateless side, rejects real state") {
+    import graft.sketch.TDigest
+    val empty = TDigest(20.0)
+    val big = TDigest(1000.0); big.add(1.0); big.add(2.0); big.add(3.0)
+    val adopted = empty.mergeInPlace(big)
+    assert(adopted.compression === 1000.0 && adopted.totalWeight === 3.0)
+    assert(big.mergeInPlace(TDigest(20.0)).totalWeight === 3.0)
+    val real = TDigest(20.0); real.add(9.0)
+    intercept[IllegalArgumentException](real.mergeInPlace(big))
+  }
+
+  test("t-digest cdf interpolates the tail instead of snapping to 1.0") {
+    import graft.sketch.TDigest
+    val td = TDigest(100.0)
+    (1 to 1000).foreach(i => td.add(i.toDouble))
+    // x strictly between the last centroid mean and max must sit in
+    // (cdf(lastMean), 1), not jump to exactly 1.0
+    val nearMax = 999.5
+    val c = td.cdf(nearMax)
+    assert(c < 1.0 && c > 0.99, s"tail cdf $c")
+    // symmetry with the head: cdf(quantile(q)) stays close at both ends
+    assert(math.abs(td.cdf(td.quantile(0.999)) - 0.999) < 0.01)
+  }
+
+  test("corrupt t-digest / cms / bloom / kll images fail as clean parse errors") {
+    import graft.sketch._
+    import java.nio.{ByteBuffer, ByteOrder}
+    def leLong(pairs: Seq[Any]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(pairs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      pairs.foreach {
+        case l: Long => bb.putLong(l)
+        case d: Double => bb.putDouble(d)
+      }
+      bb.array()
+    }
+    // t-digest: negative count, count larger than the payload, short image
+    def tdImg(n: Long) = leLong(Seq[Any](0x3147445454465247L, 100.0, n, 0.0, 1.0))
+    for (bad <- Seq(tdImg(-1L), tdImg(1L << 30), tdImg(3L))) {
+      val e = intercept[IllegalArgumentException](TDigest.deserialize(bad))
+      assert(e.getMessage.contains("corrupt"), e.getMessage)
+    }
+    intercept[IllegalArgumentException](TDigest.deserialize(Array[Byte](1, 2, 3)))
+    // cms: d*w that would overflow an Int multiply; zero depth
+    val cmsBad = leLong(Seq[Any](0x31534d4354465247L, 1L << 20, 1L << 20, 0L))
+    assert(intercept[IllegalArgumentException](
+      CountMinSketch.deserialize(cmsBad)).getMessage.contains("corrupt"))
+    val cmsZero = leLong(Seq[Any](0x31534d4354465247L, 0L, 2048L, 0L))
+    assert(intercept[IllegalArgumentException](
+      CountMinSketch.deserialize(cmsZero)).getMessage.contains("corrupt"))
+    // bloom: negative bits; bits wrapping the word count
+    val bloomNeg = leLong(Seq[Any](0x314d4c4254465247L, -64L, 5L))
+    assert(intercept[IllegalArgumentException](
+      BloomSketch.deserialize(bloomNeg)).getMessage.contains("corrupt"))
+    val bloomHuge = leLong(Seq[Any](0x314d4c4254465247L, 1L << 40, 5L))
+    assert(intercept[IllegalArgumentException](
+      BloomSketch.deserialize(bloomHuge)).getMessage.contains("corrupt"))
+    // bloom apply: a bitset that cannot be one JVM array
+    intercept[IllegalArgumentException](BloomSketch(1L << 40, 5))
+    // kll: header n disagreeing with the retained items on emptiness
+    val kllGhost = leLong(Seq[Any](0x314c4c4b54465247L, 200L, 5L, 1L, 1L, 0L))
+    assert(intercept[IllegalArgumentException](
+      KllSketch.deserialize(kllGhost)).getMessage.contains("corrupt"))
+    val kllPhantom = {
+      val s = KllSketch(200); s.add(1.0)
+      val img = s.serialize()
+      // overwrite n with 0 while one item remains
+      val bb = ByteBuffer.wrap(img).order(ByteOrder.LITTLE_ENDIAN)
+      bb.putLong(16, 0L)
+      img
+    }
+    assert(intercept[IllegalArgumentException](
+      KllSketch.deserialize(kllPhantom)).getMessage.contains("corrupt"))
+  }
+
   test("wav fmt chunk declaring fewer than 16 bytes decodes as unknown") {
     // RIFF/WAVE with a 'fmt ' chunk of DECLARED size 0 followed by junk
     // bytes: the old guard only checked 16 bytes REMAIN in the file, so
