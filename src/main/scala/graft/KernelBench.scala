@@ -264,6 +264,33 @@ object KernelBench {
     println(f"[kernelbench] TD BEST: ${n / best / 1e6}%.2f M inserts/s (compression=200)")
   }
 
+  /** KLL insert throughput (kll_agg's per-row path). Added when add()
+    * stopped recomputing retained items + per-level capacities (a
+    * math.pow per level) on every insert — this mode is the evidence
+    * tier for that fix and the regression floor for future ones. */
+  def kllBench(reps: Int): Unit = {
+    val n = 50_000_000L
+    var best = Double.MaxValue
+    for (r <- 1 to reps) {
+      val kll = graft.sketch.KllSketch(200)
+      var seed = 0xdeadbeefL + r
+      val t0 = System.nanoTime()
+      var i = 0L
+      while (i < n) {
+        seed = xorshift(seed)
+        val u = (seed >>> 11).toDouble / (1L << 53).toDouble
+        kll.add(u * u * 1000.0)
+        i += 1
+      }
+      val q = kll.quantile(0.5)
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(q > 0 && q < 1000.0, s"bad median $q")
+      println(f"[kernelbench] kll rep $r: ${n / sec / 1e6}%.2f M inserts/s (${sec}%.2f s, p50=$q%.2f)")
+      best = math.min(best, sec)
+    }
+    println(f"[kernelbench] KLL BEST: ${n / best / 1e6}%.2f M inserts/s (k=200)")
+  }
+
   /** Kernel-only replica of the headline build's per-shard workload:
     * PRE-MATERIALIZED zipf^2.5 tokens over a 50k vocab (pow paid outside
     * the timed loop — a generator in the loop halves apparent
@@ -571,6 +598,7 @@ object KernelBench {
   def main(args: Array[String]): Unit = {
     val mode = if (args.nonEmpty) args(0) else "all"
     if (mode == "td") tdBench(reps = 3)
+    if (mode == "kll") kllBench(reps = 3)
     if (mode == "zipf") zipfBench()
     if (mode == "altbuild") altBuildBench()
     if (mode == "distinct") distinctBench()

