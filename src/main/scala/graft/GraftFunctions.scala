@@ -20,7 +20,12 @@ object GraftFunctions {
     if (args.length <= i) default
     else args(i) match {
       case Literal(v: Int, IntegerType) => v
-      case Literal(v: Long, LongType) => v.toInt
+      case Literal(v: Long, LongType) =>
+        // silent .toInt would wrap kmv_agg(x, 2^33) to k=0 — garbage
+        // parameters with no error, unlike every other malformed argument
+        if (v.isValidInt) v.toInt
+        else throw new IllegalArgumentException(
+          s"argument ${i + 1} is out of Int range: $v")
       case other => throw new IllegalArgumentException(
         s"argument ${i + 1} must be an integer literal, got $other")
     }
@@ -48,6 +53,12 @@ object GraftFunctions {
       case Literal(v: Int, IntegerType) => v.toDouble
       case Literal(v: Long, LongType) => v.toDouble
       case Literal(v: Double, DoubleType) => v
+      case Literal(v: Float, org.apache.spark.sql.types.FloatType) => v.toDouble
+      // SQL parses 200.0 as DECIMAL(4,1), not DOUBLE — without this case
+      // the documented call shape td_agg(x, 200.0) threw "must be a
+      // numeric literal" at a literal that plainly is one
+      case Literal(v: org.apache.spark.sql.types.Decimal,
+          _: org.apache.spark.sql.types.DecimalType) => v.toDouble
       case other => throw new IllegalArgumentException(
         s"argument ${i + 1} must be a numeric literal, got $other")
     }
@@ -143,12 +154,21 @@ object GraftFunctions {
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
   def registerAll(spark: SparkSession): Unit = {
-    if (registered.putIfAbsent(spark, java.lang.Boolean.TRUE) != null) return
-    val registry = spark.sessionState.functionRegistry
-    builders.foreach { case (name, builder) =>
-      registry.createOrReplaceTempFunction(name, builder, "scala_udf")
+    // mark the session only AFTER registration completes, under a lock:
+    // putIfAbsent-then-register let a concurrent caller return while the
+    // winner was still mid-registration (its next query failed with
+    // "Undefined function"), and an exception mid-way poisoned the guard
+    // so the half-registered session could never be repaired
+    if (registered.containsKey(spark)) return
+    registered.synchronized {
+      if (registered.containsKey(spark)) return
+      val registry = spark.sessionState.functionRegistry
+      builders.foreach { case (name, builder) =>
+        registry.createOrReplaceTempFunction(name, builder, "scala_udf")
+      }
+      graft.agg.TypedAggregators.registerAll(spark)
+      registered.put(spark, java.lang.Boolean.TRUE)
     }
-    graft.agg.TypedAggregators.registerAll(spark)
   }
 }
 

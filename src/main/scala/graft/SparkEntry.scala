@@ -53,11 +53,42 @@ object SparkEntry {
         api.kll_quantile(col("l_extendedprice_kll"), lit(0.95)).as("e95"),
         col("l_returnflag_ss").as("flag_ss"))
 
+  /** Heavy-hitter tail shared by the cms/ss/streaming variants:
+    * candidates explode from the frequent-items summary (`skN` must
+    * carry `ss` (k=8192) and `n`), with the completeness proof as a
+    * LOUD in-query assertion — offset >= thresh (k too small, or a
+    * degenerate thresh of 0) must FAIL the query, not silently return
+    * an empty result that diverges from the exact answer. An optional
+    * `dispose` predicate (the CMS variant's estimate check) prunes
+    * candidates further; `carry` names extra skN columns it needs.
+    * The few surviving candidates broadcast into the exact recheck —
+    * one summary pass + one recheck scan, never a distinct-all-keys
+    * scan. thresh = n div 1333 (~0.075% of rows); offset <= 2N/8192
+    * keeps the margin ratio at 0.33 at every SF. */
+  private def heavyHittersFromSummary(fact: DataFrame, skN: DataFrame,
+      queryName: String, dispose: Option[Column] = None,
+      carry: Seq[String] = Nil): DataFrame = {
+    val candidates = skN.select(
+        (explode(api.ss_topk(col("ss"), 8192)).as("e") +:
+          expr("n div 1333").as("thresh") +:
+          api.ss_offset(col("ss")).as("off") +:
+          carry.map(col)): _*)
+      .where(assert_true(col("off") < col("thresh"), lit(
+          s"$queryName: summary offset >= threshold; raise k")).isNull &&
+        col("e.ub") >= col("thresh") && dispose.getOrElse(lit(true)))
+      .select(col("e.key").as("l_partkey"), col("thresh"))
+    fact.join(broadcast(candidates), Seq("l_partkey"))
+      .groupBy(col("l_partkey").as("partkey"), col("thresh"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= col("thresh"))
+      .select(col("partkey"), col("cnt"))
+  }
+
   // ------------------------------------------------------------------
   // Queries
   // ------------------------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- CQF family (exact mode: invertible Wang hash, 64 hash bits) ----
     "cqf_count_by_flag" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -407,22 +438,8 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      val skN = s.table("graft_stream_hh")
-      val candidates = skN.select(
-          explode(api.ss_topk(col("ss"), 8192)).as("e"),
-          expr("n div 1333").as("thresh"),
-          api.ss_offset(col("ss")).as("off"))
-        // loud completeness assertion — see cms_heavy_hitters
-        .where(assert_true(col("off") < col("thresh"), lit(
-            "streaming_heavy_hitters: summary offset >= threshold; raise k")).isNull &&
-          col("e.ub") >= col("thresh"))
-        .select(col("e.key").as("l_partkey"), col("thresh"))
-      val li = t(s, dir, "lineitem")
-      li.join(broadcast(candidates), Seq("l_partkey"))
-        .groupBy(col("l_partkey").as("partkey"), col("thresh"))
-        .agg(count(lit(1)).as("cnt"))
-        .where(col("cnt") >= col("thresh"))
-        .select(col("partkey"), col("cnt"))
+      heavyHittersFromSummary(t(s, dir, "lineitem"),
+        s.table("graft_stream_hh"), "streaming_heavy_hitters")
     }),
 
     "streaming_dedup_first_seen" -> ((s, dir) => {
@@ -564,9 +581,13 @@ object SparkEntry {
         // merged quantile sketches stay within (generous) rank bounds
         (abs(api.td_cdf(api.td_union(col("td_a"), col("td_b")),
             api.td_quantile(col("td_w"), lit(0.5))) - 0.5) <= 0.05).as("td_union_ok"),
+        // denominator = kll_n (the values the sketch actually saw), not
+        // row counts: kll_agg skips nulls, so (n_a + n_b) would shift
+        // the rank ratio on null-bearing data
         (abs(api.kll_rank(api.kll_union(col("kll_a"), col("kll_b")),
             api.kll_quantile(col("kll_w"), lit(0.5))).cast("double") /
-            (col("n_a") + col("n_b")) - 0.5) <= 0.05).as("kll_union_ok"),
+            api.kll_n(api.kll_union(col("kll_a"), col("kll_b"))).cast("double")
+            - 0.5) <= 0.05).as("kll_union_ok"),
         api.cqf_contains(col("cqf_w"), lit(7L)).as("cqf_contains_7"),
         (api.wang_unhash(api.wang_hash(lit(123456789L), 64), 64) ===
           123456789L).as("wang_roundtrip_ok"))
@@ -586,24 +607,9 @@ object SparkEntry {
       val skN = li.agg(api.cms_agg(col("l_partkey"), 5, 8192).as("cms"),
         api.ss_agg(col("l_partkey"), 8192).as("ss"),
         count(lit(1)).as("n"))
-      val candidates = skN.select(
-          explode(api.ss_topk(col("ss"), 8192)).as("e"),
-          col("cms"), expr("n div 1333").as("thresh"),
-          api.ss_offset(col("ss")).as("off"))
-        // the completeness proof is a loud runtime ASSERTION, not a silent
-        // filter: offset >= thresh (k too small for the data, or a
-        // degenerate thresh of 0) must fail the query, not return an
-        // empty result that silently diverges from the exact answer
-        .where(assert_true(col("off") < col("thresh"), lit(
-            "cms_heavy_hitters: summary offset >= threshold; raise k")).isNull &&
-          col("e.ub") >= col("thresh") &&
-          api.cms_estimate(col("cms"), col("e.key")) >= col("thresh"))
-        .select(col("e.key").as("l_partkey"), col("thresh"))
-      li.join(broadcast(candidates), Seq("l_partkey"))
-        .groupBy(col("l_partkey").as("partkey"), col("thresh"))
-        .agg(count(lit(1)).as("cnt"))
-        .where(col("cnt") >= col("thresh"))
-        .select(col("partkey"), col("cnt"))
+      heavyHittersFromSummary(li, skN, "cms_heavy_hitters",
+        dispose = Some(api.cms_estimate(col("cms"), col("e.key")) >= col("thresh")),
+        carry = Seq("cms"))
     }),
 
     // ---- frequent items (SpaceSaving/Misra-Gries): heavy hitters ----
@@ -615,20 +621,7 @@ object SparkEntry {
       val li = t(s, dir, "lineitem")
       val skN = li.agg(api.ss_agg(col("l_partkey"), 8192).as("ss"),
         count(lit(1)).as("n"))
-      val candidates = skN.select(
-          explode(api.ss_topk(col("ss"), 8192)).as("e"),
-          expr("n div 1333").as("thresh"),
-          api.ss_offset(col("ss")).as("off"))
-        // loud completeness assertion — see cms_heavy_hitters
-        .where(assert_true(col("off") < col("thresh"), lit(
-            "ss_heavy_hitters: summary offset >= threshold; raise k")).isNull &&
-          col("e.ub") >= col("thresh"))
-        .select(col("e.key").as("l_partkey"), col("thresh"))
-      li.join(broadcast(candidates), Seq("l_partkey"))
-        .groupBy(col("l_partkey").as("partkey"), col("thresh"))
-        .agg(count(lit(1)).as("cnt"))
-        .where(col("cnt") >= col("thresh"))
-        .select(col("partkey"), col("cnt"))
+      heavyHittersFromSummary(li, skN, "ss_heavy_hitters")
     }),
 
     // ---- frequent items: packed-layout parity, asserted in-query ----
@@ -816,8 +809,11 @@ object SparkEntry {
     // estimated quantile must sit within the sketch's rank-error bound) ----
     "td_quantiles_by_event_type" -> ((s, dir) => {
       val ev = t(s, dir, "events")
+      // n counts NON-NULL values: td_agg skips nulls and the r* sums
+      // count non-null matches, so a count(*) denominator would flip the
+      // bound booleans on null-bearing data (the table_profile rule)
       val sk = ev.groupBy(col("event_type"))
-        .agg(api.td_agg(col("value"), 200.0).as("td"), count(lit(1)).as("n"))
+        .agg(api.td_agg(col("value"), 200.0).as("td"), count(col("value")).as("n"))
         .select(col("event_type"), col("n"),
           api.td_quantile(col("td"), lit(0.5)).as("e50"),
           api.td_quantile(col("td"), lit(0.9)).as("e90"),
@@ -836,8 +832,10 @@ object SparkEntry {
 
     "kll_quantiles_by_flag" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
+      // n counts NON-NULL values — see td_quantiles_by_event_type
       val sk = li.groupBy(col("l_returnflag"))
-        .agg(api.kll_agg(col("l_extendedprice"), 256).as("kll"), count(lit(1)).as("n"))
+        .agg(api.kll_agg(col("l_extendedprice"), 256).as("kll"),
+          count(col("l_extendedprice")).as("n"))
         .select(col("l_returnflag"), col("n"),
           api.kll_quantile(col("kll"), lit(0.5)).as("e50"),
           api.kll_quantile(col("kll"), lit(0.95)).as("e95"))
@@ -1124,7 +1122,7 @@ object SparkEntry {
       |    i -> array_to_string((regexp_split_to_array(trim(text), '\s+'))[i:i+2], ' '))) AS grams
       |  FROM documents)""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  val oracleSql: Map[String, String] = Map(
     "cqf_count_by_flag" ->
       """SELECT l_returnflag, l_suppkey AS suppkey, count(*) AS cnt
         |FROM lineitem WHERE l_suppkey < 10 GROUP BY 1, 2""".stripMargin,
@@ -1340,12 +1338,12 @@ object SparkEntry {
         |FROM p""".stripMargin,
 
     "td_quantiles_by_event_type" ->
-      """SELECT event_type, count(*) AS n,
+      """SELECT event_type, count(value) AS n,
         |TRUE AS ok50, TRUE AS ok90, TRUE AS ok99
         |FROM events GROUP BY 1""".stripMargin,
 
     "kll_quantiles_by_flag" ->
-      """SELECT l_returnflag, count(*) AS n, TRUE AS ok50, TRUE AS ok95
+      """SELECT l_returnflag, count(l_extendedprice) AS n, TRUE AS ok50, TRUE AS ok95
         |FROM lineitem GROUP BY 1""".stripMargin,
 
     "table_profile" ->

@@ -63,6 +63,21 @@ class TypeGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("SQL literal arguments: decimal doubles accepted, out-of-Int-range literals rejected") {
+    viewed()
+    // SQL parses 200.0 as DECIMAL(4,1) — the documented td_agg(x, 200.0)
+    // call shape must work without CAST
+    val r = spark.sql("SELECT td_quantile(td_agg(x, 200.0), 0.5) AS q FROM tg")
+      .collect()(0)
+    assert(r.getDouble(0) >= 10.0 && r.getDouble(0) <= 40.0)
+    // 2^33 parses as BIGINT; silent .toInt would build kmv with k=0
+    val e = intercept[Exception](
+      spark.sql("SELECT kmv_agg(id, 8589934592) FROM tg").collect())
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString("; ")
+    assert(msgs.contains("out of Int range"), msgs)
+  }
+
   test("all-null-group merge-agg output merges into a non-default-k pipeline (empty-adopt)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
