@@ -141,6 +141,10 @@ final class Cqf private (
     var rbi = bi + (blockOffset >>> 6).toInt
     var ignore = (blockOffset & 63L).toInt
     var rank = intraRank - 1
+    // same bound the loop applies after each jump: a last-block offset of
+    // 64 (cluster ending at the final real slot) lands the INITIAL rbi
+    // one past the array
+    if (rbi >= numBlocks) return quotient // defensive; cushion prevents
     var pos = bitselectv(runWord(rbi), ignore, rank)
     while (pos == 64) {
       rank -= popcntv(runWord(rbi), ignore)
@@ -171,6 +175,12 @@ final class Cqf private (
 
   private def findFirstEmptySlot(from0: Long): Long = {
     var from = from0
+    // the ENTRY position needs the same bound as the jump loop: a run
+    // ending at the last real slot makes callers pass from0 ==
+    // numRealSlots (insertIndex = runend + 1), and offsetLowerBound
+    // there reads one block past the array — that must surface as
+    // FullException (grow-and-retry), not ArrayIndexOutOfBounds
+    if (from >= numRealSlots) throw FullException
     var jump = offsetLowerBound(from)
     while (jump != 0L) {
       from += jump
@@ -768,10 +778,22 @@ object Cqf {
     * append path (no per-entry rank/select), public for batched builders
     * that pre-sort their input. Throws when the content does not fit at
     * `quotientBits` (callers retry with a larger q). */
+  /** Counts must be POSITIVE: the append cursor skips zero-count entries,
+    * so a zero-count item that happens to be the LAST of its quotient run
+    * would leave the run's occupied bit set with no runend (silent
+    * corruption: queries walk past the run end), and negative counts
+    * store raw sign bits. Internal feeds never emit them; the public
+    * stream is validated element-wise (one branch per item). */
+  private def positiveCounts(items: Iterator[(Long, Long)]): Iterator[(Long, Long)] =
+    items.map { e =>
+      require(e._2 > 0L, s"fromSortedHashes: count must be positive, got ${e._2} for hash ${e._1}")
+      e
+    }
+
   def fromSortedHashesPublic(items: Iterator[(Long, Long)],
       quotientBits: Int, hashBits: Int, invertible: Boolean,
       compact: Boolean): Cqf =
-    fromSortedHashes(items, quotientBits, hashBits, invertible, compact)
+    fromSortedHashes(positiveCounts(items), quotientBits, hashBits, invertible, compact)
 
   /** [[fromSortedHashesPublic]] with the bounded capacity-retry loop the
     * kernel uses internally: ONLY a capacity miss (the private
@@ -783,7 +805,7 @@ object Cqf {
     var q = startQuotientBits
     var res: Cqf = null
     while (res == null) {
-      try res = fromSortedHashes(mkItems(), q, hashBits, invertible, compact)
+      try res = fromSortedHashes(positiveCounts(mkItems()), q, hashBits, invertible, compact)
       catch { case FullException => q += 1; qCapCheck(q, hashBits) }
     }
     res
@@ -1230,6 +1252,11 @@ object Cqf {
     require(qBits >= 4 && qBits <= 62, s"corrupt CQF header: quotientBits=$qBits")
     require(hashBits >= qBits && hashBits <= 64,
       s"corrupt CQF header: hashBits=$hashBits for quotientBits=$qBits")
+    // the constructor invariant Cqf.apply enforces: compact slots are
+    // 32-bit, so a forged compact header with wider remainders would
+    // silently saturate distinct remainders together (false negatives)
+    require(!compact || hashBits - qBits <= 32,
+      s"corrupt CQF header: compact layout cannot hold ${hashBits - qBits}-bit remainders")
     require(occupied >= 0L, s"corrupt CQF header: occupiedSlots=$occupied")
     val expectedLen = numBlocksFor(qBits).toLong * strideOf(compact)
     require(lenL == expectedLen && lenL * 8 == buf.remaining(),

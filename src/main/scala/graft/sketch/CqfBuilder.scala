@@ -40,7 +40,7 @@ final class CqfBuilder(val cqf: Cqf) extends LongPreAgg {
 
   /** The filter with all buffered counts folded in. The builder remains
     * usable afterwards (window frames call eval per frame). */
-  def result(): Cqf = { drain(); cqf }
+  def result(): Cqf = { drainAndShrink(); cqf }
 
   /** Merge `other` into this builder (both drain first — table entries
     * have no cross-builder identity). */

@@ -46,6 +46,15 @@ abstract class LongPreAgg {
   private var calls: Long = 0L
   private var bypass = false
 
+  /** Fibonacci home slot: one multiply spreads strided raw keys (CMS/
+    * Bloom tally user keys directly — ids with a power-of-two stride
+    * would otherwise land in one probe cluster); high bits taken so
+    * every key bit influences the slot. SINGLE-SOURCED: tally, migrate,
+    * and both grow rehashes must agree on it or rehashed entries would
+    * silently orphan from their probe chains. */
+  @inline private def homeSlot(k: Long): Int =
+    (((k * 0x9e3779b97f4a7c15L) >>> 17) & mask).toInt
+
   /** Fold one (key, count) into the wrapped sketch. Called once per
     * distinct key per flush epoch — or per occurrence after a bypass,
     * and possibly more than once per epoch for a key whose count
@@ -83,11 +92,7 @@ abstract class LongPreAgg {
     if ((key >>> PackedKeyBits) != 0L) { migrateToWide(); tallyWide(key, count); return }
     if (count > PackedCntMask) { sink(key, count); return } // can't buffer; fold now
     if (tab == null) allocPacked(InitSlots)
-    // Fibonacci slot hash: one multiply spreads strided raw keys (CMS/
-    // Bloom tally user keys directly — ids with a power-of-two stride
-    // would otherwise all land in one probe cluster); high bits taken so
-    // every key bit influences the slot
-    var s = (((key * 0x9e3779b97f4a7c15L) >>> 17) & mask).toInt
+    var s = homeSlot(key)
     val packedKey = key << PackedCntBits
     while (true) {
       val cur = tab(s)
@@ -112,7 +117,7 @@ abstract class LongPreAgg {
 
   private def tallyWide(key: Long, count: Long): Unit = {
     if (keys == null) allocWide(InitSlots)
-    var s = (((key * 0x9e3779b97f4a7c15L) >>> 17) & mask).toInt
+    var s = homeSlot(key)
     while (true) {
       if (cnts(s) == 0L) {
         keys(s) = key
@@ -155,7 +160,7 @@ abstract class LongPreAgg {
       val cur = ot(i)
       if (cur != 0L) {
         val k = cur >>> PackedCntBits
-        var s = (((k * 0x9e3779b97f4a7c15L) >>> 17) & mask).toInt
+        var s = homeSlot(k)
         while (cnts(s) != 0L) s = ((s + 1).toLong & mask).toInt
         keys(s) = k; cnts(s) = cur & PackedCntMask; used += 1
       }
@@ -166,15 +171,18 @@ abstract class LongPreAgg {
   private def growOrFlushPacked(): Unit = {
     val cap = tab.length
     if (cap < MaxSlots) {
-      // quadruple and rehash: hot keys keep accumulating in the table
+      // quadruple-capped rehash: hot keys keep accumulating in the table.
+      // The cap must CLAMP (quadrupling from 2^8 steps 2^16 -> 2^18 and
+      // never lands on 2^17, doubling the documented memory bound and
+      // moving the drain/bypass point)
       val ot = tab
-      allocPacked(cap << 2)
+      allocPacked(math.min(cap << 2, MaxSlots))
       var i = 0
       while (i < ot.length) {
         val cur = ot(i)
         if (cur != 0L) {
           val k = cur >>> PackedCntBits
-          var s = (((k * 0x9e3779b97f4a7c15L) >>> 17) & mask).toInt
+          var s = homeSlot(k)
           while (tab(s) != 0L) s = ((s + 1).toLong & mask).toInt
           tab(s) = cur; used += 1
         }
@@ -189,12 +197,13 @@ abstract class LongPreAgg {
   private def growOrFlushWide(): Unit = {
     val cap = keys.length
     if (cap < MaxSlots) {
+      // clamped like growOrFlushPacked — see the comment there
       val ok = keys; val oc = cnts
-      allocWide(cap << 2)
+      allocWide(math.min(cap << 2, MaxSlots))
       var i = 0
       while (i < ok.length) {
         if (oc(i) != 0L) {
-          var s = (((ok(i) * 0x9e3779b97f4a7c15L) >>> 17) & mask).toInt
+          var s = homeSlot(ok(i))
           while (cnts(s) != 0L) s = ((s + 1).toLong & mask).toInt
           keys(s) = ok(i); cnts(s) = oc(i); used += 1
         }
@@ -206,7 +215,12 @@ abstract class LongPreAgg {
     }
   }
 
-  /** Fold every table entry into the sketch and clear the table. */
+  /** Fold every table entry into the sketch and clear the table. The
+    * scan is O(capacity); mid-stream callers (growOrFlush at max cap)
+    * keep the table hot, but epoch-boundary callers go through
+    * [[drainAndShrink]] so a table grown by one heavy epoch does not
+    * make every later epoch's eval scan megabytes for a handful of
+    * entries (the windowed-aggregation shape: result() per frame). */
   protected final def drain(): Unit = {
     calls = 0L
     if (used == 0) return
@@ -225,6 +239,18 @@ abstract class LongPreAgg {
       }
     }
     used = 0
+  }
+
+  /** [[drain]], then release a grown-but-now-sparse table back to the
+    * initial size when the epoch used under 1/8 of its slots. */
+  protected final def drainAndShrink(): Unit = {
+    val sparse = used.toLong * 8 < (if (keys != null) keys.length
+      else if (tab != null) tab.length else 0).toLong
+    drain()
+    if (sparse) {
+      if (keys != null && keys.length > InitSlots) allocWide(InitSlots)
+      else if (tab != null && tab.length > InitSlots) allocPacked(InitSlots)
+    }
   }
 }
 
@@ -246,7 +272,7 @@ final class CmsBuilder(val cms: CountMinSketch) extends LongPreAgg {
   protected def sink(key: Long, count: Long): Unit = cms.add(key, count)
   @inline def add(key: Long): Unit = tally(key, 1L)
   @inline def addBytes(h1: Long, h2: Long): Unit = cms.addHash(h1, h2, 1L)
-  def result(): CountMinSketch = { drain(); cms }
+  def result(): CountMinSketch = { drainAndShrink(); cms }
   def mergeInPlace(other: CmsBuilder): CmsBuilder = {
     result().mergeInPlace(other.result()); this
   }
@@ -258,7 +284,7 @@ final class BloomBuilder(val bloom: BloomSketch) extends LongPreAgg {
   protected def sink(key: Long, count: Long): Unit = bloom.add(key)
   @inline def add(key: Long): Unit = tally(key, 1L)
   @inline def addBytes(h1: Long, h2: Long): Unit = bloom.addHash(h1, h2)
-  def result(): BloomSketch = { drain(); bloom }
+  def result(): BloomSketch = { drainAndShrink(); bloom }
   def mergeInPlace(other: BloomBuilder): BloomBuilder = {
     result().mergeInPlace(other.result()); this
   }

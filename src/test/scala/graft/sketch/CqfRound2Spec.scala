@@ -188,5 +188,35 @@ class CqfRound2Spec extends AnyFunSuite {
     // truncated payload: length field no longer matches the buffer
     val trunc = java.util.Arrays.copyOf(ok, ok.length - 16)
     intercept[IllegalArgumentException](Cqf.deserialize(trunc))
+    // forged compact flag with remainders wider than 32 bits: would
+    // silently saturate distinct remainders together (false negatives)
+    val cc = Cqf(10, 40, invertible = false, compact = true)
+    (0L until 20L).foreach(k => cc.insert(k))
+    val img = cc.serialize()
+    // meta long at offset 8: qBits byte 0, hashBits byte 1 — widen
+    // hashBits to 60 so hashBits - qBits = 50 > 32 with compact set
+    val forged = img.clone(); forged(9) = 60.toByte
+    val e = intercept[IllegalArgumentException](Cqf.deserialize(forged))
+    assert(e.getMessage.contains("compact"), e.getMessage)
+  }
+
+  test("a hot last-quotient cluster crossing the cushion grows instead of crashing") {
+    // quotient 1023 (the LAST at q=10) with count slots: each entry uses
+    // 2 slots, so ~161 entries extend the run past numRealSlots while
+    // occupiedSlots stays far under the 95% load cap — the insert that
+    // lands exactly one past the final real slot must surface as
+    // FullException -> grow, not ArrayIndexOutOfBounds (findFirstEmptySlot
+    // and runEnd previously bounds-checked only their post-jump positions)
+    val c = Cqf(10, 64, invertible = false, compact = false)
+    var r = 0L
+    while (r < 400L) {
+      c.insertHash((1023L << 54) | r, 2L)
+      r += 1
+    }
+    assert(c.distinctCount == 400L)
+    assert(c.totalCount == 800L)
+    assert(c.queryHash((1023L << 54) | 123L) == 2L)
+    assert(c.queryHash((1023L << 54) | 399L) == 2L)
+    assert(c.quotientBits > 10, "the cushion crossing must have forced a grow")
   }
 }
