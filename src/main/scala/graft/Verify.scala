@@ -4,6 +4,12 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete()
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -26,6 +32,11 @@ object Verify {
         case scala.util.control.NonFatal(e) =>
           System.err.println(s"[verify] $name failed: $e")
           e.printStackTrace()
+          // a PRIOR run's parquet for this query may still sit in outDir
+          // (mode("overwrite") never executed) — the driver's compare
+          // would then validate stale results and mask the regression;
+          // the failed query must be MISSING, not outdated
+          deleteRecursively(new java.io.File(s"$outDir/$name"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -16,21 +16,37 @@ import org.apache.spark.sql.functions
   * use the expression API. */
 object TypedAggregators {
 
-  /** CQF over long keys (quotientBits/hashBits fixed at construction). */
+  // Boxed input types + nullable encoders: the scalaLong/scalaDouble
+  // primitive encoders made a NULL input row fail the whole query at
+  // deserialization ("Null value appeared in non-nullable field"),
+  // where the expression-API counterparts (SketchAggBase.update) skip
+  // nulls — the two surfaces must agree, so reduce skips nulls too.
+
+  /** CQF over long keys (quotientBits/hashBits fixed at construction).
+    * Buffer is the [[CqfBuilder]] pre-aggregation layer, not the bare
+    * kernel: one rank/select insert per DISTINCT key instead of per
+    * occurrence (~3x on duplicate-heavy streams), with serialized bytes
+    * identical to direct inserts (CqfBuilderSpec). */
   class CqfLongAggregator(quotientBits: Int = 10, hashBits: Int = 64)
-      extends Aggregator[Long, Cqf, Array[Byte]] {
-    override def zero: Cqf = Cqf(quotientBits, hashBits)
-    override def reduce(b: Cqf, key: Long): Cqf = { b.insert(key); b }
-    override def merge(a: Cqf, b: Cqf): Cqf = a.mergeInPlace(b)
-    override def finish(r: Cqf): Array[Byte] = r.serialize()
-    override def bufferEncoder: Encoder[Cqf] = Encoders.javaSerialization[Cqf]
+      extends Aggregator[java.lang.Long, CqfBuilder, Array[Byte]] {
+    override def zero: CqfBuilder = CqfBuilder(quotientBits, hashBits)
+    override def reduce(b: CqfBuilder, key: java.lang.Long): CqfBuilder = {
+      if (key != null) b.add(key)
+      b
+    }
+    override def merge(a: CqfBuilder, b: CqfBuilder): CqfBuilder = a.mergeInPlace(b)
+    override def finish(r: CqfBuilder): Array[Byte] = r.result().serialize()
+    override def bufferEncoder: Encoder[CqfBuilder] = Encoders.javaSerialization[CqfBuilder]
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
   class HllLongAggregator(p: Int = 12)
-      extends Aggregator[Long, HllSketch, Array[Byte]] {
+      extends Aggregator[java.lang.Long, HllSketch, Array[Byte]] {
     override def zero: HllSketch = HllSketch(p)
-    override def reduce(b: HllSketch, key: Long): HllSketch = { b.add(key); b }
+    override def reduce(b: HllSketch, key: java.lang.Long): HllSketch = {
+      if (key != null) b.add(key)
+      b
+    }
     override def merge(a: HllSketch, b: HllSketch): HllSketch = a.mergeInPlace(b)
     override def finish(r: HllSketch): Array[Byte] = r.serialize()
     override def bufferEncoder: Encoder[HllSketch] = Encoders.javaSerialization[HllSketch]
@@ -38,9 +54,12 @@ object TypedAggregators {
   }
 
   class TDigestAggregator(compression: Double = 100.0)
-      extends Aggregator[Double, TDigest, Array[Byte]] {
+      extends Aggregator[java.lang.Double, TDigest, Array[Byte]] {
     override def zero: TDigest = TDigest(compression)
-    override def reduce(b: TDigest, x: Double): TDigest = { b.add(x); b }
+    override def reduce(b: TDigest, x: java.lang.Double): TDigest = {
+      if (x != null) b.add(x)
+      b
+    }
     override def merge(a: TDigest, b: TDigest): TDigest = a.mergeInPlace(b)
     override def finish(r: TDigest): Array[Byte] = r.serialize()
     override def bufferEncoder: Encoder[TDigest] = Encoders.javaSerialization[TDigest]
@@ -48,9 +67,12 @@ object TypedAggregators {
   }
 
   class KllAggregator(k: Int = 200)
-      extends Aggregator[Double, KllSketch, Array[Byte]] {
+      extends Aggregator[java.lang.Double, KllSketch, Array[Byte]] {
     override def zero: KllSketch = KllSketch(k)
-    override def reduce(b: KllSketch, x: Double): KllSketch = { b.add(x); b }
+    override def reduce(b: KllSketch, x: java.lang.Double): KllSketch = {
+      if (x != null) b.add(x)
+      b
+    }
     override def merge(a: KllSketch, b: KllSketch): KllSketch = a.mergeInPlace(b)
     override def finish(r: KllSketch): Array[Byte] = r.serialize()
     override def bufferEncoder: Encoder[KllSketch] = Encoders.javaSerialization[KllSketch]
@@ -59,13 +81,13 @@ object TypedAggregators {
 
   def registerAll(spark: SparkSession): Unit = {
     spark.udf.register("cqf_agg_udaf",
-      functions.udaf(new CqfLongAggregator(), Encoders.scalaLong))
+      functions.udaf(new CqfLongAggregator(), Encoders.LONG))
     spark.udf.register("hll_agg_udaf",
-      functions.udaf(new HllLongAggregator(), Encoders.scalaLong))
+      functions.udaf(new HllLongAggregator(), Encoders.LONG))
     spark.udf.register("td_agg_udaf",
-      functions.udaf(new TDigestAggregator(), Encoders.scalaDouble))
+      functions.udaf(new TDigestAggregator(), Encoders.DOUBLE))
     spark.udf.register("kll_agg_udaf",
-      functions.udaf(new KllAggregator(), Encoders.scalaDouble))
+      functions.udaf(new KllAggregator(), Encoders.DOUBLE))
   }
 
   /** The same four functions as expression builders, for the declarative
@@ -81,9 +103,9 @@ object TypedAggregators {
           org.apache.spark.sql.catalyst.expressions.Expression =
       args => GraftBridge.resolvedExpression(uda(args.map(GraftBridge.column): _*))
     Seq(
-      "cqf_agg_udaf" -> wrap(functions.udaf(new CqfLongAggregator(), Encoders.scalaLong)),
-      "hll_agg_udaf" -> wrap(functions.udaf(new HllLongAggregator(), Encoders.scalaLong)),
-      "td_agg_udaf" -> wrap(functions.udaf(new TDigestAggregator(), Encoders.scalaDouble)),
-      "kll_agg_udaf" -> wrap(functions.udaf(new KllAggregator(), Encoders.scalaDouble)))
+      "cqf_agg_udaf" -> wrap(functions.udaf(new CqfLongAggregator(), Encoders.LONG)),
+      "hll_agg_udaf" -> wrap(functions.udaf(new HllLongAggregator(), Encoders.LONG)),
+      "td_agg_udaf" -> wrap(functions.udaf(new TDigestAggregator(), Encoders.DOUBLE)),
+      "kll_agg_udaf" -> wrap(functions.udaf(new KllAggregator(), Encoders.DOUBLE)))
   }
 }

@@ -33,7 +33,10 @@ final class HllSketch private (val p: Int, private val registers: Array[Byte])
     var i = 0
     while (i < m) {
       val r = registers(i)
-      sum += java.lang.Math.pow(2.0, -r.toDouble)
+      // 2^-r via shift: r is a small non-negative int (<= 64-p+1), so
+      // 1.0/(1L << r) is bit-exact and ~10x cheaper than Math.pow —
+      // hll_estimate runs per probed row, paying all 2^p registers each
+      sum += 1.0 / (1L << r).toDouble
       if (r == 0) zeros += 1
       i += 1
     }
@@ -110,7 +113,10 @@ object HllSketch {
     val p = buf.getLong().toInt
     // header validation before allocation: corrupt p would OOM (p ~ 60)
     // or wrap (1 << p negative) instead of failing as a clean parse error
-    require(p >= 4 && p <= 21, s"corrupt HLL header: p=$p")
+    // p <= 18 is the CONSTRUCTOR invariant: admitting 19..21 here would
+    // still allocate up to 2 MB before the constructor's require fires,
+    // and the error would no longer name the input as a corrupt header
+    require(p >= 4 && p <= 18, s"corrupt HLL header: p=$p")
     require(buf.remaining() == (1 << p),
       s"corrupt HLL payload: ${buf.remaining()} register bytes for p=$p")
     val regs = new Array[Byte](1 << p)

@@ -354,6 +354,11 @@ final class KmvSketch private (
     other.flush()
     if (isEmpty && other.isEmpty) return 1.0
     if (isEmpty || other.isEmpty) return 0.0
+    // the same mode guard merge applies: long keys and byte keys hash in
+    // disjoint domains, so comparing across modes would silently report
+    // ~0.0 ("completely dissimilar") for identical underlying sets
+    require(_bytesMode == other._bytesMode,
+      "cannot compare long-keyed and byte-keyed kmv sketches")
     val cap =
       if (isExact && other.isExact) Int.MaxValue
       else math.min(k, other.k)

@@ -32,7 +32,7 @@ package graft.sketch
   * max — bounded regardless of distinct-key count. Not thread-safe
   * (one aggregation buffer per task, like the kernels).
   */
-abstract class LongPreAgg {
+abstract class LongPreAgg extends Serializable {
   import LongPreAgg._
 
   // packed layout (tab != null iff packed mode is active)

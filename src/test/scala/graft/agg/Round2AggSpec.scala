@@ -102,7 +102,11 @@ class Round2AggSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("Dataset-typed Aggregator surface: groupByKey(...).agg(agg.toColumn)") {
     import TypedAggregators._
     val ds = (1 to 1000).map(i => ((i % 4).toString, (i % 97).toLong)).toDS()
-    val typed = ds.groupByKey(_._1).mapValues(_._2)
+    // boxed values: the aggregator takes java.lang.Long so SQL NULLs can
+    // be skipped instead of crashing the deserializer (see TypedAggregators)
+    val typed = ds.groupByKey(_._1)
+      .mapValues(v => java.lang.Long.valueOf(v._2))(
+        org.apache.spark.sql.Encoders.LONG)
       .agg(new CqfLongAggregator(10, 64).toColumn.name("sk"))
       .map { case (g, bytes) =>
         (g, graft.sketch.Cqf.deserialize(bytes).distinctCount)
@@ -111,6 +115,27 @@ class Round2AggSpec extends AnyFunSuite with BeforeAndAfterAll {
     val oracle = ds.collect().groupBy(_._1)
       .map { case (g, rows) => g -> rows.map(_._2).distinct.length.toLong }
     assert(typed == oracle)
+  }
+
+  test("udaf surface skips SQL nulls like the expression surface") {
+    // the primitive-encoder registration crashed the whole query on the
+    // first NULL row ("Null value appeared in non-nullable field") where
+    // cqf_agg/hll_agg skip nulls — the two surfaces must agree
+    val df = Seq[(Int, java.lang.Long)]((1, 1L), (2, 2L), (3, null),
+      (4, 2L), (5, null), (6, 3L)).toDF("i", "x")
+    df.createOrReplaceTempView("nulludaf")
+    val r = spark.sql(
+      """SELECT cqf_distinct(cqf_agg_udaf(x)) AS du,
+        |       cqf_distinct(cqf_agg(x)) AS de,
+        |       hll_estimate(hll_agg_udaf(x)) AS hu,
+        |       td_quantile(td_agg_udaf(CAST(x AS DOUBLE)), 0.5) AS tq,
+        |       kll_n(kll_agg_udaf(CAST(x AS DOUBLE))) AS kn
+        |FROM nulludaf""".stripMargin).collect()(0)
+    assert(r.getLong(0) === 3L)
+    assert(r.getLong(0) === r.getLong(1))
+    assert(r.getLong(2) === 3L)
+    assert(r.getDouble(3) >= 1.0 && r.getDouble(3) <= 3.0)
+    assert(r.getLong(4) === 4L, "kll must count only the 4 non-null values")
   }
 
   test("sketch aggregate over a window: running exact distinct") {

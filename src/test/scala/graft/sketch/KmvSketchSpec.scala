@@ -156,6 +156,9 @@ class KmvSketchSpec extends AnyFunSuite {
     val b = KmvSketch(32)
     b.addBytes("a".getBytes("UTF-8"))
     intercept[IllegalArgumentException](s.mergeInPlace(b))
+    // jaccard across modes would silently read ~0.0 (disjoint hash
+    // domains) for identical underlying sets — same guard as merge
+    intercept[IllegalArgumentException](s.jaccard(b))
     // k mismatch: a STATELESS side is a merge identity (adopts the other),
     // real state on both sides still rejects
     assert(KmvSketch(32).mergeInPlace(KmvSketch(64)).size == 0)
