@@ -46,7 +46,10 @@ object PlanAudit {
       // round 4 (late): one-pass all-families column profile — the
       // sketch pass must stay a single Expand-free ObjectHashAggregate
       // scan; the 1-row profile/exact/check frames ride broadcasts
-      "table_profile")
+      "table_profile",
+      // round 4 (end): gap sessionization — ONE exchange keyed by
+      // entity, sort reused by the lag and running-sum window passes
+      "sessionization")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"

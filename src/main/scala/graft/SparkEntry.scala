@@ -830,6 +830,17 @@ object SparkEntry {
           (abs(col("r99") * 100L - col("n") * 99L) <= col("n") * 1L).as("ok99"))
     }),
 
+    "sessionization" -> ((s, dir) => {
+      // gap-based event sessions (30-min gap) with per-user stats — the
+      // per-session feature-extraction precursor. One shuffle of events
+      // keyed by user; the DuckDB oracle replays the identical
+      // integer-microsecond definition, so the compare is EXACT.
+      val ev = t(s, dir, "events")
+      graft.ops.SessionOps.sessionStats(ev, col("user_id"), col("ts"),
+          gapSeconds = 1800L, tieBreak = col("event_id"))
+        .withColumnRenamed("entity", "user_id")
+    }),
+
     "kll_quantiles_by_flag" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       // n counts NON-NULL values — see td_quantiles_by_event_type
@@ -1341,6 +1352,27 @@ object SparkEntry {
       """SELECT event_type, count(value) AS n,
         |TRUE AS ok50, TRUE AS ok90, TRUE AS ok99
         |FROM events GROUP BY 1""".stripMargin,
+
+    "sessionization" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |sess AS (
+        |  SELECT user_id, us,
+        |    sum(new_s) OVER (PARTITION BY user_id
+        |                     ORDER BY us, event_id) AS sid
+        |  FROM flagged),
+        |per AS (
+        |  SELECT user_id, sid, count(*) AS n_ev, max(us) - min(us) AS span_us
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        |       CAST(sum(n_ev) AS BIGINT) AS n_events,
+        |       max(n_ev) AS max_session_events, max(span_us) AS max_session_span_us
+        |FROM per GROUP BY 1""".stripMargin,
 
     "kll_quantiles_by_flag" ->
       """SELECT l_returnflag, count(l_extendedprice) AS n, TRUE AS ok50, TRUE AS ok95

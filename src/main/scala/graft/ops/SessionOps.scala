@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization — the classic event-stream operator a
+  * training/analytics pipeline runs before any per-session feature
+  * extraction: consecutive events of one entity belong to the same
+  * session while the gap between them stays within `gapSeconds`; a
+  * larger gap starts a new session.
+  *
+  * Spark-first shape: one window (partition by entity, order by event
+  * time) carrying a lag-difference flag and its running sum — Catalyst
+  * plans ONE exchange + sort reused by both window passes, so the cost
+  * at 100 TB is a single shuffle of the event table keyed by entity.
+  * Order-dependent by nature, so per-entity skew cannot be salted away
+  * (the standard sessionization trade-off: one hot entity's events
+  * sort within one task); entities are users/devices, whose per-key
+  * event counts are bounded in practice.
+  *
+  * Determinism: timestamps are compared in exact integer MICROSECONDS
+  * (`unix_micros`), and `tieBreak` totals the order for same-microsecond
+  * events — bit-identical session assignment on any engine (the gate
+  * query's DuckDB oracle replays the same definition with epoch_us). */
+object SessionOps {
+
+  /** Adds `session_idx` (0-based per entity, in time order) to `df`.
+    * A session breaks where the gap to the previous event EXCEEDS
+    * `gapSeconds` (strictly greater — a gap of exactly `gapSeconds`
+    * stays in-session). */
+  def sessionize(df: DataFrame, entity: Column, ts: Column,
+      gapSeconds: Long, tieBreak: Column): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    // unix_micros requires TIMESTAMP; parquet event times are usually
+    // TIMESTAMP_NTZ. The cast applies the session zone, but gaps and
+    // spans are DIFFERENCES, so a fixed offset cancels (run under a
+    // DST-free session zone — Verify pins UTC — for exact parity with
+    // naive-timestamp oracles)
+    val us = unix_micros(ts.cast("timestamp"))
+    val w = Window.partitionBy(entity).orderBy(us.asc, tieBreak.asc)
+    val prev = lag(us, 1).over(w)
+    val newSession =
+      when(prev.isNull || us - prev > gapSeconds * 1000000L, 1L).otherwise(0L)
+    df.withColumn("__session_new", newSession)
+      .withColumn("session_idx",
+        sum(col("__session_new")).over(w) - 1L)
+      .drop("__session_new")
+  }
+
+  /** Per-entity session statistics: session count, total events, the
+    * largest session's event count, and the longest session span in
+    * microseconds. One extra aggregation over [[sessionize]]'s output. */
+  def sessionStats(df: DataFrame, entity: Column, ts: Column,
+      gapSeconds: Long, tieBreak: Column): DataFrame = {
+    val sess = sessionize(df, entity, ts, gapSeconds, tieBreak)
+      .select(entity.as("entity"),
+        unix_micros(ts.cast("timestamp")).as("us"), col("session_idx"))
+    sess.groupBy(col("entity"), col("session_idx"))
+      .agg(count(lit(1)).as("n_ev"), (max(col("us")) - min(col("us"))).as("span_us"))
+      .groupBy(col("entity"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_ev")).as("n_events"),
+        max(col("n_ev")).as("max_session_events"),
+        max(col("span_us")).as("max_session_span_us"))
+  }
+}

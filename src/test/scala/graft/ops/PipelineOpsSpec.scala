@@ -284,6 +284,30 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fpReordered != rows(0L)._3)
   }
 
+  test("sessionization: gap splits, boundary gap stays in-session, per-user indexes") {
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    // user 1: events at 0s, 100s (same session), 2000s (> 1800s gap ->
+    // new session), 3800s (gap EXACTLY 1800s -> stays in-session)
+    // user 2: single event
+    val df = Seq(
+      (1L, t(0), 10L), (2L, t(100), 10L), (3L, t(2000), 10L),
+      (4L, t(3800), 10L), (5L, t(50), 20L)
+    ).toDF("event_id", "ts", "user_id")
+    val out = SessionOps.sessionize(df, $"user_id", $"ts", 1800L, $"event_id")
+      .select($"event_id", $"session_idx").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 0L && out(2L) == 0L, "within-gap events share session 0")
+    assert(out(3L) == 1L, "a gap over 1800s starts session 1")
+    assert(out(4L) == 1L, "a gap of exactly 1800s stays in-session")
+    assert(out(5L) == 0L, "per-user indexes start at 0")
+    val stats = SessionOps.sessionStats(df, $"user_id", $"ts", 1800L, $"event_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(stats(10L) == ((2L, 4L, 2L, 1800L * 1000000L)))
+    assert(stats(20L) == ((1L, 1L, 1L, 0L)))
+  }
+
   test("multimodal decode stub: deterministic metadata, real plumbing") {
     val df = Seq((1L, "some binary payload"), (2L, "x")).toDF("id", "text")
       .withColumn("blob", $"text".cast("binary"))
