@@ -1359,7 +1359,7 @@ object SparkEntry {
         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
         |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
         |         THEN 1 ELSE 0 END AS new_s
-        |  FROM events
+        |  FROM events WHERE ts IS NOT NULL
         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
         |sess AS (
         |  SELECT user_id, us,

@@ -103,20 +103,21 @@ private[functions] trait BinaryBytesCodegen { self: BinaryExpression =>
     else TypeCheckSuccess
   }
   def compute(a: Array[Byte], b: Array[Byte]): Array[Byte]
-  /** Total over the zero-length "no sketch" image (a merge-agg's output
-    * for a whole-null group): empty is the merge identity on either side,
-    * so unions never feed it to a kernel parse. Public: the generated
-    * code calls it on the reference object. */
-  final def combineBytes(a: Array[Byte], b: Array[Byte]): Array[Byte] =
-    if (a.length == 0) b else if (b.length == 0) a else compute(a, b)
+  // NOTE: a zero-length image deliberately fails at the kernel parse
+  // (truncated-image validation), with no "empty is identity" shortcut:
+  // identity would be UNION semantics only — cqf_intersect/cqf_diff and
+  // the non-sum cqf_union combiners would silently return the wrong
+  // sketch for an empty operand. No internal path produces the empty
+  // image (merge-aggs materialize a real default-parameter kernel,
+  // which the stateless-adopt merge rule composes safely).
   override def nullSafeEval(a: Any, b: Any): Any =
-    combineBytes(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+    compute(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
     val ref = ctx.addReferenceObj("expr", this, getClass.getName)
-    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.combineBytes($a, $b);")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
   }
 }
 

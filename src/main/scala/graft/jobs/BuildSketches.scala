@@ -257,12 +257,14 @@ object BuildSketches {
             "use a fresh checkpoint dir per kind")
         }
         // same-kind resumes with drifted parameters are rejected BEFORE
-        // any append (pre-param-tracking checkpoints skip the check —
-        // they stay resumable, the doc'd compatibility rule)
+        // any append. Pre-param-tracking partials read the column as
+        // NULL — a legacy checkpoint (or one already resumed once by
+        // newer code, mixing tagged and untagged partials) stays
+        // resumable as long as every TAGGED partial matches this run.
         if (ck.columns.contains("build_params")) {
           val params = ck.select(col("build_params")).distinct()
-            .collect().map(_.getString(0))
-          require(params.sameElements(Array(paramString(cfg))),
+            .collect().map(_.getString(0)).filter(_ != null)
+          require(params.isEmpty || params.sameElements(Array(paramString(cfg))),
             s"checkpoint at $checkpointDir was built with parameters " +
             s"'${params.mkString(",")}' but this run uses " +
             s"'${paramString(cfg)}' — appending would poison the " +

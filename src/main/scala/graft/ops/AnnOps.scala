@@ -125,6 +125,14 @@ object AnnOps {
       kmeansIters: Int = 2): DataFrame = {
     val c = nonNullVecs(corpus.select(corpusId.as("cid"), corpusVec.as("cv")), "cv")
     val codebook = ivfCodebook(corpus, corpusVec, corpusId, nCells, kmeansIters)
+    // an empty / all-null-embedding corpus seeds no codebook: the answer
+    // is "no neighbors", not an analysis failure from the (correctly)
+    // non-empty-codebook-checked nearest_centroid expression — fall back
+    // to brute force over the empty corpus, which returns the same
+    // empty frame with the right schema
+    if (codebook.isEmpty)
+      return bruteForceTopK(corpus, corpusId, corpusVec,
+        queries, queryId, queryVec, k)
     // corpus assignment: single codegen'd pass, zero shuffle
     val assigned = c.select(nearestCell(col("cv"), codebook).as("cell"),
       col("cid"), col("cv"))

@@ -38,11 +38,16 @@ object SessionOps {
     // DST-free session zone — Verify pins UTC — for exact parity with
     // naive-timestamp oracles)
     val us = unix_micros(ts.cast("timestamp"))
+    // null event times are dropped, not ordered: engines disagree on
+    // null placement (Spark orders NULLS FIRST, DuckDB NULLS LAST), so
+    // keeping them would silently break the cross-engine-identical
+    // session assignment this operator promises
+    val defined = df.where(ts.isNotNull)
     val w = Window.partitionBy(entity).orderBy(us.asc, tieBreak.asc)
     val prev = lag(us, 1).over(w)
     val newSession =
       when(prev.isNull || us - prev > gapSeconds * 1000000L, 1L).otherwise(0L)
-    df.withColumn("__session_new", newSession)
+    defined.withColumn("__session_new", newSession)
       .withColumn("session_idx",
         sum(col("__session_new")).over(w) - 1L)
       .drop("__session_new")

@@ -241,6 +241,17 @@ abstract class LongPreAgg extends Serializable {
     used = 0
   }
 
+  /** Java-serialization hook (the typed-Aggregator udaf path ships the
+    * builder as its shuffle buffer): fold the buffered counts into the
+    * sketch and release a grown table FIRST, so a partial buffer ships
+    * kilobytes of live sketch instead of megabytes of mostly-empty
+    * probe slots. Content is identical — the sketch sums occurrences. */
+  @throws[java.io.IOException]
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    drainAndShrink()
+    out.defaultWriteObject()
+  }
+
   /** [[drain]], then release a grown-but-now-sparse table back to the
     * initial size when the epoch used under 1/8 of its slots. */
   protected final def drainAndShrink(): Unit = {
@@ -274,7 +285,15 @@ final class CmsBuilder(val cms: CountMinSketch) extends LongPreAgg {
   @inline def addBytes(h1: Long, h2: Long): Unit = cms.addHash(h1, h2, 1L)
   def result(): CountMinSketch = { drainAndShrink(); cms }
   def mergeInPlace(other: CmsBuilder): CmsBuilder = {
-    result().mergeInPlace(other.result()); this
+    // the builder wraps `cms` immutably, so a merge that ADOPTS the
+    // other operand (stateless side + mismatched shape) would be
+    // silently dropped — builders always share one aggregate's config,
+    // so demand the in-place path and fail loudly otherwise
+    val merged = result().mergeInPlace(other.result())
+    require(merged eq cms,
+      "CmsBuilder merge adopted the other operand (shape mismatch?) — " +
+      "builders require identical sketch parameters")
+    this
   }
 }
 
@@ -286,6 +305,12 @@ final class BloomBuilder(val bloom: BloomSketch) extends LongPreAgg {
   @inline def addBytes(h1: Long, h2: Long): Unit = bloom.addHash(h1, h2)
   def result(): BloomSketch = { drainAndShrink(); bloom }
   def mergeInPlace(other: BloomBuilder): BloomBuilder = {
-    result().mergeInPlace(other.result()); this
+    // see CmsBuilder.mergeInPlace — an adopting merge must not be
+    // silently dropped by the immutable wrapper
+    val merged = result().mergeInPlace(other.result())
+    require(merged eq bloom,
+      "BloomBuilder merge adopted the other operand (shape mismatch?) — " +
+      "builders require identical sketch parameters")
+    this
   }
 }

@@ -102,13 +102,16 @@ class TypeGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getAs[Array[Byte]]("sk")
     val fi = graft.sketch.FrequentItems.deserialize(second)
     assert(fi.estimateBytes("x".getBytes("UTF-8")) === 2L)
-    // the union expressions additionally tolerate a zero-length "no
-    // sketch" image (external data) as the merge identity on either side
+    // a zero-length image (external data) fails LOUDLY at parse — no
+    // "empty is identity" shortcut, which would be union semantics only
+    // and silently wrong for intersect/diff/non-sum combiners
     val aBytes = merged(0).getAs[Array[Byte]]("sk")
-    val u = Seq((aBytes, Array.emptyByteArray)).toDF("a", "b")
-      .selectExpr("ss_union(a, b) AS ab", "ss_union(b, a) AS ba").collect()(0)
-    assert(java.util.Arrays.equals(u.getAs[Array[Byte]]("ab"), aBytes))
-    assert(java.util.Arrays.equals(u.getAs[Array[Byte]]("ba"), aBytes))
+    val e = intercept[Exception](Seq((aBytes, Array.emptyByteArray)).toDF("a", "b")
+      .selectExpr("ss_union(a, b) AS ab").collect())
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(m => Option(m.getMessage).getOrElse("")).mkString("; ")
+    assert(msgs.toLowerCase.contains("image") || msgs.toLowerCase.contains("magic") ||
+      msgs.toLowerCase.contains("truncat") || msgs.toLowerCase.contains("short"), msgs)
   }
 
   test("kernels: a stateless sketch with mismatched parameters is a merge identity; real state still rejects") {
