@@ -53,35 +53,67 @@ object SparkEntry {
         api.kll_quantile(col("l_extendedprice_kll"), lit(0.95)).as("e95"),
         col("l_returnflag_ss").as("flag_ss"))
 
-  /** Heavy-hitter tail shared by the cms/ss/streaming variants:
-    * candidates explode from the frequent-items summary (`skN` must
-    * carry `ss` (k=8192) and `n`), with the completeness proof as a
-    * LOUD in-query assertion — offset >= thresh (k too small, or a
-    * degenerate thresh of 0) must FAIL the query, not silently return
-    * an empty result that diverges from the exact answer. An optional
-    * `dispose` predicate (the CMS variant's estimate check) prunes
-    * candidates further; `carry` names extra skN columns it needs.
-    * The few surviving candidates broadcast into the exact recheck —
-    * one summary pass + one recheck scan, never a distinct-all-keys
-    * scan. thresh = n div 1333 (~0.075% of rows); offset <= 2N/8192
-    * keeps the margin ratio at 0.33 at every SF. */
+  /** Heavy-hitter tail shared by the cms/ss/streaming variants: "every
+    * key at least as frequent as the rank-K key" (K=15, ties included).
+    * The threshold is DATA-DERIVED — the exact count of the K-th most
+    * frequent candidate — so the query returns non-empty, assertion-
+    * bearing output at every SF (a fixed n/1333 fraction passed
+    * trivially with 0 rows at sf0.1, where per-key counts stay ~flat
+    * while n grows 100x).
+    *
+    * Shape: ONE summary pass (`skN` must carry `ss`, k=8192) gives the
+    * top-M=256 candidate pool by upper bound; the (M+1)-th entry is
+    * fetched only as the completeness WITNESS — every key outside the
+    * pool has exact <= cutoff = max(offset, ub_{M+1}), so asserting
+    * cutoff < thresh in-query proves no true heavy hitter was missed
+    * (k too small or a flat distribution must FAIL LOUDLY, not return a
+    * silently-divergent answer). The 256 candidates broadcast into the
+    * exact recheck — never a distinct-all-keys scan — and the rank-K
+    * count comes from a window over that <=256-row counted table (the
+    * single-partition sort is post-aggregation, constant-size at any
+    * corpus scale). `dispose` is an optional final-stage predicate (the
+    * CMS variant's overestimate law) over (l_partkey, cnt, thresh) plus
+    * any `carry` columns cross-joined from the 1-row skN. */
   private def heavyHittersFromSummary(fact: DataFrame, skN: DataFrame,
       queryName: String, dispose: Option[Column] = None,
-      carry: Seq[String] = Nil): DataFrame = {
-    val candidates = skN.select(
-        (explode(api.ss_topk(col("ss"), 8192)).as("e") +:
-          expr("n div 1333").as("thresh") +:
-          api.ss_offset(col("ss")).as("off") +:
-          carry.map(col)): _*)
-      .where(assert_true(col("off") < col("thresh"), lit(
-          s"$queryName: summary offset >= threshold; raise k")).isNull &&
-        col("e.ub") >= col("thresh") && dispose.getOrElse(lit(true)))
-      .select(col("e.key").as("l_partkey"), col("thresh"))
-    fact.join(broadcast(candidates), Seq("l_partkey"))
-      .groupBy(col("l_partkey").as("partkey"), col("thresh"))
-      .agg(count(lit(1)).as("cnt"))
-      .where(col("cnt") >= col("thresh"))
-      .select(col("partkey"), col("cnt"))
+      carry: Seq[String] = Nil, keyCol: String = "l_suppkey",
+      outKey: String = "suppkey"): DataFrame = {
+    val K = 15
+    val M = 256
+    // materialize the 1-row summary ONCE (the table_profile pattern):
+    // it feeds the candidate pool, the cutoff witness, and the carry
+    // columns — without this the plan re-runs the full summary scan for
+    // each consumer (4 fact scans instead of 2)
+    val sk1 = skN.localCheckpoint()
+    val entries = sk1.select(
+      posexplode(api.ss_topk(col("ss"), M + 1)).as(Seq("rank", "e")),
+      api.ss_offset(col("ss")).as("off"))
+    // keys absent from the summary have exact <= offset; summary keys
+    // outside the top-M have exact <= ub <= ub_{M+1} (lb ordering == ub
+    // ordering: ub - lb is the uniform offset)
+    val cutoff = entries.agg(
+      greatest(coalesce(max(when(col("rank") === M, col("e.ub"))), lit(0L)),
+        max(col("off"))).as("cutoff"))
+    val candidates = entries.where(col("rank") < M)
+      .select(col("e.key").as(keyCol))
+    val counted = fact.join(broadcast(candidates), Seq(keyCol))
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    // rank-K exact count among candidates == the global rank-K count
+    // whenever cutoff < thresh (asserted below): no non-candidate can
+    // out-count a candidate past the threshold
+    val wAll = Window.orderBy(col("cnt").desc, col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withThresh = counted.withColumn("thresh",
+      coalesce(nth_value(col("cnt"), K).over(wAll), min(col("cnt")).over(wAll)))
+    val base = withThresh.crossJoin(broadcast(cutoff))
+    val withCarry =
+      if (carry.isEmpty) base
+      else base.crossJoin(broadcast(sk1.select(carry.map(col): _*)))
+    withCarry
+      .where(assert_true(col("cutoff") < col("thresh"), lit(
+          s"$queryName: candidate-pool cutoff >= rank-$K threshold; raise M or k")).isNull &&
+        col("cnt") >= col("thresh") && dispose.getOrElse(lit(true)))
+      .select(col(keyCol).as(outKey), col("cnt"))
   }
 
   // ------------------------------------------------------------------
@@ -432,7 +464,7 @@ object SparkEntry {
       val q = s.readStream.schema(schema)
         .option("pathGlobFilter", "lineitem.parquet").parquet(dir)
         .groupBy()
-        .agg(api.ss_agg(col("l_partkey"), 8192).as("ss"), count(lit(1)).as("n"))
+        .agg(api.ss_agg(col("l_suppkey"), 8192).as("ss"), count(lit(1)).as("n"))
         .writeStream.format("memory").queryName("graft_stream_hh")
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -604,22 +636,26 @@ object SparkEntry {
     // partial-merge order.
     "cms_heavy_hitters" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-      val skN = li.agg(api.cms_agg(col("l_partkey"), 5, 8192).as("cms"),
-        api.ss_agg(col("l_partkey"), 8192).as("ss"),
+      val skN = li.agg(api.cms_agg(col("l_suppkey"), 5, 8192).as("cms"),
+        api.ss_agg(col("l_suppkey"), 8192).as("ss"),
         count(lit(1)).as("n"))
       heavyHittersFromSummary(li, skN, "cms_heavy_hitters",
-        dispose = Some(api.cms_estimate(col("cms"), col("e.key")) >= col("thresh")),
+        // CMS as the disposer: its estimate never underestimates, so a
+        // surviving heavy hitter (cnt >= thresh) must also clear the
+        // threshold through the CMS — a broken CMS drops rows and fails
+        // the exact oracle compare
+        dispose = Some(api.cms_estimate(col("cms"), col("l_suppkey")) >= col("thresh")),
         carry = Seq("cms"))
     }),
 
     // ---- frequent items (SpaceSaving/Misra-Gries): heavy hitters ----
-    // Pure ss path: summary -> candidates (ub >= thresh, completeness
-    // proven by offset < thresh in the same row) -> broadcast exact
-    // recheck. One scan + k counters; scale-invariant margin (thresh
-    // grows as N/1333, offset as <= 2N/8192 — ratio 0.33 at every SF).
+    // Pure ss path: summary -> top-M candidate pool (completeness
+    // proven by the cutoff witness, see heavyHittersFromSummary) ->
+    // broadcast exact recheck -> rank-K data-derived threshold. One
+    // scan + k counters; non-empty exact output at every SF.
     "ss_heavy_hitters" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-      val skN = li.agg(api.ss_agg(col("l_partkey"), 8192).as("ss"),
+      val skN = li.agg(api.ss_agg(col("l_suppkey"), 8192).as("ss"),
         count(lit(1)).as("n"))
       heavyHittersFromSummary(li, skN, "ss_heavy_hitters")
     }),
@@ -1284,8 +1320,10 @@ object SparkEntry {
         |TRUE AS wang_roundtrip_ok""".stripMargin,
 
     "cms_heavy_hitters" ->
-      """SELECT l_partkey AS partkey, count(*) AS cnt FROM lineitem GROUP BY 1
-        |HAVING count(*) >= (SELECT count(*) // 1333 FROM lineitem)""".stripMargin,
+      """SELECT l_suppkey AS suppkey, count(*) AS cnt FROM lineitem GROUP BY 1
+        |HAVING count(*) >= (SELECT min(cnt) FROM (
+        |  SELECT count(*) AS cnt FROM lineitem GROUP BY l_suppkey
+        |  ORDER BY cnt DESC LIMIT 15) topk)""".stripMargin,
 
     "cms_topk_estimates" ->
       """SELECT l_suppkey, count(*) AS exact_cnt, TRUE AS cms_ok
@@ -1293,8 +1331,10 @@ object SparkEntry {
         |ORDER BY exact_cnt DESC, l_suppkey LIMIT 10""".stripMargin,
 
     "ss_heavy_hitters" ->
-      """SELECT l_partkey AS partkey, count(*) AS cnt FROM lineitem GROUP BY 1
-        |HAVING count(*) >= (SELECT count(*) // 1333 FROM lineitem)""".stripMargin,
+      """SELECT l_suppkey AS suppkey, count(*) AS cnt FROM lineitem GROUP BY 1
+        |HAVING count(*) >= (SELECT min(cnt) FROM (
+        |  SELECT count(*) AS cnt FROM lineitem GROUP BY l_suppkey
+        |  ORDER BY cnt DESC LIMIT 15) topk)""".stripMargin,
 
     "ss_topk_guarantees" ->
       """SELECT l_suppkey, count(*) AS exact_cnt, TRUE AS ss_ok
@@ -1302,8 +1342,10 @@ object SparkEntry {
         |ORDER BY exact_cnt DESC, l_suppkey LIMIT 10""".stripMargin,
 
     "streaming_heavy_hitters" ->
-      """SELECT l_partkey AS partkey, count(*) AS cnt FROM lineitem GROUP BY 1
-        |HAVING count(*) >= (SELECT count(*) // 1333 FROM lineitem)""".stripMargin,
+      """SELECT l_suppkey AS suppkey, count(*) AS cnt FROM lineitem GROUP BY 1
+        |HAVING count(*) >= (SELECT min(cnt) FROM (
+        |  SELECT count(*) AS cnt FROM lineitem GROUP BY l_suppkey
+        |  ORDER BY cnt DESC LIMIT 15) topk)""".stripMargin,
 
     "ss_packed_parity" ->
       """SELECT count(*) AS n_rows, TRUE AS packed_parity_ok, TRUE AS total_ok

@@ -143,17 +143,34 @@ final class FrequentItems private (
     }
   }
 
-  /** Upper-bound estimate (the SpaceSaving count): count + offset when
-    * present, offset when absent. */
-  def estimate(key: Long): Long = {
+  // probing across key modes hashes in a DISJOINT domain and would
+  // silently return offset — a plausible but meaningless count — so the
+  // probe API enforces the mode the same way kmv_jaccard does. An empty
+  // sketch answers either mode (offset is the same for any key).
+  @inline private def requireLongMode(): Unit = require(!_bytesMode,
+    "long-key probe of a byte-keyed frequent-items sketch")
+  @inline private def requireBytesMode(): Unit = require(_bytesMode || _size == 0,
+    "byte-key probe of a long-keyed frequent-items sketch")
+  @inline private def estimateCanonical(key: Long): Long = {
     val s = slotOf(key)
     if (mapUsed(s)) mapCounts(s) + _offset else _offset
   }
-  def estimateBytes(b: Array[Byte]): Long =
-    estimate(WangHash.mixBytes(b, FrequentItems.KeySeed))
+  /** Upper-bound estimate (the SpaceSaving count): count + offset when
+    * present, offset when absent. */
+  def estimate(key: Long): Long = { requireLongMode(); estimateCanonical(key) }
+  def estimateBytes(b: Array[Byte]): Long = {
+    requireBytesMode()
+    estimateCanonical(WangHash.mixBytes(b, FrequentItems.KeySeed))
+  }
   /** Lower bound: guaranteed-at-least count (0 when absent). */
   def lowerBound(key: Long): Long = {
+    requireLongMode()
     val s = slotOf(key)
+    if (mapUsed(s)) mapCounts(s) else 0L
+  }
+  def lowerBoundBytes(b: Array[Byte]): Long = {
+    requireBytesMode()
+    val s = slotOf(WangHash.mixBytes(b, FrequentItems.KeySeed))
     if (mapUsed(s)) mapCounts(s) else 0L
   }
 

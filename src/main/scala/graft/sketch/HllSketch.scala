@@ -121,6 +121,18 @@ object HllSketch {
       s"corrupt HLL payload: ${buf.remaining()} register bytes for p=$p")
     val regs = new Array[Byte](1 << p)
     buf.get(regs)
+    // payload semantics, not just shape: every register is a rho value in
+    // [0, 64-p+1] (addHash's own clamp). A forged register >= 64 would
+    // wrap the shift-based 1.0/(1L << r) estimate (shift mod 64) and a
+    // negative byte would drive it negative — both yield plausible-
+    // looking nonsense instead of a parse error.
+    val maxRho = 64 - p + 1
+    var i = 0
+    while (i < regs.length) {
+      require(regs(i) >= 0 && regs(i) <= maxRho,
+        s"corrupt HLL payload: register $i = ${regs(i)} outside [0, $maxRho]")
+      i += 1
+    }
     new HllSketch(p, regs)
   }
 }

@@ -65,8 +65,10 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("heavy-hitter candidates come from the summary, not a distinct key scan") {
     // old shape scanned lineitem a 3rd time just to enumerate distinct
-    // keys (billions of rows at 100 TB); the summary shape is 2 scans
-    // (sketch pass + exact recheck) with candidates exploded from ss_topk
+    // keys (billions of rows at 100 TB); the summary shape is 2 scans —
+    // the sketch pass (materialized once via localCheckpoint, so it sits
+    // BEFORE the visible plan) + the exact recheck — with candidates
+    // exploded from ss_topk
     for (name <- Seq("cms_heavy_hitters", "ss_heavy_hitters")) {
       val plan = SparkEntry.queries(name)(spark, dir)
         .queryExecution.explainString(

@@ -181,6 +181,25 @@ class FrequentItemsSpec extends AnyFunSuite {
     assert(FrequentItems(8).mergeInPlace(f.copied).textKeys)
   }
 
+  test("probes enforce key mode: cross-mode probes reject instead of returning offset") {
+    val longs = FrequentItems(32) // k > distinct keys: exact, offset 0
+    (1L to 20L).foreach(longs.add(_))
+    val bytes = FrequentItems(8)
+    Seq("alpha", "beta").foreach(w => bytes.addBytes(w.getBytes("UTF-8")))
+    // probing across modes hashes in a disjoint domain — before the
+    // guard it silently returned offset, a plausible but meaningless count
+    intercept[IllegalArgumentException](bytes.estimate(1L))
+    intercept[IllegalArgumentException](bytes.lowerBound(1L))
+    intercept[IllegalArgumentException](longs.estimateBytes("alpha".getBytes("UTF-8")))
+    intercept[IllegalArgumentException](longs.lowerBoundBytes("alpha".getBytes("UTF-8")))
+    // matched-mode probes still answer; an empty sketch answers either mode
+    assert(longs.estimate(1L) === 1L)
+    assert(bytes.estimateBytes("alpha".getBytes("UTF-8")) === 1L)
+    assert(bytes.lowerBoundBytes("beta".getBytes("UTF-8")) === 1L)
+    assert(FrequentItems(8).estimate(5L) === 0L)
+    assert(FrequentItems(8).estimateBytes("x".getBytes("UTF-8")) === 0L)
+  }
+
   test("byte-mode image truncated inside the variable-length section rejects cleanly") {
     val f = FrequentItems(8)
     Seq("alpha", "beta", "gamma").foreach(w => f.addBytes(w.getBytes("UTF-8")))

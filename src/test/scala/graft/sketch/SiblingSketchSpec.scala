@@ -204,6 +204,12 @@ class SiblingSketchSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](HllSketch.deserialize(badP))
     intercept[IllegalArgumentException](
       HllSketch.deserialize(java.util.Arrays.copyOf(okH, okH.length - 7)))
+    // payload semantics: a register above the rank invariant (64-p+1)
+    // wraps the shift-based estimate; a negative one drives it negative
+    val badReg = okH.clone(); badReg(16) = 64.toByte
+    intercept[IllegalArgumentException](HllSketch.deserialize(badReg))
+    val negReg = okH.clone(); negReg(16) = (-3).toByte
+    intercept[IllegalArgumentException](HllSketch.deserialize(negReg))
 
     val k = KllSketch(200)
     (0 until 500).foreach(i => k.add(i.toDouble))
