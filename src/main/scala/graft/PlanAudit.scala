@@ -49,7 +49,26 @@ object PlanAudit {
       "table_profile",
       // round 4 (end): gap sessionization — ONE exchange keyed by
       // entity, sort reused by the lag and running-sum window passes
-      "sessionization")
+      "sessionization",
+      // round 5: quantile families over a sliding window frame — one
+      // exchange + one Window node evaluating both sketches per frame
+      "window_quantile_running")
+
+  /** EVERY query — EXPLAIN.md records all of them (round-5 VERDICT #5);
+    * the generic PlanGuardSpec discipline (no sort-merge joins, no
+    * cartesian products) is asserted over this full list, while `picks`
+    * keeps the queries with additional targeted shape assertions.
+    *
+    * Two caveats a reader of EXPLAIN.md needs: (a) the streaming queries
+    * EXECUTE their stream when constructed, so the recorded plan is the
+    * batch side that consumes the memory-sink snapshot (the stream's own
+    * incremental plan is driven by the engine per microbatch); (b)
+    * queries that localCheckpoint a summary (heavy hitters, kmv,
+    * table_profile, dedup_incremental's state build) run that stage
+    * eagerly, so the recorded plan starts from the materialized frame —
+    * the pre-materialization shapes are asserted separately in
+    * PlanGuardSpec. */
+  def all: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
@@ -67,8 +86,15 @@ object PlanAudit {
     sb.append("ReadSchema/PushedFilters; dimension joins must be ")
     sb.append("BroadcastHashJoin; sketch aggregates appear as ")
     sb.append("ObjectHashAggregate with partial/final split; row-level ")
-    sb.append("expressions sit inside WholeStageCodegen spans.\n")
-    picks.foreach { name =>
+    sb.append("expressions sit inside WholeStageCodegen spans.\n\n")
+    sb.append("All queries are recorded. Streaming queries execute their ")
+    sb.append("stream at construction, so the recorded plan is the batch ")
+    sb.append("side over the memory-sink snapshot; queries that ")
+    sb.append("localCheckpoint a 1-row summary (heavy hitters, kmv, ")
+    sb.append("table_profile) or build state eagerly (dedup_incremental) ")
+    sb.append("record the post-materialization plan — their ")
+    sb.append("pre-materialization shapes are asserted in PlanGuardSpec.\n")
+    all.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)

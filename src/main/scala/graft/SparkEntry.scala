@@ -572,6 +572,32 @@ object SparkEntry {
           .as("running_distinct_users"))
     }),
 
+    "window_quantile_running" -> ((s, dir) => {
+      // order-statistics families over a WINDOW FRAME: running p50 of
+      // value per event_type across the trailing 100 rows. The frame
+      // (<= 100 items) sits below KLL k=256 level-0 capacity, so the
+      // sketch retains every frame value and its quantile rule is the
+      // deterministic "sorted item at 1-based index ceil(q*n)" — which
+      // the DuckDB oracle replays verbatim (list window agg + list_sort),
+      // making the window-frame path of the quantile families EXACTLY
+      // gated, not just bound-checked. The t-digest estimate from the
+      // same frame is bound-checked between the exact 25th and 75th
+      // percentiles (its p50 rank error at c=100 is ~n/200 — the
+      // quartile bracket holds with wide margin even at frame size 2).
+      // Null values are filtered BEFORE windowing so both engines see
+      // identical frames (kll_agg skips nulls; DuckDB list() keeps them).
+      val ev = t(s, dir, "events")
+        .where(col("event_id") < 3000 && col("value").isNotNull)
+      val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+        .rowsBetween(-99, Window.currentRow)
+      val kll = api.kll_agg(col("value"), 256).over(w)
+      val td = api.td_quantile(api.td_agg(col("value"), 100.0).over(w), lit(0.5))
+      ev.select(col("event_type"), col("event_id"),
+        api.kll_quantile(kll, lit(0.5)).as("p50"),
+        (td >= api.kll_quantile(kll, lit(0.25)) &&
+          td <= api.kll_quantile(kll, lit(0.75))).as("td_ok"))
+    }),
+
     "sketch_union_probes" -> ((s, dir) => {
       // the binary union expressions + remaining probes, end-to-end:
       // build each sketch over two disjoint halves, union them, and
@@ -1006,6 +1032,30 @@ object SparkEntry {
         col("doc_id"), k = 3, bands = 16, rowsPerBand = 4, threshold = 0.8)
     }),
 
+    "dedup_incremental" -> ((s, dir) => {
+      // the GROWING-corpus near-dup pipeline: three ingest batches
+      // (doc_id mod 3) into a fresh signature/pair store, each paying
+      // only its NEW x ALL LSH join — old x old pairs are never
+      // re-proposed. The accumulated pair set must hash-match the SAME
+      // from-scratch all-pairs oracle as minhash_lsh_candidates (same
+      // params, so the recall/cap margins are identical): incremental
+      // construction is gated end-to-end exact, the streaming_heavy_
+      // hitters pattern applied to dedup. State goes to a throwaway dir
+      // here; production points it at durable storage and feeds real
+      // shards (resume/idempotence contract in IncrementalDedupSpec).
+      val docs = t(s, dir, "documents")
+      val state = java.nio.file.Files
+        .createTempDirectory("graft_inc_dedup").toString
+      val cfg = graft.ops.IncrementalDedup.Config(
+        k = 3, bands = 16, rowsPerBand = 4, threshold = 0.8)
+      (0 until 3).foreach { b =>
+        graft.ops.IncrementalDedup.run(s,
+          docs.where(pmod(col("doc_id"), lit(3)) === b),
+          TextOps.tokens(col("text")), col("doc_id"), state, s"batch_$b", cfg)
+      }
+      graft.ops.IncrementalDedup.allPairs(s, state)
+    }),
+
     "simhash_near_dups" -> ((s, dir) => {
       // simhash 16-bit-band prefilter (guaranteed Hamming<=3) ensembled
       // with a minhash proposer for the short-doc regime, exact
@@ -1390,6 +1440,20 @@ object SparkEntry {
         |       TRUE AS est_ok, TRUE AS both_exact
         |FROM p""".stripMargin,
 
+    // the KLL exact-mode quantile rule replayed verbatim: sorted frame
+    // item at 1-based index ceil(q*n); td_ok is the in-query bound check
+    "window_quantile_running" ->
+      """WITH f AS (SELECT event_type, event_id, value FROM events
+        |           WHERE event_id < 3000 AND value IS NOT NULL),
+        |l AS (SELECT event_type, event_id,
+        |        list(value) OVER (PARTITION BY event_type ORDER BY event_id
+        |          ROWS BETWEEN 99 PRECEDING AND CURRENT ROW) AS vals
+        |      FROM f)
+        |SELECT event_type, event_id,
+        |  list_sort(vals)[CAST(ceil(0.5 * len(vals)) AS BIGINT)] AS p50,
+        |  TRUE AS td_ok
+        |FROM l""".stripMargin,
+
     "td_quantiles_by_event_type" ->
       """SELECT event_type, count(value) AS n,
         |TRUE AS ok50, TRUE AS ok90, TRUE AS ok99
@@ -1479,6 +1543,18 @@ object SparkEntry {
         |FROM reach GROUP BY id HAVING id <> min(r)""".stripMargin,
 
     "minhash_lsh_candidates" -> (gramCte +
+      """
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS inter,
+        |CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS BIGINT) AS uni
+        |FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |WHERE len(list_distinct(list_concat(a.grams, b.grams))) > 0
+        |AND len(list_intersect(a.grams, b.grams)) * 1000000
+        |    >= 800000 * len(list_distinct(list_concat(a.grams, b.grams)))""".stripMargin),
+
+    // identical to minhash_lsh_candidates' all-pairs oracle: the
+    // incremental build must converge to the from-scratch answer
+    "dedup_incremental" -> (gramCte +
       """
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS inter,

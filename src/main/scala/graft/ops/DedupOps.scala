@@ -54,7 +54,7 @@ object DedupOps {
     * self-join O(bucket²); such content is exact-dup territory and is
     * handled by [[exactDedup]] upstream. One aggregation on the same keys
     * as the subsequent join — AQE plans them as one exchange. */
-  private def capBuckets(banded: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+  private[ops] def capBuckets(banded: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
     val sizes = banded.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("bsz"))
       .where(col("bsz") <= cap)
@@ -116,7 +116,7 @@ object DedupOps {
       bands, rowsPerBand, threshold, bucketCap)
 
   /** Band the signature table: one row per (id, band, bucket). */
-  private def bandSignatures(sigged: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+  private[ops] def bandSignatures(sigged: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
     sigged.select(
       col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -170,7 +170,7 @@ object DedupOps {
     * when input ids are duplicated (the grams joins then fan each pair
     * out once per duplicate row); it dedupes only the few VERIFIED rows,
     * so the cost is negligible. */
-  private def verifyByJaccard(pairs: DataFrame, grams: DataFrame,
+  private[ops] def verifyByJaccard(pairs: DataFrame, grams: DataFrame,
       threshold: Double): DataFrame = {
     val thrPpm = math.round(threshold * 1000000L)
     joinPairPayload(pairs, grams.select(col("id"), col("grams").as("g")), Seq("g"))

@@ -1,0 +1,262 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Incremental MinHash-LSH near-dup dedup over a GROWING corpus — the
+  * production shape for a 100 TB training set that gains a shard per day.
+  *
+  * The batch pipeline ([[DedupOps.minhashVerifiedPairs]]) re-shingles,
+  * re-signs, and re-LSH-joins the WHOLE corpus on every run: adding a 1%
+  * delta costs 100% of the work. This job instead persists the per-doc
+  * signature state once and makes each delta pay only for itself:
+  *
+  *  - `signatures/` — one row per document ever ingested: (id, minhash
+  *    signature, sorted shingle-hash set), partitioned by the batch that
+  *    brought it, with full lineage (batch id, params, order-insensitive
+  *    input hash via the commit marker). Written ONCE per document; never
+  *    rewritten by later batches. This is the reopen-and-continue
+  *    persistence the reference applies to its filter state
+  *    (/root/reference/src/cqf/u64_cqf.rs:46-93: new_file → open_file →
+  *    keep inserting), applied to the dedup pipeline's state.
+  *  - `pairs/` — the exact-verified near-dup pairs, appended per batch.
+  *  - `batches/` — one commit-marker row per completed batch (batch id,
+  *    doc count, input hash, params), appended AFTER the batch's pairs:
+  *    a batch is done iff its marker exists, so a kill at any point
+  *    leaves a state a re-run completes to the identical answer.
+  *
+  * Per delta the work is: sign the NEW docs (one pass over the delta),
+  * band new + stored signatures, and bucket-join NEW × ALL — old×old
+  * pairs were settled by earlier batches and are never re-proposed. The
+  * exact shingle-Jaccard recheck then disposes candidates exactly as in
+  * the batch pipeline. Connected components over the ACCUMULATED pair set
+  * stay cheap by construction — near-dup edges above a high threshold are
+  * a tiny fraction of the corpus, and [[DedupOps.connectedComponents]] is
+  * log-round — so "pairs + CC delta" is delta-proportional in the only
+  * stage that was corpus-proportional (the LSH propose/dispose).
+  *
+  * Batch-composition law (why incremental ≡ from-scratch): every unordered
+  * pair lands in exactly one batch — (old, old) in the earlier batch that
+  * completed it, (new, old) and (new, new) in the new batch's NEW × ALL
+  * join — so the union over batches is the full pair set, and the gate
+  * query hash-matches the from-scratch all-pairs oracle. One documented
+  * asymmetry: [[DedupOps.capBuckets]] drops over-cap buckets at propose
+  * time, and pairs once verified are never retracted — if a bucket crosses
+  * the cap only after later growth, a from-scratch run drops ALL its
+  * pairs while the incremental state keeps those verified while it was
+  * small (append-monotone output; equality holds whenever no bucket
+  * exceeds the cap, which the gate data satisfies and IncrementalDedupSpec
+  * pins).
+  *
+  * Resume/idempotence contract (mirrors jobs/BuildSketches):
+  *  - a batch id already committed re-runs as a no-op (input-hash checked:
+  *    reusing a batch id for DIFFERENT input rejects loudly);
+  *  - a kill between the signature append and the pair append resumes by
+  *    recomputing the batch's pairs FROM THE STORE (the store, not the
+  *    caller's input, is the source of truth; the input must hash-match
+  *    what was signed);
+  *  - a kill between the pair append and the commit marker re-appends the
+  *    identical pair rows; [[allPairs]] reads through a (id_a, id_b)
+  *    dropDuplicates so the double append is invisible;
+  *  - params drift (bands, k, threshold...) against stored state rejects
+  *    before any append — mixed-parameter signatures are not comparable;
+  *  - document ids must be globally unique across batches (the pair-op
+  *    contract, [[DedupOps.joinPairPayload]]): a new batch carrying an id
+  *    the store already holds rejects loudly.
+  */
+object IncrementalDedup {
+
+  /** Same knobs (and defaults) as [[DedupOps.minhashVerifiedPairs]]. */
+  final case class Config(
+      k: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.8,
+      bucketCap: Int = 5000)
+
+  /** Canonical parameter encoding — the BuildSketches.paramString pattern:
+    * recorded in every signature row and commit marker, validated before
+    * any append so a drifted config cannot poison the store. */
+  private[ops] def paramString(cfg: Config): String =
+    s"mhlsh;k=${cfg.k};b=${cfg.bands};r=${cfg.rowsPerBand};" +
+      s"t=${math.round(cfg.threshold * 1000000L)};cap=${cfg.bucketCap}"
+
+  private def sigPath(stateDir: String) = s"$stateDir/signatures"
+  private def pairPath(stateDir: String) = s"$stateDir/pairs"
+  private def batchPath(stateDir: String) = s"$stateDir/batches"
+
+  /** Read a state table if the directory holds VISIBLE data entries (the
+    * BuildSketches guard: `_temporary/` from a killed first append or a
+    * lone `_SUCCESS` from an empty one is NOT data). */
+  private def readIfAny(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val path = new org.apache.hadoop.fs.Path(dir)
+    if (fs.exists(path) && fs.listStatus(path).exists { st =>
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        })
+      Some(spark.read.parquet(dir))
+    else None
+  }
+
+  private val pairSchema = StructType(Seq(
+    StructField("id_a", LongType), StructField("id_b", LongType),
+    StructField("inter", LongType), StructField("uni", LongType)))
+
+  /** All exact-verified near-dup pairs accumulated in `stateDir`:
+    * (id_a, id_b, inter, uni), id_a < id_b, distinct. */
+  def allPairs(spark: SparkSession, stateDir: String): DataFrame =
+    readIfAny(spark, pairPath(stateDir))
+      // a kill between the pair append and the commit marker re-appends
+      // the batch's identical rows on resume — collapse by pair key
+      .map(_.dropDuplicates("id_a", "id_b")
+        .select(col("id_a"), col("id_b"), col("inter"), col("uni")))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], pairSchema))
+
+  /** Near-dup clusters over everything ingested so far: (id, component,
+    * kept) — [[DedupOps.dedupByPairs]] over the accumulated pair set,
+    * nodes drawn from the signature store. The CC input is the (tiny)
+    * edge set, so re-deriving clusters after a delta costs O(edges), not
+    * a corpus re-scan. */
+  def clusters(spark: SparkSession, stateDir: String): DataFrame = {
+    val nodes = readIfAny(spark, sigPath(stateDir))
+      .map(_.select(col("id")).distinct())
+      .getOrElse(spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("id", LongType)))))
+    DedupOps.dedupByPairs(nodes, allPairs(spark, stateDir))
+  }
+
+  /** Ingest one batch and return [[allPairs]] over the grown corpus.
+    *
+    * @param df      the NEW documents only (the delta)
+    * @param tokens  token-array column (e.g. `TextOps.tokens(col("text"))`)
+    * @param id      globally-unique LONG document id
+    * @param batchId caller-chosen batch name (shard date, ingest run id);
+    *                re-running a committed batchId with identical input is
+    *                a no-op, with different input an error
+    */
+  def run(spark: SparkSession, df: DataFrame, tokens: Column, id: Column,
+      stateDir: String, batchId: String, cfg: Config = Config()): DataFrame = {
+    require(batchId.nonEmpty, "batchId must be non-empty")
+    val params = paramString(cfg)
+    val nHashes = cfg.bands * cfg.rowsPerBand
+
+    // ---- validate stored state against this run's config ----
+    val existingSigs = readIfAny(spark, sigPath(stateDir))
+    existingSigs.foreach { st =>
+      val stored = st.select(col("dedup_params")).distinct()
+        .collect().map(_.getString(0))
+      require(stored.forall(_ == params),
+        s"state at $stateDir was built with parameters " +
+          s"'${stored.mkString(",")}' but this run uses '$params' — " +
+          "mixed-parameter signatures are not comparable; resume with " +
+          "the original config or rebuild from a fresh state dir")
+    }
+    val committed: Map[String, (Long, Long)] =
+      readIfAny(spark, batchPath(stateDir)).map {
+        _.select(col("batch_id"), col("input_hash"), col("n_docs"))
+          .collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      }.getOrElse(Map.empty)
+
+    // the delta's fingerprint — needed for the commit marker and every
+    // idempotence check, so the one aggregation pass is paid up front
+    val newBase = df.select(id.as("id"),
+      DedupOps.shingleMinhashSig(tokens, cfg.k, nHashes).as("sig"),
+      DedupOps.shingleHashSet(tokens, cfg.k).as("grams"))
+    val fpRow = newBase.agg(
+      coalesce(expr("bit_xor(xxhash64(id))"), lit(0L)).as("h"),
+      count(lit(1)).as("n")).head()
+    val (inHash, inCount) = (fpRow.getLong(0), fpRow.getLong(1))
+
+    committed.get(batchId) match {
+      case Some((h, n)) =>
+        require(h == inHash && n == inCount,
+          s"batch '$batchId' is already committed in $stateDir with a " +
+            s"DIFFERENT input (hash/count ${h}/${n} vs ${inHash}/${inCount}) " +
+            "— batch ids must be stable per input shard")
+        return allPairs(spark, stateDir) // idempotent re-run
+      case None => ()
+    }
+
+    // ---- stage 1: signature append (skipped when resuming past it) ----
+    val alreadySigned = existingSigs.exists(
+      _.where(col("batch_id") === batchId).take(1).nonEmpty)
+    if (alreadySigned) {
+      // killed between the signature append and the pair append: the
+      // STORE is the source of truth for this batch's members — require
+      // the caller's input to be the same shard that was signed
+      val st = existingSigs.get.where(col("batch_id") === batchId)
+      val r = st.agg(coalesce(expr("bit_xor(xxhash64(id))"), lit(0L)),
+        count(lit(1))).head()
+      require(r.getLong(0) == inHash && r.getLong(1) == inCount,
+        s"resuming batch '$batchId' in $stateDir: the signed state " +
+          s"(hash/count ${r.getLong(0)}/${r.getLong(1)}) does not match " +
+          s"this run's input (${inHash}/${inCount}) — the input shard " +
+          "changed between the kill and the resume")
+    } else {
+      // id-uniqueness guard (the pair-op contract): a duplicated id would
+      // silently fan pairs out through the payload re-joins
+      existingSigs.foreach { st =>
+        val clash = st.select(col("id"))
+          .join(newBase.select(col("id")), Seq("id"), "left_semi").take(1)
+        require(clash.isEmpty,
+          s"batch '$batchId' carries document id ${clash.headOption.map(_.get(0))} " +
+            s"already present in $stateDir — ids must be globally unique " +
+            "across batches")
+      }
+      newBase
+        .withColumn("batch_id", lit(batchId))
+        .withColumn("dedup_params", lit(params))
+        .write.mode(SaveMode.Append).partitionBy("batch_id")
+        .parquet(sigPath(stateDir))
+    }
+
+    // ---- stage 2: NEW × ALL candidate pairs from the store ----
+    // read back through the store so a resume and a straight-through run
+    // band the exact same rows
+    val store = spark.read.parquet(sigPath(stateDir))
+    val bandedAll = DedupOps.bandSignatures(
+      store.select(col("id"), col("sig")), cfg.bands, cfg.rowsPerBand)
+    val bandedNew = DedupOps.bandSignatures(
+      store.where(col("batch_id") === batchId).select(col("id"), col("sig")),
+      cfg.bands, cfg.rowsPerBand)
+    // the cap must see FULL bucket sizes (old + new): guard the ALL side
+    // once and semi-join the new side onto the surviving buckets, so a
+    // hot bucket is dropped from both sides of the join consistently
+    val keys = Seq("band", "bucket")
+    val guardedAll = DedupOps.capBuckets(bandedAll, keys, cfg.bucketCap)
+    val guardedNew = bandedNew.join(
+      guardedAll.select(keys.map(col): _*).distinct(), keys, "left_semi")
+    val candidates = guardedNew
+      .select(keys.map(col) :+ col("id").as("id_n"): _*)
+      .join(guardedAll.select(keys.map(col) :+ col("id").as("id_o"): _*), keys)
+      .where(col("id_n") =!= col("id_o"))
+      // normalize: new-new pairs arrive in both orientations, new-old in one
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"))
+      .distinct()
+
+    // ---- stage 3: exact shingle-Jaccard recheck + pair append ----
+    val verified = DedupOps.verifyByJaccard(candidates,
+      store.select(col("id"), col("grams")), cfg.threshold)
+    verified.withColumn("batch_id", lit(batchId))
+      .write.mode(SaveMode.Append).partitionBy("batch_id")
+      .parquet(pairPath(stateDir))
+
+    // ---- stage 4: commit marker — the batch is now done ----
+    val marker = spark.createDataFrame(
+      java.util.Arrays.asList(Row(batchId, inCount, inHash, params)),
+      StructType(Seq(
+        StructField("batch_id", StringType),
+        StructField("n_docs", LongType),
+        StructField("input_hash", LongType),
+        StructField("dedup_params", StringType))))
+    marker.write.mode(SaveMode.Append).parquet(batchPath(stateDir))
+
+    allPairs(spark, stateDir)
+  }
+}

@@ -28,7 +28,13 @@ object SessionOps {
   /** Adds `session_idx` (0-based per entity, in time order) to `df`.
     * A session breaks where the gap to the previous event EXCEEDS
     * `gapSeconds` (strictly greater — a gap of exactly `gapSeconds`
-    * stays in-session). */
+    * stays in-session).
+    *
+    * Skew: one adversarially hot entity (a bot, a shared device id) puts
+    * its ENTIRE event history into one task — for such workloads use
+    * [[sessionizeDayBounded]], which bounds per-task work to one
+    * entity-day at the documented cost of splitting midnight-crossing
+    * sessions. */
   def sessionize(df: DataFrame, entity: Column, ts: Column,
       gapSeconds: Long, tieBreak: Column): DataFrame = {
     require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
@@ -50,6 +56,45 @@ object SessionOps {
     defined.withColumn("__session_new", newSession)
       .withColumn("session_idx",
         sum(col("__session_new")).over(w) - 1L)
+      .drop("__session_new")
+  }
+
+  /** Skew-bounded sessionization for ADVERSARIAL keys: windows partition
+    * by (entity, UTC day) instead of entity alone, so a hot entity's
+    * history spreads across one task per day — per-task work is bounded
+    * by one entity-day however hot the key, which is the guarantee plain
+    * [[sessionize]] cannot give (order-dependence makes per-key salting
+    * impossible there).
+    *
+    * The documented trade-off: a session crossing a day boundary SPLITS
+    * into one session per day (the first event after midnight starts a
+    * new session even when its gap is within `gapSeconds`). For human
+    * entities with night gaps the two operators agree almost everywhere;
+    * for bots that never pause, this variant is the one that finishes.
+    * Day bucketing is exact integer arithmetic on epoch microseconds
+    * (floor-division, correct for pre-1970 timestamps too) — engine-
+    * agnostic like the rest of the module.
+    *
+    * Output: `session_day` (epoch days) and `session_idx` (0-based per
+    * (entity, day)); a global session key is (entity, session_day,
+    * session_idx). */
+  def sessionizeDayBounded(df: DataFrame, entity: Column, ts: Column,
+      gapSeconds: Long, tieBreak: Column): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    require(gapSeconds < 86400L,
+      s"gapSeconds must be under a day for day-bounded sessions, got $gapSeconds")
+    val us = unix_micros(ts.cast("timestamp"))
+    // floor division (pmod idiom): integer `/` truncates toward zero,
+    // which would round pre-epoch timestamps into the WRONG day
+    val day = ((us - pmod(us, lit(86400000000L))) / 86400000000L).cast("long")
+    val defined = df.where(ts.isNotNull)
+    val w = Window.partitionBy(entity, day).orderBy(us.asc, tieBreak.asc)
+    val prev = lag(us, 1).over(w)
+    val newSession =
+      when(prev.isNull || us - prev > gapSeconds * 1000000L, 1L).otherwise(0L)
+    defined.withColumn("session_day", day)
+      .withColumn("__session_new", newSession)
+      .withColumn("session_idx", sum(col("__session_new")).over(w) - 1L)
       .drop("__session_new")
   }
 

@@ -26,8 +26,12 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("audited plans: no sort-merge joins, no unbounded cartesian scans") {
-    PlanAudit.picks.foreach { name =>
+  test("ALL query plans: no sort-merge joins, no unbounded cartesian scans") {
+    // round 5: the whole gate, not just the curated picks — streaming
+    // queries contribute their batch-recheck side (the stream executes
+    // at construction), eager-state queries their post-materialization
+    // plan; both are exactly what a regression would corrupt
+    PlanAudit.all.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
@@ -37,6 +41,28 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       // broadcast-probe fan-out; a CartesianProduct never is
       assert(!plan.contains("CartesianProduct"),
         s"$name contains a cartesian product:\n$plan")
+    }
+  }
+
+  test("single-shuffle window queries keep exactly one exchange") {
+    // sessionization: both window passes must reuse ONE exchange keyed
+    // by entity; window_quantile_running: one exchange keyed by
+    // event_type, one Window node evaluating kll + td per frame
+    // sessionization's lag (offset frame) and running sum (cumulative
+    // frame) are distinct Window nodes by necessity — the guard is that
+    // they SHARE the one exchange/sort, not that they fuse
+    for ((name, wantExchanges, wantWindows) <- Seq(
+        ("sessionization", 1, 2), ("window_quantile_running", 1, 1),
+        ("window_running_distinct", 1, 1))) {
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+      val ex = plan.linesIterator.count(_.trim.matches("""\(\d+\) Exchange.*"""))
+      assert(ex == wantExchanges,
+        s"$name planned $ex exchanges, want $wantExchanges:\n$plan")
+      val win = plan.linesIterator.count(_.trim.matches("""\(\d+\) Window.*"""))
+      assert(win == wantWindows,
+        s"$name planned $win Window nodes, want $wantWindows:\n$plan")
     }
   }
 

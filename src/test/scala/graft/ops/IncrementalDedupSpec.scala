@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Incremental near-dup dedup: growth batches must converge to the
+  * from-scratch answer, and every point in the batch lifecycle a kill can
+  * hit (after signatures, after pairs, after commit) must resume to the
+  * identical pair set. */
+class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-incdedup-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val cfg = IncrementalDedup.Config(
+    k = 3, bands = 16, rowsPerBand = 4, threshold = 0.8)
+
+  private def docs: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  private def batch(b: Int): DataFrame =
+    docs.where(pmod(col("doc_id"), lit(3)) === b)
+
+  private def pairSet(df: DataFrame): Set[(Long, Long, Long, Long)] =
+    df.select(col("id_a"), col("id_b"), col("inter"), col("uni"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  private lazy val fromScratch: Set[(Long, Long, Long, Long)] = pairSet(
+    DedupOps.minhashVerifiedPairs(docs, TextOps.tokens(col("text")),
+      col("doc_id"), k = 3, bands = 16, rowsPerBand = 4, threshold = 0.8))
+
+  test("three growth batches == from-scratch pair set") {
+    val state = Files.createTempDirectory("inc_dedup_grow").toString
+    var last: DataFrame = null
+    (0 until 3).foreach { b =>
+      last = IncrementalDedup.run(spark, batch(b),
+        TextOps.tokens(col("text")), col("doc_id"), state, s"b$b", cfg)
+    }
+    assert(fromScratch.nonEmpty, "gate data must contain near-dup pairs")
+    assert(pairSet(last) == fromScratch)
+    // clusters agree with the batch dedupByPairs over the same edges
+    val expected = DedupOps.dedupByPairs(docs.select(col("doc_id").as("id")),
+      IncrementalDedup.allPairs(spark, state))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val got = IncrementalDedup.clusters(spark, state)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == expected)
+  }
+
+  test("kill after signature append: resume completes the batch, no re-append") {
+    val state = Files.createTempDirectory("inc_dedup_sig").toString
+    IncrementalDedup.run(spark, batch(0),
+      TextOps.tokens(col("text")), col("doc_id"), state, "b0", cfg)
+    // simulate the kill: batch b1's STAGE 1 completed (signatures on
+    // disk, exactly as run() writes them) but pairs/commit never ran
+    val toks = TextOps.tokens(col("text"))
+    batch(1).select(col("doc_id").as("id"),
+        DedupOps.shingleMinhashSig(toks, cfg.k, cfg.bands * cfg.rowsPerBand).as("sig"),
+        DedupOps.shingleHashSet(toks, cfg.k).as("grams"))
+      .withColumn("batch_id", lit("b1"))
+      .withColumn("dedup_params", lit(IncrementalDedup.paramString(cfg)))
+      .write.mode(SaveMode.Append).partitionBy("batch_id")
+      .parquet(s"$state/signatures")
+    val sigRows = spark.read.parquet(s"$state/signatures").count()
+
+    val resumed = IncrementalDedup.run(spark, batch(1),
+      TextOps.tokens(col("text")), col("doc_id"), state, "b1", cfg)
+    // signatures were NOT appended a second time
+    assert(spark.read.parquet(s"$state/signatures").count() == sigRows)
+
+    // identical pair set to a straight-through two-batch build
+    val ref = Files.createTempDirectory("inc_dedup_sig_ref").toString
+    IncrementalDedup.run(spark, batch(0),
+      TextOps.tokens(col("text")), col("doc_id"), ref, "b0", cfg)
+    val straight = IncrementalDedup.run(spark, batch(1),
+      TextOps.tokens(col("text")), col("doc_id"), ref, "b1", cfg)
+    assert(pairSet(resumed) == pairSet(straight))
+  }
+
+  test("kill after pair append (marker lost): resume double-appends invisibly") {
+    val state = Files.createTempDirectory("inc_dedup_pair").toString
+    val done = IncrementalDedup.run(spark, batch(0),
+      TextOps.tokens(col("text")), col("doc_id"), state, "b0", cfg)
+    val expected = pairSet(done)
+    // simulate the kill between the pair append and the commit marker:
+    // wipe the marker table, leaving signatures + pairs in place
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(state), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$state/batches"), true)
+
+    val resumed = IncrementalDedup.run(spark, batch(0),
+      TextOps.tokens(col("text")), col("doc_id"), state, "b0", cfg)
+    // the raw pair table now holds the batch twice; the read contract
+    // collapses it and the answer is byte-identical
+    assert(pairSet(resumed) == expected)
+    assert(pairSet(IncrementalDedup.allPairs(spark, state)) == expected)
+  }
+
+  test("committed batch re-runs as a no-op; different input under the same id rejects") {
+    val state = Files.createTempDirectory("inc_dedup_idem").toString
+    val first = IncrementalDedup.run(spark, batch(0),
+      TextOps.tokens(col("text")), col("doc_id"), state, "b0", cfg)
+    val sigRows = spark.read.parquet(s"$state/signatures").count()
+    val pairRows = spark.read.parquet(s"$state/pairs").count()
+    val again = IncrementalDedup.run(spark, batch(0),
+      TextOps.tokens(col("text")), col("doc_id"), state, "b0", cfg)
+    assert(pairSet(again) == pairSet(first))
+    assert(spark.read.parquet(s"$state/signatures").count() == sigRows)
+    assert(spark.read.parquet(s"$state/pairs").count() == pairRows)
+
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.run(spark, batch(1),
+        TextOps.tokens(col("text")), col("doc_id"), state, "b0", cfg)
+    }
+    assert(e.getMessage.contains("DIFFERENT input"))
+  }
+
+  test("param drift and cross-batch id collisions reject before any append") {
+    val state = Files.createTempDirectory("inc_dedup_drift").toString
+    IncrementalDedup.run(spark, batch(0),
+      TextOps.tokens(col("text")), col("doc_id"), state, "b0", cfg)
+
+    val drifted = cfg.copy(bands = 8)
+    val e1 = intercept[IllegalArgumentException] {
+      IncrementalDedup.run(spark, batch(1),
+        TextOps.tokens(col("text")), col("doc_id"), state, "b1", drifted)
+    }
+    assert(e1.getMessage.contains("parameters"))
+
+    val e2 = intercept[IllegalArgumentException] {
+      // batch(0) ids are already in the store under a NEW batch id
+      IncrementalDedup.run(spark, batch(0),
+        TextOps.tokens(col("text")), col("doc_id"), state, "b1", cfg)
+    }
+    assert(e2.getMessage.contains("globally unique"))
+  }
+}

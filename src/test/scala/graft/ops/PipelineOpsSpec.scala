@@ -308,6 +308,59 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stats(20L) == ((1L, 1L, 1L, 0L)))
   }
 
+  test("day-bounded sessionization: hot key spreads across days, midnight splits") {
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val day = 86400L
+    // planted hot entity 99: bursts on three consecutive days (the
+    // adversarial key whose WHOLE history lands in one task under plain
+    // sessionize); plus a midnight-crossing pair (events 60s apart
+    // straddling day 1 -> day 2) pinning the documented split; entity 7
+    // stays within one day
+    val df = Seq(
+      // hot key, day 0: two sessions (gap 2000s > 1800s)
+      (1L, t(0), 99L), (2L, t(100), 99L), (3L, t(2100), 99L),
+      // hot key, day 1: one session (gap 1440s) ending 60s before midnight
+      (4L, t(2 * day - 1500), 99L), (5L, t(2 * day - 60), 99L),
+      // hot key, day 2: first event 60s after the boundary event — within
+      // gap, but day-bounded MUST split here (documented trade-off)
+      (6L, t(2 * day), 99L),
+      // cold key, single day
+      (7L, t(day + 500), 7L), (8L, t(day + 700), 7L)
+    ).toDF("event_id", "ts", "user_id")
+
+    val out = SessionOps.sessionizeDayBounded(df, $"user_id", $"ts", 1800L, $"event_id")
+      .select($"event_id", $"session_day", $"session_idx").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((0L, 0L)) && out(2L) == ((0L, 0L)), "day-0 burst shares a session")
+    assert(out(3L) == ((0L, 1L)), "in-day gap over 1800s still splits")
+    assert(out(4L) == ((1L, 0L)) && out(5L) == ((1L, 0L)),
+      "hot key's day-1 events are their own partition, indexes restart at 0")
+    assert(out(6L) == ((2L, 0L)),
+      "a 60s gap ACROSS midnight starts a new session (the documented split)")
+    assert(out(7L) == ((1L, 0L)) && out(8L) == ((1L, 0L)))
+
+    // away from day boundaries the two operators assign identical
+    // session BREAKS: compare per-(entity, day) fingerprints of the
+    // boundary structure on the non-crossing subset
+    val noCross = df.where($"event_id" =!= 6L)
+    val bounded = SessionOps.sessionizeDayBounded(
+        noCross, $"user_id", $"ts", 1800L, $"event_id")
+      .select($"event_id", $"user_id", $"session_day", $"session_idx").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+    val plain = SessionOps.sessionize(
+        noCross, $"user_id", $"ts", 1800L, $"event_id")
+      .select($"event_id", $"user_id", $"session_idx").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+    // the two partitions of the event set must coincide: events share a
+    // bounded (entity, day, idx) session iff they share a plain
+    // (entity, idx) session
+    def classes(m: Seq[(Long, Any)]): Set[Set[Long]] =
+      m.groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    assert(classes(bounded.toSeq) == classes(plain.toSeq),
+      "away from day boundaries the operators must induce identical sessions")
+  }
+
   test("multimodal decode stub: deterministic metadata, real plumbing") {
     val df = Seq((1L, "some binary payload"), (2L, "x")).toDF("id", "text")
       .withColumn("blob", $"text".cast("binary"))
