@@ -325,7 +325,15 @@ object DedupOps {
     * Catalyst broadcast side, safe on small-driver deployments. Set
     * localEdgeThreshold = 0 to force the distributed path. */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
-      maxRounds: Int = 30, localEdgeThreshold: Long = 1L << 17): DataFrame = {
+      maxRounds: Int = 30, localEdgeThreshold: Long = 1L << 17): DataFrame =
+    connectedComponentsWithRounds(nodes, pairs, maxRounds, localEdgeThreshold)._1
+
+  /** [[connectedComponents]] plus the number of large-star/small-star
+    * rounds it took to converge (0 = empty edge set or the driver-local
+    * union-find path) — the scale-rehearsal observable: round counts
+    * must stay ~log(diameter) as the corpus grows. */
+  def connectedComponentsWithRounds(nodes: DataFrame, pairs: DataFrame,
+      maxRounds: Int = 30, localEdgeThreshold: Long = 1L << 17): (DataFrame, Int) = {
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.select(col("u"), col("v"))
         .union(e.select(col("v").as("u"), col("u").as("v")))
@@ -380,9 +388,9 @@ object DedupOps {
       val roots = new scala.collection.mutable.ArrayBuffer[(Long, Long)](collected.length)
       uf.foreachRoot((k, r) => roots += ((k, r)))
       val labelDf = roots.toSeq.toDF("id", "root")
-      return nodes.select(col("id"))
+      return (nodes.select(col("id"))
         .join(broadcast(labelDf), Seq("id"), "left")
-        .select(col("id"), coalesce(col("root"), col("id")).as("component"))
+        .select(col("id"), coalesce(col("root"), col("id")).as("component")), 0)
     }
     var round = 0
     var converged = sig._1 == 0L
@@ -399,10 +407,24 @@ object DedupOps {
         s"(edge signature still changing) — duplicate clusters would be " +
         s"silently split; raise maxRounds")
     // converged edge set is a union of stars (child -> component minimum)
-    nodes.select(col("id"))
+    (nodes.select(col("id"))
       .join(edges.select(col("u").as("id"), col("v").as("root")), Seq("id"), "left")
-      .select(col("id"), coalesce(col("root"), col("id")).as("component"))
+      .select(col("id"), coalesce(col("root"), col("id")).as("component")), round)
   }
+
+  /** Per-bucket sizes of the banded MinHash signature table BEFORE the
+    * cap — the LSH-margin observable for scale rehearsals: the max (and
+    * tail) bucket size against `bucketCap` tells how much headroom the
+    * propose stage has before the cap starts dropping candidates.
+    * Output: (band, bucket, bsz). */
+  def bucketHistogram(df: DataFrame, tokens: Column, id: Column,
+      k: Int, bands: Int, rowsPerBand: Int): DataFrame =
+    bandSignatures(
+      df.select(id.as("id"),
+        shingleMinhashSig(tokens, k, bands * rowsPerBand).as("sig")),
+      bands, rowsPerBand)
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bsz"))
 
   /** Full near-dup dedup: candidate pairs -> components -> one kept
     * representative (min id) per component.
