@@ -136,11 +136,20 @@ object IncrementalDedup {
     * @param id      globally-unique LONG document id
     * @param batchId caller-chosen batch name (shard date, ingest run id);
     *                re-running a committed batchId with identical input is
-    *                a no-op, with different input an error
+    *                a no-op, with different input an error. Must start
+    *                with a letter: the signature store partitions by
+    *                batch_id, and a numeric-looking name ("20260818")
+    *                would be partition-TYPE-INFERRED as an integer on
+    *                read-back, silently breaking the resume matching
+    *                (and leading-zero names would not even round-trip)
     */
   def run(spark: SparkSession, df: DataFrame, tokens: Column, id: Column,
       stateDir: String, batchId: String, cfg: Config = Config()): DataFrame = {
-    require(batchId.nonEmpty, "batchId must be non-empty")
+    require(batchId.matches("[A-Za-z][A-Za-z0-9_.-]*"),
+      s"batchId must match [A-Za-z][A-Za-z0-9_.-]* (got '$batchId'): it " +
+        "becomes a partition directory name, where numeric-looking values " +
+        "are type-inferred on read and special characters are escaped — " +
+        "both break exact resume matching")
     val params = paramString(cfg)
     val nHashes = cfg.bands * cfg.rowsPerBand
 

@@ -130,6 +130,17 @@ class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("DIFFERENT input"))
   }
 
+  test("numeric-looking batch ids reject (partition type inference would break resume)") {
+    val state = Files.createTempDirectory("inc_dedup_bid").toString
+    for (bad <- Seq("20260818", "0123", "", "a b", "x/y")) {
+      val e = intercept[IllegalArgumentException] {
+        IncrementalDedup.run(spark, batch(0),
+          TextOps.tokens(col("text")), col("doc_id"), state, bad, cfg)
+      }
+      assert(e.getMessage.contains("batchId"), s"'$bad' gave: ${e.getMessage}")
+    }
+  }
+
   test("param drift and cross-batch id collisions reject before any append") {
     val state = Files.createTempDirectory("inc_dedup_drift").toString
     IncrementalDedup.run(spark, batch(0),
