@@ -903,6 +903,19 @@ object SparkEntry {
         .withColumnRenamed("entity", "user_id")
     }),
 
+    "sessionization_daybounded" -> ((s, dir) => {
+      // the skew-guard variant as a first-class oracled operator:
+      // (entity, UTC-day) windows bound per-task work for hot keys;
+      // DuckDB replays the identical integer-microsecond + floor-day
+      // definition, so the compare is EXACT (midnight splits included)
+      val ev = t(s, dir, "events")
+      graft.ops.SessionOps.sessionizeDayBounded(ev, col("user_id"),
+          col("ts"), gapSeconds = 1800L, tieBreak = col("event_id"))
+        .groupBy(col("user_id"), col("session_day"))
+        .agg((max(col("session_idx")) + 1L).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+    }),
+
     "kll_quantiles_by_flag" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       // n counts NON-NULL values — see td_quantiles_by_event_type
@@ -1479,6 +1492,20 @@ object SparkEntry {
         |       CAST(sum(n_ev) AS BIGINT) AS n_events,
         |       max(n_ev) AS max_session_events, max(span_us) AS max_session_span_us
         |FROM per GROUP BY 1""".stripMargin,
+
+    "sessionization_daybounded" ->
+      """WITH flagged AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WHERE ts IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id, epoch_us(ts) // 86400000000
+        |               ORDER BY epoch_us(ts), event_id))
+        |SELECT user_id, d AS session_day,
+        |       CAST(sum(new_s) AS BIGINT) AS n_sessions,
+        |       count(*) AS n_events
+        |FROM flagged GROUP BY 1, 2""".stripMargin,
 
     "kll_quantiles_by_flag" ->
       """SELECT l_returnflag, count(l_extendedprice) AS n, TRUE AS ok50, TRUE AS ok95

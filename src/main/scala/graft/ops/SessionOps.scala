@@ -87,12 +87,20 @@ object SessionOps {
     // floor division (pmod idiom): integer `/` truncates toward zero,
     // which would round pre-epoch timestamps into the WRONG day
     val day = ((us - pmod(us, lit(86400000000L))) / 86400000000L).cast("long")
-    val defined = df.where(ts.isNotNull)
-    val w = Window.partitionBy(entity, day).orderBy(us.asc, tieBreak.asc)
+    // materialize the day ONCE and partition both window passes by the
+    // materialized COLUMN: partitioning by the raw expression makes each
+    // Window node project its own fresh partition attribute, which
+    // EnsureRequirements cannot prove equal — the plan then pays one
+    // exchange+sort PER PASS (and a third for any downstream groupBy on
+    // the same keys) instead of sharing one, tripling the shuffled bytes
+    // of the operator's only shuffle
+    val defined = df.where(ts.isNotNull).withColumn("session_day", day)
+    val w = Window.partitionBy(entity, col("session_day"))
+      .orderBy(us.asc, tieBreak.asc)
     val prev = lag(us, 1).over(w)
     val newSession =
       when(prev.isNull || us - prev > gapSeconds * 1000000L, 1L).otherwise(0L)
-    defined.withColumn("session_day", day)
+    defined
       .withColumn("__session_new", newSession)
       .withColumn("session_idx", sum(col("__session_new")).over(w) - 1L)
       .drop("__session_new")

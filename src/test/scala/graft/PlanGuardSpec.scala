@@ -51,8 +51,14 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     // sessionization's lag (offset frame) and running sum (cumulative
     // frame) are distinct Window nodes by necessity — the guard is that
     // they SHARE the one exchange/sort, not that they fuse
+    // sessionization_daybounded: the (entity, day) key must be
+    // materialized ONCE — partitioning both Window passes by the raw
+    // day expression makes each node project a fresh attribute that
+    // EnsureRequirements can't prove equal, tripling the exchanges
+    // (regression shape this guard pins: 3 exchanges, none shared)
     for ((name, wantExchanges, wantWindows) <- Seq(
-        ("sessionization", 1, 2), ("window_quantile_running", 1, 1),
+        ("sessionization", 1, 2), ("sessionization_daybounded", 1, 2),
+        ("window_quantile_running", 1, 1),
         ("window_running_distinct", 1, 1))) {
       val plan = SparkEntry.queries(name)(spark, dir)
         .queryExecution.explainString(
