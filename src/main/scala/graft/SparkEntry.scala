@@ -508,6 +508,45 @@ object SparkEntry {
       s.table("graft_stream_dedup").select(col("kept_id"), col("n_dups"))
     }),
 
+    "streaming_sessionization" -> ((s, dir) => {
+      // session windows as a STREAM (7th streaming shape): the continuous
+      // form of the batch sessionization operator. The engine keeps one
+      // state row per OPEN session; the 1-hour watermark bounds that
+      // state and emits each closed session exactly once (append mode).
+      // A sketch aggregate rides inside the session (distinct event types
+      // via CQF) — mergeable state composes with session merging. With
+      // AvailableNow the final no-data batch advances the watermark to
+      // max(ts) - 1h and flushes every session whose end (last event +
+      // gap) it passed; still-open sessions stay in state, which the
+      // oracle reproduces. Boundary convention matches the batch
+      // operator: session_window merges on touch, so diff == gap stays
+      // in-session and only diff > gap splits — the oracle replays
+      // exactly the batch gap rule.
+      GraftFunctions.registerAll(s)
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        // watermarks require TIMESTAMP; session TZ is pinned UTC so the
+        // cast out of NTZ and back is wall-value identity
+        .where(col("ts").isNotNull)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val q = graft.streaming.StreamingSketch.sessionWindowAgg(
+        src, col("ts"), "1 hour", "30 minutes", col("user_id"),
+        Seq(api.cqf_agg(col("event_type"), 8, 64).as("sk"),
+          count(lit(1)).as("n_events")))
+        .select(col("user_id"),
+          col("session_window.start").cast("timestamp_ntz").as("session_start"),
+          col("session_window.end").cast("timestamp_ntz").as("session_end"),
+          api.cqf_distinct(col("sk")).as("distinct_event_types"),
+          col("n_events"))
+        .writeStream.format("memory").queryName("graft_stream_sessions")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_stream_sessions")
+    }),
+
     "rollup_distinct_parts" -> ((s, dir) => {
       // grouping sets compose with sketch aggregates for free (mergeable
       // partial states under any grouping) — exact rollup distinct
@@ -1345,6 +1384,37 @@ object SparkEntry {
     "streaming_dedup_first_seen" ->
       """SELECT min(doc_id) AS kept_id, count(*) AS n_dups
         |FROM documents GROUP BY text""".stripMargin,
+
+    // gap replay with the session_window boundary rule — merge on touch,
+    // split only at diff > gap (empirically the SAME rule as the batch
+    // operator; StreamingSketchSpec pins it) — session_end = last event
+    // + gap, emitted iff the final watermark (max event time - 1 hour)
+    // has passed it; open sessions stay in state and are not emitted,
+    // which the wm filter reproduces
+    "streaming_sessionization" ->
+      """WITH m AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm
+        |           FROM events WHERE ts IS NOT NULL),
+        |flagged AS (
+        |  SELECT user_id, ts, event_type, epoch_us(ts) AS us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WHERE ts IS NOT NULL
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+        |sess AS (
+        |  SELECT user_id, ts, event_type,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged),
+        |per AS (
+        |  SELECT user_id, sid, min(ts) AS session_start,
+        |    max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |    count(DISTINCT event_type) AS distinct_event_types,
+        |    count(*) AS n_events
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT user_id, session_start, session_end,
+        |       distinct_event_types, n_events
+        |FROM per, m WHERE session_end <= wm""".stripMargin,
 
     "rollup_distinct_parts" ->
       """SELECT l_returnflag, l_linestatus,

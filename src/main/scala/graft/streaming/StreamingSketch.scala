@@ -36,6 +36,30 @@ object StreamingSketch {
       .agg(agg.as("sketch"))
   }
 
+  /** Watermarked SESSION-window aggregation (append-capable): the
+    * streaming form of [[graft.ops.SessionOps.sessionize]]. Events for
+    * the same entity within `gap` of each other merge into one session
+    * ([start = first event, end = last event + gap)); the engine keeps
+    * one state row per OPEN session and the watermark both bounds that
+    * state and drives emission — a session is emitted exactly once, when
+    * the watermark passes its end, so the shape survives an unbounded
+    * stream (complete mode would re-emit all history per trigger).
+    *
+    * Boundary semantics MATCH the batch operator: session_window merges
+    * on touch (an event exactly `gap` after its predecessor extends the
+    * session), the same rule as the batch `diff > gap` split — so the
+    * two operators induce identical session partitions on any input,
+    * exact-boundary data included (StreamingSketchSpec pins this with
+    * an empirical agreement test). */
+  def sessionWindowAgg(df: DataFrame, ts: Column, watermarkDelay: String,
+      gap: String, entity: Column, aggs: Seq[Column]): DataFrame = {
+    val tsCol = "__graft_event_ts"
+    df.withColumn(tsCol, ts)
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap), entity)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Per-key CQF maintained as explicit group state: input rows are
     * (key, tokens); emits (key, distinct, total) after each update.
     * State is the serialized kernel — exactly the checkpoint format.

@@ -114,6 +114,60 @@ class StreamingSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(last(7L) === ((7L, 50L, 3L)))
   }
 
+  test("session windows: gap merge, sketch agg inside, watermark-driven append emission") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(min * 60000L)
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val df = stream.toDF().toDF("user_id", "ts", "event_type")
+    val agg = StreamingSketch.sessionWindowAgg(
+      df, col("ts"), "1 hour", "30 minutes", col("user_id"),
+      Seq(api.cqf_agg(col("event_type"), 8, 64).as("sk"),
+        count(lit(1)).as("n_events")))
+      .select(col("user_id"), col("session_window.start").as("s"),
+        col("session_window.end").as("e"),
+        api.cqf_distinct(col("sk")).as("types"), col("n_events"))
+    val query = agg.writeStream.format("memory").queryName("sess_stream")
+      .outputMode(OutputMode.Append()).start()
+
+    // user 1: events at t=0 and t=29min merge (29 < gap 30); the event
+    // at t=59min sits EXACTLY gap after t=29 — session_window merges on
+    // touch (next <= prev end), so it STAYS in the session, the same
+    // boundary rule as the batch operator's `diff > gap` split (pinned
+    // here empirically: sessions are identical on exact-boundary data)
+    stream.addData((1L, ts(0), "click"), (1L, ts(29), "view"),
+      (1L, ts(59), "click"), (2L, ts(10), "buy"))
+    query.processAllAvailable()
+    // advance event time far enough that wm = max - 1h passes every
+    // earlier session end (last event + gap)
+    stream.addData((2L, ts(300), "view"))
+    query.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM sess_stream").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000,
+        r.getTimestamp(2).getTime / 60000, r.getLong(3), r.getLong(4)))
+      .toSet
+    query.stop()
+    assert(rows === Set(
+      (1L, 0L, 89L, 2L, 3L),   // one session: [0, 59+30), 2 types, 3 events
+      (2L, 10L, 40L, 1L, 1L)), // user 2's closed session
+      s"emitted sessions wrong: $rows")
+    // the t=300 session is still open (wm = 300 - 60 = 240 < end 330):
+    // append mode must NOT have emitted it
+    assert(!rows.exists(r => r._2 == 300L))
+
+    // agreement pin: the batch operator keeps the exact-boundary event
+    // in-session too (diff > gap starts new; diff == gap stays) — the
+    // two operators induce the same session partition
+    val batch = Seq((1L, ts(0)), (1L, ts(29)), (1L, ts(59)))
+      .toDF("user_id", "ts")
+    val sessions = graft.ops.SessionOps.sessionize(batch, col("user_id"),
+        col("ts"), gapSeconds = 1800L, tieBreak = col("ts"))
+      .select(col("session_idx")).distinct().count()
+    assert(sessions === 1L,
+      "batch gap rule (diff > gap) must keep the exact-boundary event in-session")
+  }
+
   test("timeout invocation flushes the final snapshot and expires the state") {
     import org.apache.spark.sql.streaming.TestGroupState
     import org.apache.spark.api.java.Optional
