@@ -44,11 +44,16 @@ object NearDupRehearsal {
     GraftFunctions.registerAll(spark)
     val docs = spark.read.parquet(dir)
 
-    // production order: exact dedup first, LSH over the survivors
+    // production order: exact dedup first, LSH over the survivors.
+    // localCheckpoint so the per-stage walls below are attributable:
+    // without it every downstream action (hist, LSH, CC) re-runs the
+    // exact-dedup groupBy + join from scratch and exact-dedup time is
+    // silently triple-counted into the other stages' readings
     val t0 = System.nanoTime()
     val kept = DedupOps.exactDedup(docs, col("text"), col("doc_id"))
       .select(col("kept_id").as("doc_id"))
       .join(docs, Seq("doc_id"))
+      .localCheckpoint()
     val keptN = kept.count()
     val exactSec = (System.nanoTime() - t0) / 1e9
 

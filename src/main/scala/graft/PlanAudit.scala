@@ -8,56 +8,13 @@ import java.nio.file.{Files, Paths}
   * broadcast, aggregates split partial/final, and codegen spans are wide.
   */
 object PlanAudit {
-  /** The audited queries — PlanGuardSpec asserts shuffle/broadcast
-    * discipline over exactly this list, so a plan regression fails the
-    * build, not just a reviewer reading EXPLAIN.md. */
-  val picks: Seq[String] = Seq(
-      "cqf_count_by_flag", "cqf_merge_two_stage", "cqf_multiplicity_hist",
-      "cms_heavy_hitters", "bloom_membership", "ann_brute_topk",
-      "ann_ivf_topk", "ngram_jaccard_hist", "dedup_exact_fingerprint",
-      "window_top_events",
-      // round 2: IVF assignment must show NO Exchange/Window (broadcast-
-      // codebook expression); near-dup pipelines are banded bucket joins
-      // with bare-id pair dedup before payload re-joins
-      "ann_ivf_exhaustive", "minhash_lsh_candidates", "embedding_near_dups",
-      "window_running_distinct", "multimodal_decode", "cqf_zip_flags",
-      // round 3: the row-heavy binary set-op (codegen'd, broadcast
-      // reference) and the lossy-ANN recall bound-checks (in-query
-      // brute force + multi-table LSH candidate dedup before payload)
-      "cqf_intersect_by_bucket", "ann_lsh_topk",
-      // round 3 (late): the two-proposer ensemble now dedups bare
-      // candidate pairs BEFORE the single exact recheck — guard that
-      // restructure against SMJ/cartesian regressions too
-      "simhash_near_dups",
-      // round 4: heavy hitters via the frequent-items summary — the
-      // candidate stage must be ONE aggregation pass (no distinct scan
-      // of all keys) followed by a broadcast exact recheck
-      "ss_heavy_hitters", "ss_topk_guarantees",
-      // round 4 (late): KMV bottom-k — two-stage builds stay
-      // ObjectHashAggregate partial/final; the sample membership
-      // join-back and the pairwise jaccard must broadcast the tiny
-      // sketch-derived side, never sort-merge
-      "kmv_distinct_by_source", "kmv_jaccard_pairs",
-      // round 4 (late): bound-check queries whose exact-distinct oracle
-      // was split OUT of the sketch aggregation — mixed, the
-      // distinct-Expand stage 1 allocates a sketch buffer per DISTINCT
-      // key; the guard asserts no Expand node ever reappears
-      "hll_distinct_by_source", "kmv_estimate_bound",
-      // round 4 (late): one-pass all-families column profile — the
-      // sketch pass must stay a single Expand-free ObjectHashAggregate
-      // scan; the 1-row profile/exact/check frames ride broadcasts
-      "table_profile",
-      // round 4 (end): gap sessionization — ONE exchange keyed by
-      // entity, sort reused by the lag and running-sum window passes
-      "sessionization",
-      // round 5: quantile families over a sliding window frame — one
-      // exchange + one Window node evaluating both sketches per frame
-      "window_quantile_running")
-
-  /** EVERY query — EXPLAIN.md records all of them (round-5 VERDICT #5);
-    * the generic PlanGuardSpec discipline (no sort-merge joins, no
-    * cartesian products) is asserted over this full list, while `picks`
-    * keeps the queries with additional targeted shape assertions.
+  /** EVERY query — EXPLAIN.md records all of them (round-5 VERDICT #5)
+    * and PlanGuardSpec asserts the generic shuffle discipline (no
+    * sort-merge joins, no cartesian products) over this full list; the
+    * queries needing TARGETED shape assertions (exchange/Window counts,
+    * scan counts, Expand bans...) are named directly in PlanGuardSpec's
+    * per-shape tests. (The historical curated `picks` subset is gone —
+    * the full gate superseded it in round 5.)
     *
     * Two caveats a reader of EXPLAIN.md needs: (a) the streaming queries
     * EXECUTE their stream when constructed, so the recorded plan is the

@@ -1391,8 +1391,14 @@ object SparkEntry {
     // + gap, emitted iff the final watermark (max event time - 1 hour)
     // has passed it; open sessions stay in state and are not emitted,
     // which the wm filter reproduces
+    // Spark tracks event-time watermarks in MILLISECONDS (event times
+    // are floored to ms before max-ing), so the oracle must floor too:
+    // a session ending inside the sub-ms gap between max(ts)-1h and
+    // floor_ms(max(ts))-1h would otherwise be emitted by the oracle but
+    // still open in Spark
     "streaming_sessionization" ->
-      """WITH m AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm
+      """WITH m AS (SELECT make_timestamp(epoch_ms(max(ts)) * 1000)
+        |                    - INTERVAL 1 HOUR AS wm
         |           FROM events WHERE ts IS NOT NULL),
         |flagged AS (
         |  SELECT user_id, ts, event_type, epoch_us(ts) AS us,
@@ -1563,15 +1569,24 @@ object SparkEntry {
         |       max(n_ev) AS max_session_events, max(span_us) AS max_session_span_us
         |FROM per GROUP BY 1""".stripMargin,
 
+    // FLOOR day division, not DuckDB's truncate-toward-zero `//`: the
+    // Spark side floors via the pmod idiom so pre-1970 timestamps land
+    // in the correct (earlier) day — subtracting the positive remainder
+    // first makes the numerator exactly divisible, so `//` is then exact
+    // for both signs and the two engines replay the identical definition
     "sessionization_daybounded" ->
-      """WITH flagged AS (
-        |  SELECT user_id, epoch_us(ts) // 86400000000 AS d,
-        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      """WITH base AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    (epoch_us(ts)
+        |       - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000)
+        |      // 86400000000 AS d
+        |  FROM events WHERE ts IS NOT NULL),
+        |flagged AS (
+        |  SELECT user_id, d,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
         |         THEN 1 ELSE 0 END AS new_s
-        |  FROM events WHERE ts IS NOT NULL
-        |  WINDOW w AS (PARTITION BY user_id, epoch_us(ts) // 86400000000
-        |               ORDER BY epoch_us(ts), event_id))
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY user_id, d ORDER BY us, event_id))
         |SELECT user_id, d AS session_day,
         |       CAST(sum(new_s) AS BIGINT) AS n_sessions,
         |       count(*) AS n_events

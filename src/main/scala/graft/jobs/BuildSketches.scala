@@ -216,22 +216,13 @@ object BuildSketches {
   def run(spark: SparkSession, input: DataFrame, checkpointDir: String,
       cfg: Config = Config()): DataFrame = {
     graft.GraftFunctions.registerAll(spark)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(checkpointDir),
-      spark.sparkContext.hadoopConfiguration)
-    val path = new org.apache.hadoop.fs.Path(checkpointDir)
-    // VISIBLE entries only: a killed first run leaves _temporary/ (and a
-    // committed empty run leaves _SUCCESS) — counting those as checkpoint
-    // data would send the advertised killed-job resume into a parquet
-    // read with zero data files (UNABLE_TO_INFER_SCHEMA) instead of a
-    // fresh start
+    // VISIBLE entries only (shared guard, graft.util.ParquetState): a
+    // killed first run leaves _temporary/ (and a committed empty run
+    // leaves _SUCCESS) — counting those as checkpoint data would send
+    // the advertised killed-job resume into a parquet read with zero
+    // data files (UNABLE_TO_INFER_SCHEMA) instead of a fresh start
     val existing: Option[DataFrame] =
-      if (fs.exists(path) && fs.listStatus(path).exists { st =>
-            val n = st.getPath.getName
-            !n.startsWith("_") && !n.startsWith(".")
-          })
-        Some(spark.read.parquet(checkpointDir))
-      else None
+      graft.util.ParquetState.readIfAny(spark, checkpointDir)
 
     // observe() metrics on the input actually consumed this run
     val observed = input.observe("graft_build",

@@ -14,8 +14,10 @@ import org.apache.spark.sql.types._
   *
   *  - `signatures/` — one row per document ever ingested: (id, minhash
   *    signature, sorted shingle-hash set), partitioned by the batch that
-  *    brought it, with full lineage (batch id, params, order-insensitive
-  *    input hash via the commit marker). Written ONCE per document; never
+  *    brought it, with full lineage (batch id, params, and an
+  *    order-insensitive input hash over BOTH ids and content — so a
+  *    regenerated shard with the same ids but different text cannot
+  *    silently no-op against its old commit marker). Written ONCE per document; never
   *    rewritten by later batches. This is the reopen-and-continue
   *    persistence the reference applies to its filter state
   *    (/root/reference/src/cqf/u64_cqf.rs:46-93: new_file → open_file →
@@ -86,20 +88,10 @@ object IncrementalDedup {
   private def pairPath(stateDir: String) = s"$stateDir/pairs"
   private def batchPath(stateDir: String) = s"$stateDir/batches"
 
-  /** Read a state table if the directory holds VISIBLE data entries (the
-    * BuildSketches guard: `_temporary/` from a killed first append or a
-    * lone `_SUCCESS` from an empty one is NOT data). */
-  private def readIfAny(spark: SparkSession, dir: String): Option[DataFrame] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
-    val path = new org.apache.hadoop.fs.Path(dir)
-    if (fs.exists(path) && fs.listStatus(path).exists { st =>
-          val n = st.getPath.getName
-          !n.startsWith("_") && !n.startsWith(".")
-        })
-      Some(spark.read.parquet(dir))
-    else None
-  }
+  /** Read a state table if the directory holds VISIBLE data entries —
+    * the shared resumable-state guard ([[graft.util.ParquetState]]). */
+  private def readIfAny(spark: SparkSession, dir: String): Option[DataFrame] =
+    graft.util.ParquetState.readIfAny(spark, dir)
 
   private val pairSchema = StructType(Seq(
     StructField("id_a", LongType), StructField("id_b", LongType),
@@ -172,14 +164,27 @@ object IncrementalDedup {
       }.getOrElse(Map.empty)
 
     // the delta's fingerprint — needed for the commit marker and every
-    // idempotence check, so the one aggregation pass is paid up front
+    // idempotence check, so the one aggregation pass is paid up front.
+    // The hash covers id AND content (grams is a pure function of the
+    // text + k): an id-only hash would let a regenerated shard with the
+    // same ids but different text silently no-op against its old commit
+    // marker (or resume onto stale signatures) instead of rejecting
     val newBase = df.select(id.as("id"),
       DedupOps.shingleMinhashSig(tokens, cfg.k, nHashes).as("sig"),
       DedupOps.shingleHashSet(tokens, cfg.k).as("grams"))
     val fpRow = newBase.agg(
-      coalesce(expr("bit_xor(xxhash64(id))"), lit(0L)).as("h"),
-      count(lit(1)).as("n")).head()
+      coalesce(expr("bit_xor(xxhash64(id, grams))"), lit(0L)).as("h"),
+      count(lit(1)).as("n"),
+      countDistinct(col("id")).as("nd")).head()
     val (inHash, inCount) = (fpRow.getLong(0), fpRow.getLong(1))
+    // within-batch id uniqueness (the cross-batch check below cannot see
+    // it, and the FIRST batch has no store to check against): duplicate
+    // ids would fan candidate pairs out through the payload re-joins and
+    // make allPairs' pair-key dedup keep an arbitrary (inter, uni) row
+    require(fpRow.getLong(2) == inCount,
+      s"batch '$batchId' carries ${inCount - fpRow.getLong(2)} duplicated " +
+        "document id(s) WITHIN the batch — ids must be unique (the " +
+        "pair-op contract)")
 
     committed.get(batchId) match {
       case Some((h, n)) =>
@@ -199,7 +204,7 @@ object IncrementalDedup {
       // STORE is the source of truth for this batch's members — require
       // the caller's input to be the same shard that was signed
       val st = existingSigs.get.where(col("batch_id") === batchId)
-      val r = st.agg(coalesce(expr("bit_xor(xxhash64(id))"), lit(0L)),
+      val r = st.agg(coalesce(expr("bit_xor(xxhash64(id, grams))"), lit(0L)),
         count(lit(1))).head()
       require(r.getLong(0) == inHash && r.getLong(1) == inCount,
         s"resuming batch '$batchId' in $stateDir: the signed state " +

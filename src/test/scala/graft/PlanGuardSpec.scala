@@ -5,7 +5,7 @@ import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Plan-shape regression guard: the EXPLAIN.md audit as executable
-  * assertions. Every audited query (PlanAudit.picks) must keep its
+  * assertions. Every gate query (PlanAudit.all) must keep its
   * shuffle/broadcast discipline — a silent fallback to a sort-merge
   * join or a cartesian corpus scan fails here, not in a review. */
 class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
@@ -133,7 +133,7 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the final query's visible plan starts AFTER the localCheckpoint,
     // so the "single fact scan builds every sketch" claim must be
     // asserted on the pre-materialization frame; the generic audited
-    // loop (PlanAudit.picks) covers the final plan's SMJ/cartesian
+    // loop (PlanAudit.all) covers the final plan's SMJ/cartesian
     // discipline
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val plan = SparkEntry.tableProfileSketchPass(li)

@@ -128,6 +128,40 @@ class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
         TextOps.tokens(col("text")), col("doc_id"), state, "b0", cfg)
     }
     assert(e.getMessage.contains("DIFFERENT input"))
+
+    // the fingerprint must cover CONTENT, not just ids: a regenerated
+    // shard with the SAME doc_ids but different text re-ingested under
+    // the committed batch id must reject, not silently no-op onto stale
+    // signatures
+    val mutated = batch(0).withColumn("text",
+      concat(col("text"), lit(" regenerated")))
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalDedup.run(spark, mutated,
+        TextOps.tokens(col("text")), col("doc_id"), state, "b0", cfg)
+    }
+    assert(e2.getMessage.contains("DIFFERENT input"))
+    // and the same holds for the mid-resume check (marker lost, stored
+    // signatures disagree with the mutated input)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(state), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$state/batches"), true)
+    val e3 = intercept[IllegalArgumentException] {
+      IncrementalDedup.run(spark, mutated,
+        TextOps.tokens(col("text")), col("doc_id"), state, "b0", cfg)
+    }
+    assert(e3.getMessage.contains("does not match"))
+  }
+
+  test("duplicate ids WITHIN a batch reject (first batch has no store to check against)") {
+    val state = Files.createTempDirectory("inc_dedup_dupid").toString
+    val dup = batch(0).union(batch(0).limit(1))
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.run(spark, dup,
+        TextOps.tokens(col("text")), col("doc_id"), state, "first", cfg)
+    }
+    assert(e.getMessage.contains("WITHIN the batch"))
+    // nothing was appended before the rejection
+    assert(graft.util.ParquetState.readIfAny(spark, s"$state/signatures").isEmpty)
   }
 
   test("numeric-looking batch ids reject (partition type inference would break resume)") {
