@@ -547,6 +547,26 @@ object SparkEntry {
       s.table("graft_stream_sessions")
     }),
 
+    "train_test_split" -> ((s, dir) => {
+      // deterministic, engine-agnostic dataset splitting: label and
+      // sample decisions are pure functions of the key through the
+      // library's Wang mix, so the DuckDB oracle replays the ENTIRE
+      // 64-bit hash chain in HUGEINT arithmetic and the per-split id
+      // checksums must agree bit-for-bit — proving the split is
+      // reproducible across engines (and hence across cluster sizes,
+      // partitionings, and corpus growth). Map-only at any scale.
+      GraftFunctions.registerAll(s)
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id"),
+          graft.ops.SplitOps.splitLabel(col("doc_id"),
+            Seq("train" -> 98, "valid" -> 1, "test" -> 1)).as("split"),
+          graft.ops.SplitOps.hashSample(col("doc_id"), 0.10).as("sampled"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("bit_xor(doc_id)").as("id_checksum"),
+          sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"))
+    }),
+
     "rollup_distinct_parts" -> ((s, dir) => {
       // grouping sets compose with sketch aggregates for free (mergeable
       // partial states under any grouping) — exact rollup distinct
@@ -1421,6 +1441,35 @@ object SparkEntry {
         |SELECT user_id, session_start, session_end,
         |       distinct_event_types, n_events
         |FROM per, m WHERE session_end <= wm""".stripMargin,
+
+    // full replay of the Wang 64-bit mix in HUGEINT arithmetic (every
+    // widening step taken mod 2^64; ~key = 2^64-1 - key; >> on a
+    // non-negative HUGEINT is the logical shift), bucket = top 31 bits
+    // mod 100, sample threshold = round(0.10 * 2^31) — the identical
+    // integer pipeline SplitOps builds with Spark expressions
+    "train_test_split" ->
+      """WITH s0 AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS v FROM documents),
+        |s1 AS (SELECT doc_id, ((18446744073709551615 - v)
+        |         + ((v * 2097152) % 18446744073709551616))
+        |         % 18446744073709551616 AS v FROM s0),
+        |s2 AS (SELECT doc_id, xor(v, v >> 24) AS v FROM s1),
+        |s3 AS (SELECT doc_id, (v * 265) % 18446744073709551616 AS v FROM s2),
+        |s4 AS (SELECT doc_id, xor(v, v >> 14) AS v FROM s3),
+        |s5 AS (SELECT doc_id, (v * 21) % 18446744073709551616 AS v FROM s4),
+        |s6 AS (SELECT doc_id, xor(v, v >> 28) AS v FROM s5),
+        |s7 AS (SELECT doc_id,
+        |         CAST(((v + ((v * 2147483648) % 18446744073709551616))
+        |           % 18446744073709551616) >> 33 AS BIGINT) AS hi FROM s6),
+        |lab AS (SELECT doc_id,
+        |         CASE WHEN hi % 100 < 98 THEN 'train'
+        |              WHEN hi % 100 < 99 THEN 'valid'
+        |              ELSE 'test' END AS split,
+        |         hi < 214748365 AS sampled
+        |       FROM s7)
+        |SELECT split, count(*) AS n_docs, bit_xor(doc_id) AS id_checksum,
+        |       CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_sampled
+        |FROM lab GROUP BY 1""".stripMargin,
 
     "rollup_distinct_parts" ->
       """SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting and sampling for training pipelines —
+  * assignment is a PURE FUNCTION of a caller-chosen stable key, via the
+  * library's invertible Wang mix ([[graft.sketch.WangHash]], bits=64).
+  *
+  * Why not `randomSplit`/`sample`: their assignment depends on the seed
+  * AND the physical partitioning, so a repartition, a re-read with
+  * different splits, or a grown corpus silently reassigns rows between
+  * train and test. Hash-of-key assignment is reproducible across runs,
+  * cluster sizes, partitionings, and engines (the gate oracle replays
+  * the full mix in DuckDB integer arithmetic), and appending new data
+  * never moves old rows.
+  *
+  * At 100 TB this is a map-only operation: one codegen'd expression per
+  * row, no shuffle, no state — the split label is computable at scan
+  * time wherever the row lands.
+  *
+  * Leakage note: split on the key whose GROUPS must not straddle splits
+  * — the dedup cluster representative (near-duplicate documents), the
+  * user/session id (per-entity features), not the row id — otherwise
+  * near-copies of a training row land in test. [[DedupOps.dedupByPairs]]
+  * output composes directly: split on `component`.
+  *
+  * Bucketing uses the TOP 31 bits of the 64-bit hash (logical shift
+  * right 33), which keeps every intermediate non-negative — the same
+  * value whether the hash word is read signed (Spark Long) or unsigned
+  * (the oracle's HUGEINT replay) — and avoids any low-bit structure.
+  */
+object SplitOps {
+
+  /** Deterministic bucket in [0, nBuckets): (wang64(key) >>> 33) mod n. */
+  def hashBucket(key: Column, nBuckets: Int): Column = {
+    require(nBuckets > 0 && nBuckets <= (1 << 30),
+      s"nBuckets must be in [1, 2^30], got $nBuckets")
+    pmod(shiftrightunsigned(graft.api.wang_hash(key), 33), lit(nBuckets))
+  }
+
+  /** Split label by integer weights over 100 * sum-normalized buckets —
+    * e.g. `Seq("train" -> 98, "valid" -> 1, "test" -> 1)`. Buckets =
+    * sum of weights; each label owns a contiguous bucket range, so the
+    * assignment is total (every row gets exactly one label) and stable
+    * under appends. */
+  def splitLabel(key: Column, weights: Seq[(String, Int)]): Column = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      s"weights must be positive, got $weights")
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"duplicate split labels in $weights")
+    val total = weights.map(_._2).sum
+    val bucket = hashBucket(key, total)
+    val (expr, _) = weights.foldLeft((lit(null).cast("string"), 0)) {
+      case ((acc, cum), (label, w)) =>
+        val hi = cum + w
+        (when(bucket >= cum && bucket < hi, lit(label)).otherwise(acc), hi)
+    }
+    expr
+  }
+
+  /** Deterministic Bernoulli-by-key sample: keeps a row iff the top 31
+    * hash bits fall under `fraction` of the 2^31 range. Same key → same
+    * decision, forever — a reproducible subsample for eval sets or
+    * profiling that never drifts as the corpus grows. */
+  def hashSample(key: Column, fraction: Double): Column = {
+    require(fraction >= 0.0 && fraction <= 1.0,
+      s"fraction must be in [0, 1], got $fraction")
+    val threshold = math.round(fraction * (1L << 31)).toLong
+    shiftrightunsigned(graft.api.wang_hash(key), 33) < lit(threshold)
+  }
+}

@@ -1,0 +1,95 @@
+package graft.ops
+
+import graft.sketch.WangHash
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic split/sample: assignment must be a pure function of the
+  * key — invariant under partitioning and appends — match the kernel
+  * hash exactly, and cover every row with exactly one label. */
+class SplitOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-split-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    graft.GraftFunctions.registerAll(s)
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val weights = Seq("train" -> 98, "valid" -> 1, "test" -> 1)
+
+  test("bucket and label match the kernel hash exactly") {
+    val rows = spark.range(0, 5000)
+      .select(col("id"),
+        SplitOps.hashBucket(col("id"), 100).as("bucket"),
+        SplitOps.splitLabel(col("id"), weights).as("split"),
+        SplitOps.hashSample(col("id"), 0.10).as("sampled"))
+      .collect()
+    val threshold = math.round(0.10 * (1L << 31))
+    rows.foreach { r =>
+      val hi = WangHash.hash(r.getLong(0), 64) >>> 33
+      assert(r.getLong(1) == hi % 100, s"bucket mismatch at id ${r.getLong(0)}")
+      val expected =
+        if (hi % 100 < 98) "train" else if (hi % 100 < 99) "valid" else "test"
+      assert(r.getString(2) == expected)
+      assert(r.getBoolean(3) == (hi < threshold))
+    }
+  }
+
+  test("assignment is invariant under repartitioning and appends") {
+    def labels(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      df.select(col("id"), SplitOps.splitLabel(col("id"), weights).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val base = spark.range(0, 2000).toDF("id")
+    val a = labels(base)
+    val b = labels(base.repartition(17, col("id")))
+    // "append": the same ids inside a larger dataset keep their labels
+    val c = labels(spark.range(0, 10000).toDF("id")).view
+      .filterKeys(_ < 2000).toMap
+    assert(a == b && a == c)
+  }
+
+  test("labels are total and proportions track the weights") {
+    val n = 200000L
+    val counts = spark.range(0, n)
+      .select(SplitOps.splitLabel(col("id"), weights).as("s"))
+      .groupBy(col("s")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "valid", "test"), counts.toString)
+    assert(counts.values.sum == n) // exactly one label per row
+    // binomial 5-sigma bands: p=0.98 and p=0.01 at n=200k
+    assert(math.abs(counts("train") - 0.98 * n) < 5 * math.sqrt(n * 0.98 * 0.02))
+    assert(math.abs(counts("valid") - 0.01 * n) < 5 * math.sqrt(n * 0.01 * 0.99))
+    assert(math.abs(counts("test") - 0.01 * n) < 5 * math.sqrt(n * 0.01 * 0.99))
+  }
+
+  test("group-keyed split keeps near-dup clusters on one side (leakage guard shape)") {
+    import spark.implicits._
+    // 3 clusters of 4 docs each: splitting on the CLUSTER key must give
+    // every member the same label regardless of its own id
+    val docs = (0L until 12L).map(i => (i, i / 4)).toDF("doc_id", "component")
+    val got = docs.select(col("component"),
+        SplitOps.splitLabel(col("component"), weights).as("s"))
+      .distinct().groupBy(col("component")).count()
+      .collect().map(_.getLong(1))
+    assert(got.forall(_ == 1L), "a cluster straddled splits")
+  }
+
+  test("invalid configurations reject") {
+    intercept[IllegalArgumentException](SplitOps.hashBucket(col("id"), 0))
+    intercept[IllegalArgumentException](
+      SplitOps.splitLabel(col("id"), Seq("a" -> 1, "a" -> 2)))
+    intercept[IllegalArgumentException](
+      SplitOps.splitLabel(col("id"), Seq("a" -> 0)))
+    intercept[IllegalArgumentException](SplitOps.hashSample(col("id"), 1.5))
+  }
+}
