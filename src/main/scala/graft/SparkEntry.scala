@@ -547,6 +547,20 @@ object SparkEntry {
       s.table("graft_stream_sessions")
     }),
 
+    "benchmark_decontamination" -> ((s, dir) => {
+      // pre-training hygiene: corpus docs sharing any word 3-gram with
+      // the (deterministic pseudo) eval set doc_id % 97 == 0. Benchmark
+      // grams broadcast; corpus grams are a map-only explode that dies
+      // at the join unless contaminated — the only shuffle carries
+      // matched grams. Grams compare as STRINGS (no hashing), so the
+      // DuckDB oracle replays the operator exactly
+      val docs = t(s, dir, "documents")
+      graft.ops.DedupOps.contamination(
+        docs.where(pmod(col("doc_id"), lit(97)) =!= 0),
+        col("doc_id"), col("text"),
+        docs.where(pmod(col("doc_id"), lit(97)) === 0), col("text"), k = 3)
+    }),
+
     "train_test_split" -> ((s, dir) => {
       // deterministic, engine-agnostic dataset splitting: label and
       // sample decisions are pure functions of the key through the
@@ -1441,6 +1455,25 @@ object SparkEntry {
         |SELECT user_id, session_start, session_end,
         |       distinct_event_types, n_events
         |FROM per, m WHERE session_end <= wm""".stripMargin,
+
+    // literal replay of the operator: whitespace tokens (the token_counts
+    // convention), 3-grams via list slicing, per-doc DISTINCT corpus
+    // grams joined to the DISTINCT benchmark gram set, counted per doc
+    "benchmark_decontamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |grams AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, len(t) - 2),
+        |      i -> array_to_string(t[i:i+2], ' ')) AS gs
+        |  FROM toks WHERE len(t) >= 3),
+        |cg AS (SELECT DISTINCT doc_id, g
+        |       FROM grams, UNNEST(gs) AS u(g) WHERE doc_id % 97 <> 0),
+        |bg AS (SELECT DISTINCT g
+        |       FROM grams, UNNEST(gs) AS u(g) WHERE doc_id % 97 = 0)
+        |SELECT cg.doc_id, count(*) AS matched_grams
+        |FROM cg JOIN bg USING (g) GROUP BY 1""".stripMargin,
 
     // full replay of the Wang 64-bit mix in HUGEINT arithmetic (every
     // widening step taken mod 2^64; ~key = 2^64-1 - key; >> on a

@@ -454,6 +454,37 @@ object DedupOps {
       .select(col("id_a"), col("id_b"))
       .distinct() // duplicated input ids fan pairs out through the vector re-join
   }
+
+  /** Benchmark decontamination: corpus documents sharing at least one
+    * word k-gram with ANY benchmark/eval document, with the count of
+    * distinct matched grams — the standard pre-training hygiene pass
+    * that keeps eval data out of the training set.
+    *
+    * Scale shape: the benchmark side (eval suites — thousands of docs,
+    * not billions) collapses to DISTINCT grams and BROADCASTS; the
+    * corpus side is a map-only explode of per-doc distinct grams whose
+    * rows die at the broadcast join unless contaminated, so the only
+    * shuffle (the per-doc count) carries contaminated grams only. No
+    * hashing anywhere — grams compare as strings, so the gate oracle
+    * replays the operator exactly and collisions cannot mask a hit.
+    *
+    * Output: (doc_id, matched_grams) for contaminated corpus docs.
+    * Callers wanting the clean corpus anti-join on doc_id. */
+  def contamination(corpus: DataFrame, corpusId: Column, corpusText: Column,
+      bench: DataFrame, benchText: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val cg = corpus.select(corpusId.as("doc_id"),
+      explode(array_distinct(TextOps.wordShingles(corpusText, k))).as("gram"))
+    val bg = bench
+      .select(explode(array_distinct(TextOps.wordShingles(benchText, k)))
+        .as("gram"))
+      .distinct()
+    cg.join(broadcast(bg), Seq("gram"))
+      // per-doc grams are distinct and the broadcast side is distinct,
+      // so plain count == distinct matched grams
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("matched_grams"))
+  }
 }
 
 /** Open-addressing long -> long parent table with union-find on top:

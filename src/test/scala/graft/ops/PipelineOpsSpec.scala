@@ -256,6 +256,35 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(comps.count(_._2._2) == 4) // one representative per component
   }
 
+  test("benchmark decontamination: gram matches, counts, short/empty docs, broadcast plan") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps"),   // shares "the quick brown", "quick brown fox" with bench
+      (11L, "wholly original content here today"), // clean
+      (12L, "alpha beta gamma"),            // exact 3-gram of bench doc 2
+      (13L, "alpha beta gamma alpha beta gamma"), // repeated gram counts ONCE
+      (14L, "too short"),                   // < k tokens: never contaminated
+      (15L, "")).toDF("doc_id", "text")
+    val bench = Seq(
+      (1L, "the quick brown fox sleeps"),
+      (2L, "alpha beta gamma")).toDF("doc_id", "text")
+    val got = DedupOps.contamination(corpus, col("doc_id"), col("text"),
+        bench, col("text"), k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 10: "the quick brown" + "quick brown fox" match; "brown fox jumps" doesn't
+    // doc 13: four 3-grams but only distinct matches count -> 2
+    //         ("alpha beta gamma" and "gamma alpha beta"? the latter is
+    //         not in bench -> just 1... plus "beta gamma alpha" not in
+    //         bench) -> exactly 1 distinct matched gram
+    assert(got == Map(10L -> 2L, 12L -> 1L, 13L -> 1L), got.toString)
+    // the benchmark gram set must broadcast (the corpus-proportional side
+    // must NOT): contaminated-or-not is decided map-side at scale
+    val plan = DedupOps.contamination(corpus, col("doc_id"), col("text"),
+        bench, col("text"), k = 3)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("text ops: tokens, counts, quality metrics, langid, fingerprint") {
     val df = Seq(
       (0L, "the cat and the hat"),
