@@ -561,6 +561,24 @@ object SparkEntry {
         docs.where(pmod(col("doc_id"), lit(97)) === 0), col("text"), k = 3)
     }),
 
+    "corpus_mixture_sample" -> ((s, dir) => {
+      // training-recipe corpus mixing: per-source deterministic keep
+      // rates (100% / 30% / 5% / default 50%) decided by the seeded key
+      // hash — append-stable and engine-agnostic like train_test_split;
+      // seed=7 exercises the xor-decorrelation path in the oracle replay
+      GraftFunctions.registerAll(s)
+      val docs = t(s, dir, "documents")
+      docs.select(col("source"), col("doc_id"),
+          graft.ops.SplitOps.mixtureSample(col("doc_id"), col("source"),
+            Map("src0" -> 1.0, "src1" -> 0.3, "src2" -> 0.05),
+            defaultFraction = 0.5, seed = 7L).as("keep"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          coalesce(expr("bit_xor(CASE WHEN keep THEN doc_id END)"), lit(0L))
+            .as("kept_checksum"))
+    }),
+
     "train_test_split" -> ((s, dir) => {
       // deterministic, engine-agnostic dataset splitting: label and
       // sample decisions are pure functions of the key through the
@@ -1474,6 +1492,40 @@ object SparkEntry {
         |       FROM grams, UNNEST(gs) AS u(g) WHERE doc_id % 97 = 0)
         |SELECT cg.doc_id, count(*) AS matched_grams
         |FROM cg JOIN bg USING (g) GROUP BY 1""".stripMargin,
+
+    // same Wang replay as train_test_split, seeded: v = wang64(id ^
+    // premix(7)) where premix(7) = wang64(7) = 9406415178646722915
+    // unsigned = -9040328895062828701 as the signed BIGINT the xor
+    // operates on; the +2^64 mod 2^64 normalizes the signed xor result
+    // back onto the unsigned domain the chain runs in. Per-source
+    // thresholds = round(fraction * 2^31)
+    "corpus_mixture_sample" ->
+      """WITH s0 AS (SELECT doc_id, source,
+        |              (CAST(xor(doc_id, -9040328895062828701) AS HUGEINT)
+        |               + 18446744073709551616) % 18446744073709551616 AS v
+        |            FROM documents),
+        |s1 AS (SELECT doc_id, source, ((18446744073709551615 - v)
+        |         + ((v * 2097152) % 18446744073709551616))
+        |         % 18446744073709551616 AS v FROM s0),
+        |s2 AS (SELECT doc_id, source, xor(v, v >> 24) AS v FROM s1),
+        |s3 AS (SELECT doc_id, source, (v * 265) % 18446744073709551616 AS v FROM s2),
+        |s4 AS (SELECT doc_id, source, xor(v, v >> 14) AS v FROM s3),
+        |s5 AS (SELECT doc_id, source, (v * 21) % 18446744073709551616 AS v FROM s4),
+        |s6 AS (SELECT doc_id, source, xor(v, v >> 28) AS v FROM s5),
+        |s7 AS (SELECT doc_id, source,
+        |         CAST(((v + ((v * 2147483648) % 18446744073709551616))
+        |           % 18446744073709551616) >> 33 AS BIGINT) AS hi FROM s6),
+        |k AS (SELECT doc_id, source,
+        |        hi < CASE source WHEN 'src0' THEN 2147483648
+        |                         WHEN 'src1' THEN 644245094
+        |                         WHEN 'src2' THEN 107374182
+        |                         ELSE 1073741824 END AS keep
+        |      FROM s7)
+        |SELECT source, count(*) AS n_total,
+        |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       coalesce(bit_xor(CASE WHEN keep THEN doc_id END), 0)
+        |         AS kept_checksum
+        |FROM k GROUP BY 1""".stripMargin,
 
     // full replay of the Wang 64-bit mix in HUGEINT arithmetic (every
     // widening step taken mod 2^64; ~key = 2^64-1 - key; >> on a

@@ -62,11 +62,50 @@ object SplitOps {
   /** Deterministic Bernoulli-by-key sample: keeps a row iff the top 31
     * hash bits fall under `fraction` of the 2^31 range. Same key → same
     * decision, forever — a reproducible subsample for eval sets or
-    * profiling that never drifts as the corpus grows. */
-  def hashSample(key: Column, fraction: Double): Column = {
+    * profiling that never drifts as the corpus grows.
+    *
+    * `seed` decorrelates INDEPENDENT decisions on the same key (it XORs
+    * into the key before hashing): a 10% profiling sample with seed A is
+    * uniform within every split of a seed-B splitLabel; two decisions
+    * with the SAME seed are nested (fraction 0.05 ⊂ fraction 0.10),
+    * which is itself useful for growable samples. */
+  def hashSample(key: Column, fraction: Double, seed: Long = 0L): Column = {
     require(fraction >= 0.0 && fraction <= 1.0,
       s"fraction must be in [0, 1], got $fraction")
     val threshold = math.round(fraction * (1L << 31)).toLong
-    shiftrightunsigned(graft.api.wang_hash(key), 33) < lit(threshold)
+    hashHi(key, seed) < lit(threshold)
+  }
+
+  /** Per-source mixture sampling — the corpus-mixing op of a training
+    * recipe ("keep 100% of books, 30% of web, 5% of logs"): keep each
+    * row with its source's fraction, decided by the same key hash as
+    * [[hashSample]], so the mix is reproducible and append-stable.
+    * Sources absent from `fractions` keep `defaultFraction`. */
+  def mixtureSample(key: Column, source: Column,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0,
+      seed: Long = 0L): Column = {
+    require((defaultFraction +: fractions.values.toSeq)
+        .forall(f => f >= 0.0 && f <= 1.0),
+      s"fractions must be in [0, 1], got $fractions / $defaultFraction")
+    def thr(f: Double) = lit(math.round(f * (1L << 31)).toLong)
+    val threshold = fractions.foldLeft(thr(defaultFraction)) {
+      case (acc, (src, f)) => when(source === lit(src), thr(f)).otherwise(acc)
+    }
+    hashHi(key, seed) < threshold
+  }
+
+  /** Top 31 bits of wang64(key ^ premix(seed)) — non-negative under
+    * signed AND unsigned readings, so oracle replays agree bit-for-bit.
+    * The seed is PRE-MIXED through the hash at plan time: raw small
+    * seeds (1, 2, ...) differ in one or two low bits, and the Wang
+    * mix's avalanche leaves measurable correlation between such xors
+    * (~11% overlap deficit between two 25% samples, 5-sigma visible at
+    * 60k keys — pinned in SplitOpsSpec); premixed constants differ in
+    * ~32 random bits, where the decisions test independent. seed=0 is
+    * the identity (no xor), keeping the unseeded forms bit-compatible. */
+  private def hashHi(key: Column, seed: Long): Column = {
+    val k = if (seed == 0L) key
+      else key.bitwiseXOR(lit(graft.sketch.WangHash.hash(seed, 64)))
+    shiftrightunsigned(graft.api.wang_hash(k), 33)
   }
 }

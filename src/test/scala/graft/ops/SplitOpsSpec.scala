@@ -84,6 +84,45 @@ class SplitOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.forall(_ == 1L), "a cluster straddled splits")
   }
 
+  test("mixture sample: per-source rates match the kernel hash; seeds decorrelate") {
+    import spark.implicits._
+    val n = 60000L
+    val docs = spark.range(0, n)
+      .select(col("id"), concat(lit("src"), pmod(col("id"), lit(3))).as("source"))
+    val fr = Map("src0" -> 1.0, "src1" -> 0.25, "src2" -> 0.0)
+    val rows = docs.select(col("id"), col("source"),
+        SplitOps.mixtureSample(col("id"), col("source"), fr, seed = 7L).as("keep"))
+      .collect()
+    val thr = Map("src0" -> math.round(1.0 * (1L << 31)),
+      "src1" -> math.round(0.25 * (1L << 31)), "src2" -> 0L)
+    val seedMix = graft.sketch.WangHash.hash(7L, 64)
+    rows.foreach { r =>
+      val hi = graft.sketch.WangHash.hash(r.getLong(0) ^ seedMix, 64) >>> 33
+      assert(r.getBoolean(2) == (hi < thr(r.getString(1))),
+        s"keep mismatch at id ${r.getLong(0)}")
+    }
+    val kept = rows.filter(_.getBoolean(2)).groupBy(_.getString(1))
+      .view.mapValues(_.length.toLong).toMap
+    assert(kept("src0") == n / 3)          // fraction 1.0 keeps everything
+    assert(!kept.contains("src2"))          // fraction 0.0 keeps nothing
+    val p = kept("src1").toDouble / (n / 3) // ~0.25 within 5 sigma
+    assert(math.abs(p - 0.25) < 5 * math.sqrt(0.25 * 0.75 / (n / 3)), p.toString)
+
+    // different seeds give (near-)independent decisions on the same keys:
+    // overlap of two 25% samples ~ 6.25%, not 25%
+    val both = spark.range(0, n).select(
+        SplitOps.hashSample(col("id"), 0.25, seed = 1L).as("a"),
+        SplitOps.hashSample(col("id"), 0.25, seed = 2L).as("b"))
+      .where(col("a") && col("b")).count()
+    val pBoth = both.toDouble / n
+    assert(math.abs(pBoth - 0.0625) < 5 * math.sqrt(0.0625 * 0.9375 / n), pBoth.toString)
+    // same seed nests: the 5% sample is a subset of the 25% one
+    val escaped = spark.range(0, n)
+      .where(SplitOps.hashSample(col("id"), 0.05, seed = 1L) &&
+        !SplitOps.hashSample(col("id"), 0.25, seed = 1L)).count()
+    assert(escaped == 0L)
+  }
+
   test("invalid configurations reject") {
     intercept[IllegalArgumentException](SplitOps.hashBucket(col("id"), 0))
     intercept[IllegalArgumentException](
