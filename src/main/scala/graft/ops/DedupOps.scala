@@ -464,7 +464,9 @@ object DedupOps {
     * not billions) collapses to DISTINCT grams and BROADCASTS; the
     * corpus side is a map-only explode of per-doc distinct grams whose
     * rows die at the broadcast join unless contaminated, so the only
-    * shuffle (the per-doc count) carries contaminated grams only. No
+    * CORPUS-PROPORTIONAL shuffle (the per-doc count) carries
+    * contaminated grams only (the bench side also pays one tiny
+    * distinct exchange before broadcasting). No
     * hashing anywhere — grams compare as strings, so the gate oracle
     * replays the operator exactly and collisions cannot mask a hit.
     *

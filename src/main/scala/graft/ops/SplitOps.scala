@@ -15,9 +15,17 @@ import org.apache.spark.sql.functions._
   * the full mix in DuckDB integer arithmetic), and appending new data
   * never moves old rows.
   *
-  * At 100 TB this is a map-only operation: one codegen'd expression per
-  * row, no shuffle, no state — the split label is computable at scan
-  * time wherever the row lands.
+  * At 100 TB this is a map-only operation: one expression per row, no
+  * shuffle, no state — the split label is computable at scan time
+  * wherever the row lands. (The Wang mix itself evaluates interpreted —
+  * WangHashExpr is a CodegenFallback — but it is ~15 ALU ops with no
+  * allocation, and each operator evaluates it exactly once per row.)
+  *
+  * Null keys REJECT at runtime (assert_true) rather than silently
+  * vanishing: a null key has no stable identity to split on — a
+  * null-keyed row would otherwise get a NULL label and match no
+  * split's filter, disappearing from the dataset without an error.
+  * Filter or coalesce nulls explicitly before splitting.
   *
   * Leakage note: split on the key whose GROUPS must not straddle splits
   * — the dedup cluster representative (near-duplicate documents), the
@@ -32,11 +40,16 @@ import org.apache.spark.sql.functions._
   */
 object SplitOps {
 
-  /** Deterministic bucket in [0, nBuckets): (wang64(key) >>> 33) mod n. */
+  /** Deterministic bucket in [0, nBuckets): (wang64(key) >>> 33) mod n.
+    * The draw is 31 bits, so the modulo bias between buckets is bounded
+    * by nBuckets/2^31 — under 5e-4 at the 2^20 cap (and 5e-8 for the
+    * typical 100-bucket split). */
   def hashBucket(key: Column, nBuckets: Int): Column = {
-    require(nBuckets > 0 && nBuckets <= (1 << 30),
-      s"nBuckets must be in [1, 2^30], got $nBuckets")
-    pmod(shiftrightunsigned(graft.api.wang_hash(key), 33), lit(nBuckets))
+    require(nBuckets > 0 && nBuckets <= (1 << 20),
+      s"nBuckets must be in [1, 2^20], got $nBuckets — the bucket draw " +
+        "is 31 hash bits, and larger counts make the modulo bias " +
+        "(nBuckets/2^31) a visible skew")
+    pmod(hashHi(key, 0L), lit(nBuckets))
   }
 
   /** Split label by integer weights over 100 * sum-normalized buckets —
@@ -50,13 +63,15 @@ object SplitOps {
     require(weights.map(_._1).distinct.size == weights.size,
       s"duplicate split labels in $weights")
     val total = weights.map(_._2).sum
-    val bucket = hashBucket(key, total)
-    val (expr, _) = weights.foldLeft((lit(null).cast("string"), 0)) {
-      case ((acc, cum), (label, w)) =>
-        val hi = cum + w
-        (when(bucket >= cum && bucket < hi, lit(label)).otherwise(acc), hi)
-    }
-    expr
+    require(total <= 4096,
+      s"weights sum to $total — keep the bucket space small (<= 4096); " +
+        "the label lookup embeds one array slot per bucket")
+    // ONE bucket evaluation + a literal label-per-bucket array lookup:
+    // a when-chain over the ranges would repeat the hash expression in
+    // every comparison and lean on subexpression elimination
+    val labels = weights.flatMap { case (label, w) => Seq.fill(w)(lit(label)) }
+    element_at(array(labels: _*),
+      (hashBucket(key, total) + 1L).cast("int"))
   }
 
   /** Deterministic Bernoulli-by-key sample: keeps a row iff the top 31
@@ -104,8 +119,18 @@ object SplitOps {
     * ~32 random bits, where the decisions test independent. seed=0 is
     * the identity (no xor), keeping the unseeded forms bit-compatible. */
   private def hashHi(key: Column, seed: Long): Column = {
-    val k = if (seed == 0L) key
-      else key.bitwiseXOR(lit(graft.sketch.WangHash.hash(seed, 64)))
+    // fail LOUDLY on null keys: assert_true returns null when the
+    // predicate holds and raises otherwise, so the when() below is the
+    // identity on non-null keys and a runtime error on null ones —
+    // never a silent NULL decision that drops the row from every split
+    val checked = when(
+      assert_true(key.isNotNull,
+        lit("SplitOps: null key — split/sample assignment needs a " +
+          "stable non-null key; filter or coalesce nulls explicitly"))
+        .isNull,
+      key)
+    val k = if (seed == 0L) checked
+      else checked.bitwiseXOR(lit(graft.sketch.WangHash.hash(seed, 64)))
     shiftrightunsigned(graft.api.wang_hash(k), 33)
   }
 }

@@ -123,6 +123,22 @@ class SplitOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(escaped == 0L)
   }
 
+  test("null keys reject loudly instead of silently dropping rows") {
+    import spark.implicits._
+    val df = Seq(Option(1L), None).toDF("id")
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val e = intercept[Throwable] {
+      df.select(SplitOps.splitLabel(col("id"), weights)).collect()
+    }
+    assert(messages(e).contains("null key"), messages(e))
+    val e2 = intercept[Throwable] {
+      df.select(SplitOps.hashSample(col("id"), 0.5)).collect()
+    }
+    assert(messages(e2).contains("null key"), messages(e2))
+  }
+
   test("invalid configurations reject") {
     intercept[IllegalArgumentException](SplitOps.hashBucket(col("id"), 0))
     intercept[IllegalArgumentException](
