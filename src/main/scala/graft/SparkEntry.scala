@@ -599,6 +599,32 @@ object SparkEntry {
           sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"))
     }),
 
+    "sequence_packing" -> ((s, dir) => {
+      // concat-and-chunk packing of documents into fixed 512-token
+      // training sequences over 8 hash shards — per-sequence doc count,
+      // fill level (512 everywhere but each shard's last sequence), and
+      // doc-id checksum. ONE exchange end-to-end: the summary groupBy
+      // reuses the window's shard partitioning. Every offset is exact
+      // 64-bit integer arithmetic (integral div, Wang shard hash) that
+      // the DuckDB oracle replays bit-for-bit
+      GraftFunctions.registerAll(s)
+      val docs = t(s, dir, "documents")
+      graft.ops.PackOps.packSummary(docs, col("doc_id"),
+        TextOps.tokenCount(col("text")), seqLen = 512L, nShards = 8)
+    }),
+
+    "repetition_metrics" -> ((s, dir) => {
+      // Gopher-rule repetition signals (within-doc boilerplate that
+      // dedup can't see): duplicate-line and top-2-gram rates as exact
+      // integer permilles — ONE map-only pass, no shuffle (a single
+      // expression computes all counters per row; the explode+groupBy
+      // alternative would shuffle every line of the corpus)
+      val docs = t(s, dir, "documents")
+      val metrics = TextOps.repetitionMetrics(col("text"))
+      docs.select((col("doc_id") +:
+        metrics.map { case (n, c) => c.cast("long").as(n) }): _*)
+    }),
+
     "rollup_distinct_parts" -> ((s, dir) => {
       // grouping sets compose with sketch aggregates for free (mergeable
       // partial states under any grouping) — exact rollup distinct
@@ -1555,6 +1581,86 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_sampled
         |FROM lab GROUP BY 1""".stripMargin,
+
+    // literal replay of the packing rule: token counts by the
+    // token_counts convention, shard = top-31-bits-of-wang64 mod 8
+    // (the same HUGEINT chain as train_test_split), per-shard running
+    // token offsets over the doc_id order, span indices by integer
+    // division — every value BIGINT-exact, so the per-sequence doc-id
+    // checksums must agree bit-for-bit
+    "sequence_packing" ->
+      """WITH tc AS (SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+        |  FROM documents),
+        |s0 AS (SELECT doc_id, n, CAST(doc_id AS HUGEINT) AS v FROM tc),
+        |s1 AS (SELECT doc_id, n, ((18446744073709551615 - v)
+        |         + ((v * 2097152) % 18446744073709551616))
+        |         % 18446744073709551616 AS v FROM s0),
+        |s2 AS (SELECT doc_id, n, xor(v, v >> 24) AS v FROM s1),
+        |s3 AS (SELECT doc_id, n, (v * 265) % 18446744073709551616 AS v FROM s2),
+        |s4 AS (SELECT doc_id, n, xor(v, v >> 14) AS v FROM s3),
+        |s5 AS (SELECT doc_id, n, (v * 21) % 18446744073709551616 AS v FROM s4),
+        |s6 AS (SELECT doc_id, n, xor(v, v >> 28) AS v FROM s5),
+        |s7 AS (SELECT doc_id, n,
+        |         CAST(((v + ((v * 2147483648) % 18446744073709551616))
+        |           % 18446744073709551616) >> 33 AS BIGINT) % 8 AS shard
+        |       FROM s6),
+        |st AS (SELECT doc_id, n, shard,
+        |    CAST(coalesce(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS s
+        |  FROM s7),
+        |spans AS (SELECT doc_id, shard, seq,
+        |    least(s + n, (seq + 1) * 512) - greatest(s, seq * 512) AS k
+        |  FROM st, UNNEST(generate_series(s // 512, (s + n - 1) // 512))
+        |    AS u(seq)
+        |  WHERE n > 0)
+        |SELECT shard, seq, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(k) AS BIGINT) AS n_tokens,
+        |  bit_xor(doc_id) AS id_checksum
+        |FROM spans GROUP BY 1, 2""".stripMargin,
+
+    // literal replay of the one-pass counters: non-empty lines with
+    // per-value occurrence counts (a value's occurrences beyond the
+    // first are duplicates; len() = code points on both engines),
+    // word 2-grams from the tokens() convention (trailing empty tokens
+    // KEPT — regexp_split keeps them, so the expression does too),
+    // permilles by the quality_metrics integer idiom
+    "repetition_metrics" ->
+      """WITH lines AS (
+        |  SELECT doc_id, l
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+        |        FROM documents), UNNEST(ls) AS u(l)
+        |  WHERE len(l) > 0),
+        |lc AS (SELECT doc_id, l, count(*) AS c FROM lines GROUP BY 1, 2),
+        |la AS (SELECT doc_id,
+        |    CAST(sum(c) AS BIGINT) AS n_lines,
+        |    CAST(sum(c - 1) AS BIGINT) AS n_dup,
+        |    CAST(sum((c - 1) * len(l)) AS BIGINT) AS dup_chars,
+        |    CAST(sum(c * len(l)) AS BIGINT) AS total_chars
+        |  FROM lc GROUP BY 1),
+        |toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |bg AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 2),
+        |bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+        |ba AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |    CAST(max(c) AS BIGINT) AS top_n FROM bc GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(n_lines, 0) AS BIGINT) AS n_lines,
+        |  CAST(CASE WHEN coalesce(n_lines, 0) = 0 THEN 0
+        |    ELSE (n_dup * 1000) // n_lines END AS BIGINT) AS dup_line_permille,
+        |  CAST(CASE WHEN coalesce(total_chars, 0) = 0 THEN 0
+        |    ELSE (dup_chars * 1000) // total_chars END AS BIGINT)
+        |    AS dup_line_char_permille,
+        |  CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0
+        |    ELSE (top_n * 1000) // n_bigrams END AS BIGINT)
+        |    AS top_bigram_permille
+        |FROM documents d LEFT JOIN la USING (doc_id)
+        |LEFT JOIN ba USING (doc_id)""".stripMargin,
 
     "rollup_distinct_parts" ->
       """SELECT l_returnflag, l_linestatus,

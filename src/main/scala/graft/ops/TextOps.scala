@@ -76,6 +76,45 @@ object TextOps {
   /** Heuristic language ID over a small per-language marker-word table. */
   def langId(text: Column): Column = toColumn(LangIdExpr(expression(text)))
 
+  /** Gopher-style repetition quality signals (Rae et al. 2021 §A1.1 —
+    * the published repetition filters of a web-scale training corpus),
+    * integer-permille exact like [[qualityMetrics]]:
+    *
+    *   - `n_lines`              — non-empty lines
+    *   - `dup_line_permille`    — repeated line occurrences (beyond each
+    *                              line's first) per 1000 lines
+    *   - `dup_line_char_permille` — characters in those repeated
+    *                              occurrences per 1000 line characters
+    *   - `n_bigrams`            — word 2-grams (whitespace tokens)
+    *   - `top_bigram_permille`  — occurrences of the most frequent
+    *                              2-gram per 1000 2-grams
+    *
+    * High values flag boilerplate/spam (nav bars, keyword stuffing,
+    * templated listings) that exact/near dedup misses because the
+    * repetition is WITHIN the document. One pass, one expression, no
+    * shuffle: [[RepetitionStatsExpr]] computes all five counters per
+    * row ([[langId]]-style single-pass hash maps), so the operator is
+    * map-only at any scale — the alternative explode-lines + groupBy
+    * shape would shuffle every line of a 100 TB corpus. Character
+    * counts are Unicode code points (matching engine-independent
+    * `length()` semantics, not JVM UTF-16 units). */
+  def repetitionMetrics(text: Column): Seq[(String, Column)] = {
+    val st = toColumn(RepetitionStatsExpr(expression(text)))
+    def permille(num: Column, den: Column): Column =
+      when(den === 0, 0L)
+        .otherwise((num * 1000L).cast(LongType) / den).cast(LongType)
+    Seq(
+      "n_lines" -> st.getField("n_lines"),
+      "dup_line_permille" ->
+        permille(st.getField("n_dup_lines"), st.getField("n_lines")),
+      "dup_line_char_permille" ->
+        permille(st.getField("dup_chars"), st.getField("total_chars")),
+      "n_bigrams" -> st.getField("n_bigrams"),
+      "top_bigram_permille" ->
+        permille(st.getField("top_bigram_n"), st.getField("n_bigrams"))
+    )
+  }
+
   /** 64-bit rolling polynomial fingerprint of the text (content-defined,
     * whitespace-normalized) — the document-level identity hash for exact
     * dedup at scale (cheaper to shuffle than the text itself). */
@@ -160,5 +199,79 @@ case class RollingFingerprint(child: Expression)
     h
   }
   override protected def withNewChildInternal(c: Expression): RollingFingerprint =
+    copy(child = c)
+}
+
+/** One-pass repetition counters for [[TextOps.repetitionMetrics]]:
+  * line-occurrence and word-2-gram hash maps built in a single scan of
+  * the text, returned as a struct of exact long counters (the permille
+  * arithmetic lives in the column builders so the counters stay
+  * engine-replayable integers).
+  *
+  * Definitions (pinned by the gate oracle's DuckDB replay):
+  *   - lines = text split on '\n', EMPTY LINES DROPPED (blank-line
+  *     runs are formatting, not content repetition);
+  *   - a line's k-th occurrence for k >= 2 is a duplicate occurrence:
+  *     n_dup_lines = sum over distinct values of (count - 1), and
+  *     dup_chars counts those occurrences' code points;
+  *   - 2-grams come from whitespace tokens of the WHOLE text (grams
+  *     cross line boundaries — tokenization is line-agnostic, matching
+  *     [[TextOps.tokens]]).
+  */
+case class RepetitionStatsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def prettyName: String = "repetition_stats"
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_lines", LongType, nullable = false),
+    StructField("n_dup_lines", LongType, nullable = false),
+    StructField("dup_chars", LongType, nullable = false),
+    StructField("total_chars", LongType, nullable = false),
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("top_bigram_n", LongType, nullable = false)))
+
+  override def nullSafeEval(v: Any): Any = {
+    val text = v.asInstanceOf[UTF8String].toString
+    // lines: single pass over occurrences; a value seen before counts as
+    // a duplicate occurrence and its code points as duplicate characters
+    var nLines = 0L; var nDup = 0L; var dupChars = 0L; var totalChars = 0L
+    val seen = new java.util.HashMap[String, Integer]()
+    var from = 0
+    while (from <= text.length) {
+      val nl = text.indexOf('\n', from)
+      val end = if (nl < 0) text.length else nl
+      if (end > from) {
+        val line = text.substring(from, end)
+        val cp = line.codePointCount(0, line.length).toLong
+        nLines += 1; totalChars += cp
+        if (seen.merge(line, 1, (a, b) => a + b) > 1) {
+          nDup += 1; dupChars += cp
+        }
+      }
+      from = end + 1
+    }
+    // word 2-grams over whitespace tokens of the whole text, replicating
+    // the tokens() convention exactly: SQL trim strips SPACES only (not
+    // Java trim's all-whitespace), and SQL split keeps trailing empty
+    // tokens (Java's default split drops them) — both engines agree on
+    // that composition, so the expression must too
+    var nBigrams = 0L; var topN = 0L
+    var lo = 0; var hi = text.length
+    while (lo < hi && text.charAt(lo) == ' ') lo += 1
+    while (hi > lo && text.charAt(hi - 1) == ' ') hi -= 1
+    val toks = text.substring(lo, hi).split("\\s+", -1)
+    if (toks.length >= 2) {
+      val grams = new java.util.HashMap[String, Integer]()
+      var i = 0
+      while (i < toks.length - 1) {
+        val n = grams.merge(toks(i) + " " + toks(i + 1), 1, (a, b) => a + b)
+        if (n.toLong > topN) topN = n.toLong
+        i += 1
+        nBigrams += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      nLines, nDup, dupChars, totalChars, nBigrams, topN)
+  }
+  override protected def withNewChildInternal(c: Expression): RepetitionStatsExpr =
     copy(child = c)
 }

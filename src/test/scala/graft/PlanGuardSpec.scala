@@ -56,10 +56,18 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     // day expression makes each node project a fresh attribute that
     // EnsureRequirements can't prove equal, tripling the exchanges
     // (regression shape this guard pins: 3 exchanges, none shared)
+    // sequence_packing: the per-sequence summary groupBy must REUSE the
+    // window's shard partitioning (HashPartitioning(shard) clusters
+    // (shard, seq)) — a second exchange there re-shuffles the whole
+    // span table; repetition_metrics: a pure map, ZERO exchanges — the
+    // explode-lines + groupBy alternative would shuffle every line of
+    // the corpus
     for ((name, wantExchanges, wantWindows) <- Seq(
         ("sessionization", 1, 2), ("sessionization_daybounded", 1, 2),
         ("window_quantile_running", 1, 1),
-        ("window_running_distinct", 1, 1))) {
+        ("window_running_distinct", 1, 1),
+        ("sequence_packing", 1, 1),
+        ("repetition_metrics", 0, 0))) {
       val plan = SparkEntry.queries(name)(spark, dir)
         .queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)

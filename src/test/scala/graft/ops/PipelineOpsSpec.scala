@@ -406,4 +406,56 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select($"m.width").collect().map(_.getInt(0)).toSeq
     assert(again == rows.map(_.getInt(1)).toSeq)
   }
+
+  test("repetition metrics: hand-computed Gopher signals are exact") {
+    val text = "nav bar\ncontent one\nnav bar\nnav bar\ncontent two"
+    // lines: "nav bar"x3 (7 chars), "content one", "content two" (11 each)
+    // -> n_lines 5, dup occurrences 2, dup chars 14, total chars 43
+    // bigrams: 10 tokens -> 9 bigrams, "nav bar" occurs 3x
+    val row = Seq(Tuple1(text)).toDF("text")
+      .select(TextOps.repetitionMetrics($"text")
+        .map { case (n, c) => c.cast("long").as(n) }: _*)
+      .head()
+    assert(row.getLong(0) == 5L, "n_lines")
+    assert(row.getLong(1) == 2L * 1000 / 5, "dup_line_permille")
+    assert(row.getLong(2) == 14L * 1000 / 43, "dup_line_char_permille")
+    assert(row.getLong(3) == 9L, "n_bigrams")
+    assert(row.getLong(4) == 3L * 1000 / 9, "top_bigram_permille")
+    // edges: empty text and a single unrepeated line are all-zero / no-dup
+    val zero = Seq(Tuple1("")).toDF("text")
+      .select(TextOps.repetitionMetrics($"text")
+        .map { case (n, c) => c.cast("long").as(n) }: _*).head()
+    assert((0 until 5).forall(zero.getLong(_) == 0L))
+    val one = Seq(Tuple1("just one line here")).toDF("text")
+      .select(TextOps.repetitionMetrics($"text")
+        .map { case (n, c) => c.cast("long").as(n) }: _*).head()
+    assert(one.getLong(0) == 1L && one.getLong(1) == 0L && one.getLong(2) == 0L)
+    assert(one.getLong(3) == 3L && one.getLong(4) == 1000L / 3)
+  }
+
+  test("repetition bigram counters replicate the tokens() split semantics") {
+    // the oracle replays bigrams via split(trim(text), '\s+') — SQL trim
+    // strips SPACES only and SQL split KEEPS trailing empty tokens; the
+    // one-pass expression must agree on exactly these hostile shapes
+    val samples = Seq("a b\n", "\n\n", "  x   y ", "a a a a", "", "  ",
+      "one", "a\tb\tc", "\na b")
+    for (text <- samples) {
+      val df = Seq(Tuple1(text)).toDF("text")
+      val got = df.select(TextOps.repetitionMetrics($"text")
+          .map { case (n, c) => c.cast("long").as(n) }: _*).head()
+      // replay with Spark's own split/trim (what the DuckDB oracle
+      // mirrors); all-space text splits to [""], which forms no bigram
+      val toks: Seq[String] =
+        df.select(split(trim($"text"), "\\s+").as("t")).head().getSeq[String](0)
+      val grams = if (toks.length < 2) Seq.empty
+        else toks.sliding(2).map(_.mkString(" ")).toSeq
+      val top = if (grams.isEmpty) 0L
+        else grams.groupBy(identity).values.map(_.size).max.toLong
+      assert(got.getLong(3) == grams.size.toLong,
+        s"n_bigrams for ${text.replace("\n", "\\n")}")
+      assert(got.getLong(4) == (if (grams.isEmpty) 0L
+        else top * 1000 / grams.size),
+        s"top_bigram_permille for ${text.replace("\n", "\\n")}")
+    }
+  }
 }
