@@ -599,6 +599,64 @@ object SparkEntry {
           sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"))
     }),
 
+    "training_recipe" -> ((s, dir) => {
+      // the end-to-end pre-training data recipe, composed from the
+      // library's stages in ONE declarative plan: Gopher-style quality +
+      // repetition filters (map-only expression passes), eval-set
+      // exclusion, exact dedup (min-id per content fingerprint, one
+      // window exchange), 5-gram benchmark decontamination (eval grams
+      // broadcast; the hit list — eval-adjacent, hence small — broadcast
+      // back as an anti-join), then deterministic train/valid/test
+      // labels and per-source mixture sampling (map-only hash
+      // decisions) into one summary groupBy. Every stage decision is
+      // integer-exact, so the DuckDB oracle replays the WHOLE recipe
+      // and the per-(split, source) id checksums agree bit-for-bit —
+      // the composition proof that the stages a 100 TB corpus build
+      // needs chain inside one Spark plan with three shuffles total
+      // (dedup window, contamination gram count, final groupBy)
+      GraftFunctions.registerAll(s)
+      val docs = t(s, dir, "documents")
+      val qm = TextOps.qualityMetrics(col("text")).toMap
+      val rm = TextOps.repetitionMetrics(col("text")).toMap
+      val filtered = docs
+        .where(pmod(col("doc_id"), lit(97)) =!= 0) // eval ids out of the corpus
+        .where(qm("n_words").cast("long") >= 20 &&
+          qm("stopword_permille").cast("long") >= 20 &&
+          rm("top_bigram_permille").cast("long") < 100)
+      // exact dedup among the filtered set: identical texts share all
+      // filter decisions, so filtering commutes with the content groups
+      val wFp = Window.partitionBy(TextOps.fingerprint(col("text")))
+      val deduped = filtered
+        .withColumn("min_id", min(col("doc_id")).over(wFp))
+        .where(col("doc_id") === col("min_id")).drop("min_id")
+      val bench = docs.where(pmod(col("doc_id"), lit(97)) === 0)
+      // contamination status is CONTENT-determined, so the hit list is
+      // computed over the pre-dedup filtered set: a kept id hits iff its
+      // text shares a gram (extra hits on dropped duplicate ids are
+      // no-ops in the anti-join below), and the decontamination branch
+      // then re-runs only the map-side filter over a second scan instead
+      // of replaying the dedup window's shuffle — one Window/exchange in
+      // the whole plan, not two
+      val hits = graft.ops.DedupOps.contamination(
+        filtered, col("doc_id"), col("text"), bench, col("text"), k = 5)
+      val clean = deduped.join(broadcast(hits.select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")
+      clean.select(col("doc_id"), col("source"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_toks"),
+          graft.ops.SplitOps.splitLabel(col("doc_id"),
+            Seq("train" -> 98, "valid" -> 1, "test" -> 1)).as("split"),
+          graft.ops.SplitOps.mixtureSample(col("doc_id"), col("source"),
+            Map("src0" -> 1.0, "src1" -> 0.3, "src2" -> 0.05),
+            defaultFraction = 0.5, seed = 7L).as("keep"))
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("total_tokens"),
+          expr("bit_xor(doc_id)").as("id_checksum"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          coalesce(expr("bit_xor(CASE WHEN keep THEN doc_id END)"), lit(0L))
+            .as("kept_checksum"))
+    }),
+
     "sequence_packing" -> ((s, dir) => {
       // concat-and-chunk packing of documents into fixed 512-token
       // training sequences over 8 hash shards — per-sequence doc count,
@@ -1581,6 +1639,103 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_sampled
         |FROM lab GROUP BY 1""".stripMargin,
+
+    // the WHOLE recipe replayed literally, stage by stage: quality/
+    // repetition permilles by the quality_metrics / repetition_metrics
+    // idioms, exact dedup = min(doc_id) per identical text, 5-gram
+    // contamination by the benchmark_decontamination shape at k=5, and
+    // BOTH Wang chains (unseeded split v; seed-7-premixed mixture w,
+    // premix constant as in corpus_mixture_sample) carried side by side
+    // through the same HUGEINT steps — every decision integer-exact, so
+    // the per-(split, source) id checksums must agree bit-for-bit
+    "training_recipe" ->
+      """WITH m AS (
+        |  SELECT doc_id, source, text,
+        |    CASE WHEN len(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |bgr AS (
+        |  SELECT doc_id, (max(c) * 1000) // sum(c) AS top_bigram_permille
+        |  FROM (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g,
+        |          count(*) AS c
+        |        FROM m, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+        |        WHERE len(toks) >= 2 GROUP BY doc_id, g)
+        |  GROUP BY doc_id),
+        |q AS (
+        |  SELECT m.doc_id, source, text, len(toks) AS n_words
+        |  FROM m LEFT JOIN bgr USING (doc_id)
+        |  WHERE doc_id % 97 <> 0
+        |    AND len(toks) >= 20
+        |    AND (len(list_filter(toks,
+        |      t -> t IN ('the','a','an','of','to','and','in','is','it','that')))
+        |      * 1000) // len(toks) >= 20
+        |    AND coalesce(top_bigram_permille, 0) < 100),
+        |d AS (
+        |  SELECT doc_id, source, text, n_words
+        |  FROM (SELECT q.*, min(doc_id) OVER (PARTITION BY text) AS mid FROM q)
+        |  WHERE doc_id = mid),
+        |cg AS (
+        |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS g
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |        FROM d WHERE len(trim(text)) > 0) t,
+        |       UNNEST(generate_series(1, len(tk) - 4)) AS u(i)
+        |  WHERE len(tk) >= 5),
+        |bg AS (
+        |  SELECT DISTINCT array_to_string(tk[i:i+4], ' ') AS g
+        |  FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS tk
+        |        FROM documents WHERE doc_id % 97 = 0
+        |          AND len(trim(text)) > 0) t,
+        |       UNNEST(generate_series(1, len(tk) - 4)) AS u(i)
+        |  WHERE len(tk) >= 5),
+        |hit AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (g)),
+        |clean AS (SELECT * FROM d
+        |          WHERE doc_id NOT IN (SELECT doc_id FROM hit)),
+        |c0 AS (SELECT doc_id, source, n_words,
+        |         CAST(doc_id AS HUGEINT) AS v,
+        |         (CAST(xor(doc_id, -9040328895062828701) AS HUGEINT)
+        |           + 18446744073709551616) % 18446744073709551616 AS w
+        |       FROM clean),
+        |c1 AS (SELECT doc_id, source, n_words,
+        |         ((18446744073709551615 - v)
+        |           + ((v * 2097152) % 18446744073709551616))
+        |           % 18446744073709551616 AS v,
+        |         ((18446744073709551615 - w)
+        |           + ((w * 2097152) % 18446744073709551616))
+        |           % 18446744073709551616 AS w FROM c0),
+        |c2 AS (SELECT doc_id, source, n_words,
+        |         xor(v, v >> 24) AS v, xor(w, w >> 24) AS w FROM c1),
+        |c3 AS (SELECT doc_id, source, n_words,
+        |         (v * 265) % 18446744073709551616 AS v,
+        |         (w * 265) % 18446744073709551616 AS w FROM c2),
+        |c4 AS (SELECT doc_id, source, n_words,
+        |         xor(v, v >> 14) AS v, xor(w, w >> 14) AS w FROM c3),
+        |c5 AS (SELECT doc_id, source, n_words,
+        |         (v * 21) % 18446744073709551616 AS v,
+        |         (w * 21) % 18446744073709551616 AS w FROM c4),
+        |c6 AS (SELECT doc_id, source, n_words,
+        |         xor(v, v >> 28) AS v, xor(w, w >> 28) AS w FROM c5),
+        |c7 AS (SELECT doc_id, source, n_words,
+        |         CAST(((v + ((v * 2147483648) % 18446744073709551616))
+        |           % 18446744073709551616) >> 33 AS BIGINT) AS hv,
+        |         CAST(((w + ((w * 2147483648) % 18446744073709551616))
+        |           % 18446744073709551616) >> 33 AS BIGINT) AS hw
+        |       FROM c6),
+        |lab AS (SELECT doc_id, source, n_words,
+        |         CASE WHEN hv % 100 < 98 THEN 'train'
+        |              WHEN hv % 100 < 99 THEN 'valid'
+        |              ELSE 'test' END AS split,
+        |         hw < CASE source WHEN 'src0' THEN 2147483648
+        |                          WHEN 'src1' THEN 644245094
+        |                          WHEN 'src2' THEN 107374182
+        |                          ELSE 1073741824 END AS keep
+        |       FROM c7)
+        |SELECT split, source, count(*) AS n_docs,
+        |  CAST(sum(n_words) AS BIGINT) AS total_tokens,
+        |  bit_xor(doc_id) AS id_checksum,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  coalesce(bit_xor(CASE WHEN keep THEN doc_id END), 0)
+        |    AS kept_checksum
+        |FROM lab GROUP BY 1, 2""".stripMargin,
 
     // literal replay of the packing rule: token counts by the
     // token_counts convention, shard = top-31-bits-of-wang64 mod 8

@@ -80,6 +80,22 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("training_recipe: dedup window planned once, decontamination anti-join broadcasts") {
+    // the recipe's decontamination branch computes its hit list over the
+    // PRE-dedup filtered set (contamination is content-determined, so
+    // extra hits on dropped duplicate ids are anti-join no-ops) — the
+    // regression shape this pins is the dedup window replayed inside the
+    // hits branch, doubling the corpus shuffle (windows=2, exchanges+1)
+    val plan = SparkEntry.queries("training_recipe")(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    val win = plan.linesIterator.count(_.trim.matches("""\(\d+\) Window.*"""))
+    assert(win == 1, s"training_recipe planned $win Window nodes, want 1:\n$plan")
+    assert(plan.contains("BroadcastHashJoin LeftAnti"),
+      s"training_recipe decontamination must broadcast-anti-join the " +
+        s"(eval-adjacent, small) hit list:\n$plan")
+  }
+
   test("lsh candidate re-join shuffles, never broadcasts the corpus-proportional side") {
     // the LSH candidate set grows with the CORPUS (|queries| x nTables x
     // corpus/2^nPlanes), so a broadcast there walks into the 8 GB wall at
