@@ -599,6 +599,25 @@ object SparkEntry {
           sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"))
     }),
 
+    "source_cap_sample" -> ((s, dir) => {
+      // stratified per-source capping ("at most 15 docs per source") by
+      // deterministic hash rank, in the bounded-shuffle form: per-group
+      // counts broadcast back, rows enter the rank window only under the
+      // margin*n/total hash threshold, so the window sort is O(margin*n)
+      // per task no matter how hot a source — with the in-query
+      // starvation guard asserting every source still supplies
+      // min(n, total). The prefilter cannot change the answer, so the
+      // DuckDB oracle replays the pure rank semantics (Wang chain +
+      // row_number over (hash, id)) and checksums match bit-for-bit
+      GraftFunctions.registerAll(s)
+      val docs = t(s, dir, "documents")
+      graft.ops.SplitOps.capPerGroupBounded(
+          docs, col("doc_id"), col("source"), n = 15L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          expr("bit_xor(doc_id)").as("kept_checksum"))
+    }),
+
     "training_recipe" -> ((s, dir) => {
       // the end-to-end pre-training data recipe, composed from the
       // library's stages in ONE declarative plan: Gopher-style quality +
@@ -1639,6 +1658,34 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_sampled
         |FROM lab GROUP BY 1""".stripMargin,
+
+    // pure rank semantics of the cap: the same Wang chain as
+    // train_test_split, row_number per source over (hash, doc_id), keep
+    // rank <= 15 — the operator's hash prefilter is answer-invariant
+    // (enforced in-query by its starvation guard), so the replay needs
+    // no margin arithmetic
+    "source_cap_sample" ->
+      """WITH s0 AS (SELECT doc_id, source,
+        |              CAST(doc_id AS HUGEINT) AS v FROM documents),
+        |s1 AS (SELECT doc_id, source, ((18446744073709551615 - v)
+        |         + ((v * 2097152) % 18446744073709551616))
+        |         % 18446744073709551616 AS v FROM s0),
+        |s2 AS (SELECT doc_id, source, xor(v, v >> 24) AS v FROM s1),
+        |s3 AS (SELECT doc_id, source,
+        |         (v * 265) % 18446744073709551616 AS v FROM s2),
+        |s4 AS (SELECT doc_id, source, xor(v, v >> 14) AS v FROM s3),
+        |s5 AS (SELECT doc_id, source,
+        |         (v * 21) % 18446744073709551616 AS v FROM s4),
+        |s6 AS (SELECT doc_id, source, xor(v, v >> 28) AS v FROM s5),
+        |s7 AS (SELECT doc_id, source,
+        |         CAST(((v + ((v * 2147483648) % 18446744073709551616))
+        |           % 18446744073709551616) >> 33 AS BIGINT) AS hi FROM s6),
+        |r AS (SELECT doc_id, source,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY hi, doc_id) AS rk
+        |      FROM s7)
+        |SELECT source, count(*) AS n_kept, bit_xor(doc_id) AS kept_checksum
+        |FROM r WHERE rk <= 15 GROUP BY 1""".stripMargin,
 
     // the WHOLE recipe replayed literally, stage by stage: quality/
     // repetition permilles by the quality_metrics / repetition_metrics

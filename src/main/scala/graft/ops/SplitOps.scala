@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic dataset splitting and sampling for training pipelines —
@@ -107,6 +108,88 @@ object SplitOps {
       case (acc, (src, f)) => when(source === lit(src), thr(f)).otherwise(acc)
     }
     hashHi(key, seed) < threshold
+  }
+
+  /** Deterministic per-group cap — "at most `n` rows per source", the
+    * stratified capping op of a training recipe: within each group, keep
+    * the `n` rows whose seeded key hash ranks smallest (ties broken by
+    * the key), so the kept set is a pure function of the (key, group)
+    * assignment — reproducible across runs, partitionings, and engines,
+    * and GROWABLE: raising `n` only ever adds rows (the hash order is
+    * fixed), it never swaps earlier picks, and a group's picks change
+    * under appends only where a new row out-ranks an old one.
+    *
+    * Like [[PackOps.packSpans]], `key` must be UNIQUE per row — two rows
+    * sharing a key tie exactly and their relative rank (hence which
+    * PAYLOAD survives at the cap boundary) is not defined.
+    *
+    * Scale note: ranking shuffles the WHOLE group to one task's sort —
+    * for groups of millions of rows use [[capPerGroupBounded]], which
+    * pre-filters by hash threshold so the per-task work is O(margin * n)
+    * regardless of group size. This plain form is one exchange and
+    * exact with no preconditions. */
+  def capPerGroup(df: DataFrame, key: Column, group: Column, n: Long,
+      seed: Long = 0L): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val wOrd = Window.partitionBy(group).orderBy(hashHi(key, seed), key)
+    df.withColumn("_graft_rk", row_number().over(wOrd))
+      .where(col("_graft_rk") <= n)
+      .drop("_graft_rk")
+  }
+
+  /** [[capPerGroup]] with a bounded shuffle — the 100 TB form. A first
+    * pass counts each group (map-side partial aggregate, one tiny
+    * shuffle; the per-group counts broadcast back), then rows enter the
+    * rank window only if their hash falls under `margin * n / total` of
+    * the hash range — expected survivors `margin * n` per group, so the
+    * window sort is O(margin * n) PER TASK no matter how hot the group
+    * (the plain form would sort a billion-row group in one task).
+    *
+    * The prefilter cannot change the answer, only starve it (Chernoff
+    * lower tail: survivors are Binomial with mean margin*n, so
+    * P(< n) <= e^-(margin-1-ln margin)n — under e^-1.6n at margin 4):
+    * the kept rows are the n smallest hashes,
+    * which survive any threshold that admits >= n rows. Starvation is
+    * REJECTED LOUDLY in-query — a count-over-partition in the same
+    * window pass asserts every group still supplies min(n, total) rows
+    * — never a silently short sample; re-run with a larger margin if it
+    * ever fires. Groups with total <= n skip the prefilter entirely
+    * (threshold = full range) and keep every row.
+    *
+    * Group cardinality (distinct groups, not rows) must fit a broadcast
+    * — true for source/domain/language-style strata; for million-way
+    * groups fall back to [[capPerGroup]]. */
+  def capPerGroupBounded(df: DataFrame, key: Column, group: Column,
+      n: Long, seed: Long = 0L, margin: Double = 4.0): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    require(margin >= 1.0, s"margin must be >= 1, got $margin")
+    val cols = df.columns
+    val totals = df.groupBy(group.as("_graft_g"))
+      .agg(count(lit(1)).as("_graft_total"))
+    val maxT = lit(1L << 31)
+    // null-safe equality: a null group is a group (both groupBy above and
+    // the plain form's Window.partitionBy treat it as one) — a plain ===
+    // join would silently drop null-group rows instead
+    val joined = df.join(broadcast(totals), group <=> col("_graft_g"))
+    val threshold = when(col("_graft_total") <= n, maxT)
+      .otherwise(least(maxT,
+        ceil(lit(margin * n * (1L << 31).toDouble) / col("_graft_total"))
+          .cast("long")))
+    val surv = joined.where(hashHi(key, seed) < threshold)
+    val w = Window.partitionBy(group)
+    val wOrd = w.orderBy(hashHi(key, seed), key)
+    surv
+      .withColumn("_graft_rk", row_number().over(wOrd))
+      .withColumn("_graft_nsurv", count(lit(1)).over(w))
+      .where(col("_graft_rk") <= n)
+      // starvation guard: assert_true is null when the group supplied
+      // enough survivors, so the filter is the identity on healthy
+      // groups and a runtime error on a starved one
+      .where(assert_true(
+        col("_graft_nsurv") >= least(lit(n), col("_graft_total")),
+        lit("SplitOps.capPerGroupBounded: prefilter starved a group " +
+          "below min(n, total) — raise margin")).isNull)
+      .select(cols.map(col): _*)
   }
 
   /** Top 31 bits of wang64(key ^ premix(seed)) — non-negative under

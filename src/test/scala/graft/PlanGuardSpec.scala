@@ -67,7 +67,13 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
         ("window_quantile_running", 1, 1),
         ("window_running_distinct", 1, 1),
         ("sequence_packing", 1, 1),
-        ("repetition_metrics", 0, 0))) {
+        ("repetition_metrics", 0, 0),
+        // source_cap_sample: tiny counts agg (1) + ONE rank-window
+        // exchange (2) shared by both Window nodes (row_number +
+        // starvation-guard count), final groupBy(source) reuses the
+        // window partitioning — a third exchange there re-shuffles the
+        // kept set for nothing
+        ("source_cap_sample", 2, 2))) {
       val plan = SparkEntry.queries(name)(spark, dir)
         .queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)

@@ -147,4 +147,88 @@ class SplitOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       SplitOps.splitLabel(col("id"), Seq("a" -> 0)))
     intercept[IllegalArgumentException](SplitOps.hashSample(col("id"), 1.5))
   }
+
+  // --- capPerGroup / capPerGroupBounded ---
+
+  private def capCorpus = {
+    import spark.implicits._
+    // 4 groups of very different sizes: 3 (below the cap), 40, 400, 4000
+    val rows = (0L until 3L).map(i => (i, "tiny")) ++
+      (100L until 140L).map(i => (i, "small")) ++
+      (1000L until 1400L).map(i => (i, "mid")) ++
+      (10000L until 14000L).map(i => (i, "big"))
+    rows.toDF("id", "src")
+  }
+
+  private def expectedCap(rows: Seq[(Long, String)], n: Int): Map[String, Set[Long]] =
+    rows.groupBy(_._2).map { case (g, rs) =>
+      g -> rs.map(_._1)
+        .sortBy(id => (WangHash.hash(id, 64) >>> 33, id)).take(n).toSet
+    }
+
+  test("capPerGroup keeps exactly the n smallest hash ranks per group") {
+    import spark.implicits._
+    val df = capCorpus
+    val want = expectedCap(
+      df.as[(Long, String)].collect().toSeq, 10)
+    val got = SplitOps.capPerGroup(df, col("id"), col("src"), 10)
+      .as[(Long, String)].collect()
+      .groupBy(_._2).map { case (g, rs) => g -> rs.map(_._1).toSet }
+    assert(got == want)
+    assert(got("tiny").size == 3, "groups below the cap keep every row")
+  }
+
+  test("capPerGroupBounded: identical answer, invariant under repartition, growable n") {
+    import spark.implicits._
+    val df = capCorpus
+    def keySet(out: org.apache.spark.sql.DataFrame) =
+      out.as[(Long, String)].collect().map(_._1).toSet
+    val plain = keySet(SplitOps.capPerGroup(df, col("id"), col("src"), 10))
+    val bounded = keySet(
+      SplitOps.capPerGroupBounded(df, col("id"), col("src"), 10))
+    assert(bounded == plain, "prefilter must not change the kept set")
+    val repart = keySet(SplitOps.capPerGroupBounded(
+      df.repartition(7, col("id")), col("id"), col("src"), 10))
+    assert(repart == plain, "kept set must be partitioning-invariant")
+    // growable: n=25 is a superset of n=10 (hash order is fixed)
+    val bigger = keySet(
+      SplitOps.capPerGroupBounded(df, col("id"), col("src"), 25))
+    assert(plain.subsetOf(bigger), "raising n must only add rows")
+  }
+
+  test("capPerGroupBounded starvation guard fires loudly at margin 1 on a hot group") {
+    // margin 1.0 admits ~n expected survivors; on a 4000-row group the
+    // binomial dips below n often enough to plant deterministically:
+    // find it failing OR succeeding with exactly-right counts — the
+    // guard's contract is only "never a silently short sample"
+    val df = capCorpus
+    val out = try {
+      val kept = SplitOps.capPerGroupBounded(
+        df, col("id"), col("src"), 10, margin = 1.0)
+        .collect()
+      Some(kept.groupBy(_.getString(1)).map { case (g, rs) => g -> rs.length })
+    } catch {
+      case e: Throwable =>
+        val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+        assert(msgs.contains("starved"), msgs)
+        None
+    }
+    // if it did not starve, it must have returned FULL groups — min(n, total)
+    out.foreach { counts =>
+      assert(counts("tiny") == 3 && counts.filterNot(_._1 == "tiny")
+        .values.forall(_ == 10), s"short sample returned silently: $counts")
+    }
+  }
+
+  test("capPerGroupBounded keeps null groups as a group") {
+    import spark.implicits._
+    val df = Seq((1L, Option("a")), (2L, Option("a")), (3L, None),
+      (4L, None), (5L, None)).toDF("id", "src")
+    val kept = SplitOps.capPerGroupBounded(df, col("id"), col("src"), 2)
+      .collect()
+    assert(kept.count(_.isNullAt(1)) == 2,
+      s"null-group rows must cap like any group, got ${kept.mkString(",")}")
+    assert(kept.count(!_.isNullAt(1)) == 2)
+  }
 }
