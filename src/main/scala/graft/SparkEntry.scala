@@ -599,6 +599,34 @@ object SparkEntry {
           sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"))
     }),
 
+    "leakage_safe_split" -> ((s, dir) => {
+      // near-dup-leakage-safe dataset split: the split key is the dedup
+      // CLUSTER (connected component of exact-Jaccard >= 0.8 pairs), not
+      // the row id, so near-copies land on ONE side of train/test BY
+      // CONSTRUCTION (same component -> same hash -> same label) — the
+      // standard fix for eval contamination via paraphrase/near-dup
+      // leakage. Composition: ngramJaccardPairs -> connectedComponents
+      // -> splitLabel(component); singleton docs are their own cluster.
+      // n_clusters (exact distinct components per split) pins that the
+      // component labels themselves replay engine-exact, not just the
+      // per-doc assignment
+      GraftFunctions.registerAll(s)
+      val docs = t(s, dir, "documents")
+      val pairs = DedupOps.ngramJaccardPairs(docs, col("text"), col("doc_id"),
+          Seq(col("lang"), expr("n_chars div 32")), k = 3)
+        .where(col("uni") > 0 && expr("(inter * 10) div uni") >= 8)
+        .select(col("id_a"), col("id_b"))
+      val nodes = docs.select(col("doc_id").as("id"))
+      DedupOps.connectedComponents(nodes, pairs)
+        .select(col("id"), col("component"),
+          graft.ops.SplitOps.splitLabel(col("component"),
+            Seq("train" -> 98, "valid" -> 1, "test" -> 1)).as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("bit_xor(id)").as("id_checksum"),
+          countDistinct(col("component")).as("n_clusters"))
+    }),
+
     "source_cap_sample" -> ((s, dir) => {
       // stratified per-source capping ("at most 15 docs per source") by
       // deterministic hash rank, in the bounded-shuffle form: per-group
@@ -1657,6 +1685,53 @@ object SparkEntry {
         |SELECT split, count(*) AS n_docs, bit_xor(doc_id) AS id_checksum,
         |       CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_sampled
+        |FROM lab GROUP BY 1""".stripMargin,
+
+    // components by the dedup_cluster_reps recursive-CTE replay (ALL
+    // docs this time — singletons keep component = own id), then the
+    // train_test_split Wang chain applied to the COMPONENT, so a
+    // cluster's docs inherit one label; exact distinct components per
+    // split pins the labels themselves
+    "leakage_safe_split" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT doc_id, lang, n_chars // 32 AS bucket,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 1, 1)),
+        |      i -> array_to_string((regexp_split_to_array(trim(text), '\s+'))[i:i+2], ' '))) AS grams
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM g a JOIN g b ON a.lang = b.lang AND a.bucket = b.bucket
+        |    AND a.doc_id < b.doc_id
+        |  WHERE len(list_distinct(list_concat(a.grams, b.grams))) > 0
+        |    AND (len(list_intersect(a.grams, b.grams)) * 10)
+        |        // len(list_distinct(list_concat(a.grams, b.grams))) >= 8),
+        |e AS (SELECT u, v FROM p UNION SELECT v AS u, u AS v FROM p),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.id),
+        |comp AS (SELECT id, CAST(min(r) AS BIGINT) AS c
+        |         FROM reach GROUP BY id),
+        |s0 AS (SELECT id, c, CAST(c AS HUGEINT) AS v FROM comp),
+        |s1 AS (SELECT id, c, ((18446744073709551615 - v)
+        |         + ((v * 2097152) % 18446744073709551616))
+        |         % 18446744073709551616 AS v FROM s0),
+        |s2 AS (SELECT id, c, xor(v, v >> 24) AS v FROM s1),
+        |s3 AS (SELECT id, c, (v * 265) % 18446744073709551616 AS v FROM s2),
+        |s4 AS (SELECT id, c, xor(v, v >> 14) AS v FROM s3),
+        |s5 AS (SELECT id, c, (v * 21) % 18446744073709551616 AS v FROM s4),
+        |s6 AS (SELECT id, c, xor(v, v >> 28) AS v FROM s5),
+        |s7 AS (SELECT id, c,
+        |         CAST(((v + ((v * 2147483648) % 18446744073709551616))
+        |           % 18446744073709551616) >> 33 AS BIGINT) AS hi FROM s6),
+        |lab AS (SELECT id, c,
+        |         CASE WHEN hi % 100 < 98 THEN 'train'
+        |              WHEN hi % 100 < 99 THEN 'valid'
+        |              ELSE 'test' END AS split
+        |       FROM s7)
+        |SELECT split, count(*) AS n_docs, bit_xor(id) AS id_checksum,
+        |  CAST(count(DISTINCT c) AS BIGINT) AS n_clusters
         |FROM lab GROUP BY 1""".stripMargin,
 
     // pure rank semantics of the cap: the same Wang chain as
