@@ -599,6 +599,21 @@ object SparkEntry {
           sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"))
     }),
 
+    "bpeish_token_counts" -> ((s, dir) => {
+      // both token-counting conventions per source: whitespace tokens
+      // (the corpus-size denominator) and the BPE-ish count (words +
+      // digit runs + punctuation runs — the cheap proxy for byte-pair
+      // tokenizer budgets). Map-only expressions into one partial-agg
+      // groupBy; regex semantics (\w, \s, kept trailing empties) agree
+      // between engines, so the oracle replays both rules exactly
+      val docs = t(s, dir, "documents")
+      docs.groupBy(col("source"))
+        .agg(sum(TextOps.tokenCount(col("text")).cast("long"))
+            .as("ws_tokens"),
+          sum(TextOps.bpeishTokenCount(col("text")).cast("long"))
+            .as("bpeish_tokens"))
+    }),
+
     "leakage_safe_split" -> ((s, dir) => {
       // near-dup-leakage-safe dataset split: the split key is the dedup
       // CLUSTER (connected component of exact-Jaccard >= 0.8 pairs), not
@@ -1686,6 +1701,23 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT)
         |         AS n_sampled
         |FROM lab GROUP BY 1""".stripMargin,
+
+    // whitespace rule as token_counts; BPE-ish rule replayed literally:
+    // split on \s+ of the trimmed text, plus digit-run and punct-run
+    // splits of the RAW text minus one each (split yields runs+1
+    // fields, trailing empties kept by both engines; \w and \s are the
+    // same ASCII classes in Java regex and RE2)
+    "bpeish_token_counts" ->
+      """SELECT source,
+        |CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+        |  ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+        |  AS BIGINT) AS ws_tokens,
+        |CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
+        |  ELSE len(regexp_split_to_array(trim(text), '\s+'))
+        |     + len(regexp_split_to_array(text, '[0-9]+')) - 1
+        |     + len(regexp_split_to_array(text, '[^\w\s]+')) - 1 END)
+        |  AS BIGINT) AS bpeish_tokens
+        |FROM documents GROUP BY 1""".stripMargin,
 
     // components by the dedup_cluster_reps recursive-CTE replay (ALL
     // docs this time — singletons keep component = own id), then the
