@@ -674,8 +674,13 @@ object SparkEntry {
       // integer-exact, so the DuckDB oracle replays the WHOLE recipe
       // and the per-(split, source) id checksums agree bit-for-bit —
       // the composition proof that the stages a 100 TB corpus build
-      // needs chain inside one Spark plan with three shuffles total
-      // (dedup window, contamination gram count, final groupBy)
+      // needs chain inside one Spark plan with four shuffles total
+      // (dedup window, bench-gram distinct, contamination gram count,
+      // final groupBy). Dedup semantics: min-id per WHITESPACE-
+      // NORMALIZED token sequence (what rolling_fingerprint encodes;
+      // the oracle partitions by the normalized string — the library-
+      // wide 64-bit no-collision assumption documented at
+      // dedup_exact_fingerprint applies)
       GraftFunctions.registerAll(s)
       val docs = t(s, dir, "documents")
       val qm = TextOps.qualityMetrics(col("text")).toMap
@@ -1705,8 +1710,13 @@ object SparkEntry {
     // whitespace rule as token_counts; BPE-ish rule replayed literally:
     // split on \s+ of the trimmed text, plus digit-run and punct-run
     // splits of the RAW text minus one each (split yields runs+1
-    // fields, trailing empties kept by both engines; \w and \s are the
-    // same ASCII classes in Java regex and RE2)
+    // fields, trailing empties kept by both engines). Regex-dialect
+    // parity: \w is the same ASCII class in Java regex and RE2; \s
+    // differs in ONE code point — Java includes \x0B (vertical tab),
+    // RE2 does not — so every whitespace-token oracle in this gate
+    // (token_counts, sequence_packing, the recipe filters, this one)
+    // assumes the corpus contains no vertical tabs, which the driver's
+    // generator guarantees
     "bpeish_token_counts" ->
       """SELECT source,
         |CAST(sum(CASE WHEN len(trim(text)) = 0 THEN 0
@@ -1720,13 +1730,18 @@ object SparkEntry {
         |FROM documents GROUP BY 1""".stripMargin,
 
     // components by the dedup_cluster_reps recursive-CTE replay (ALL
-    // docs this time — singletons keep component = own id), then the
+    // docs this time — singletons keep component = own id), including
+    // the operator's hot-block guard (blocks over blockCap=5000 docs
+    // propose NO pairs — a window count replays capBuckets exactly;
+    // never hit at gate SFs where the largest block is ~hundreds, but
+    // the replay must model the operator, not the data), then the
     // train_test_split Wang chain applied to the COMPONENT, so a
     // cluster's docs inherit one label; exact distinct components per
     // split pins the labels themselves
     "leakage_safe_split" ->
       """WITH RECURSIVE g AS (
         |  SELECT doc_id, lang, n_chars // 32 AS bucket,
+        |    count(*) OVER (PARTITION BY lang, n_chars // 32) AS bc,
         |    list_distinct(list_transform(
         |      range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 1, 1)),
         |      i -> array_to_string((regexp_split_to_array(trim(text), '\s+'))[i:i+2], ' '))) AS grams
@@ -1735,7 +1750,8 @@ object SparkEntry {
         |  SELECT a.doc_id AS u, b.doc_id AS v
         |  FROM g a JOIN g b ON a.lang = b.lang AND a.bucket = b.bucket
         |    AND a.doc_id < b.doc_id
-        |  WHERE len(list_distinct(list_concat(a.grams, b.grams))) > 0
+        |  WHERE a.bc <= 5000
+        |    AND len(list_distinct(list_concat(a.grams, b.grams))) > 0
         |    AND (len(list_intersect(a.grams, b.grams)) * 10)
         |        // len(list_distinct(list_concat(a.grams, b.grams))) >= 8),
         |e AS (SELECT u, v FROM p UNION SELECT v AS u, u AS v FROM p),
@@ -1796,7 +1812,10 @@ object SparkEntry {
 
     // the WHOLE recipe replayed literally, stage by stage: quality/
     // repetition permilles by the quality_metrics / repetition_metrics
-    // idioms, exact dedup = min(doc_id) per identical text, 5-gram
+    // idioms, exact dedup = min(doc_id) per WHITESPACE-NORMALIZED token
+    // sequence (the relation rolling_fingerprint actually encodes —
+    // "a b" and "a\n b" are one document; raw-text partitioning would
+    // model a different operator), 5-gram
     // contamination by the benchmark_decontamination shape at k=5, and
     // BOTH Wang chains (unseeded split v; seed-7-premixed mixture w,
     // premix constant as in corpus_mixture_sample) carried side by side
@@ -1826,7 +1845,10 @@ object SparkEntry {
         |    AND coalesce(top_bigram_permille, 0) < 100),
         |d AS (
         |  SELECT doc_id, source, text, n_words
-        |  FROM (SELECT q.*, min(doc_id) OVER (PARTITION BY text) AS mid FROM q)
+        |  FROM (SELECT q.*, min(doc_id) OVER (PARTITION BY
+        |          array_to_string(list_filter(
+        |            regexp_split_to_array(text, '\s+'), t -> t <> ''), ' ')
+        |        ) AS mid FROM q)
         |  WHERE doc_id = mid),
         |cg AS (
         |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+4], ' ') AS g
@@ -2162,13 +2184,23 @@ object SparkEntry {
       """SELECT props, min(event_id) AS kept_event_id, count(*) AS n_dups
         |FROM events GROUP BY 1""".stripMargin,
 
+    // group by the WHITESPACE-NORMALIZED token sequence — the relation
+    // rolling_fingerprint encodes (trim + split on runs of whitespace),
+    // not raw text equality: "a  b" and "a\nb" are one document to the
+    // operator. Library-wide assumption: no 64-bit fingerprint collision
+    // between DISTINCT normalized texts (~1e-11 at 1M docs; a collision
+    // would both fail this gate and over-merge the dedup itself)
     "dedup_exact_fingerprint" ->
       """SELECT min(doc_id) AS kept_id, count(*) AS n_dups
-        |FROM documents GROUP BY text""".stripMargin,
+        |FROM documents GROUP BY array_to_string(list_filter(
+        |  regexp_split_to_array(text, '\s+'), t -> t <> ''), ' ')""".stripMargin,
 
+    // bc replays ngramJaccardPairs' capBuckets guard (blocks over 5000
+    // docs propose no pairs) — unhit at gate SFs, but part of the op
     "ngram_jaccard_hist" ->
       """WITH g AS (
         |  SELECT doc_id, lang, n_chars // 32 AS bucket,
+        |    count(*) OVER (PARTITION BY lang, n_chars // 32) AS bc,
         |    list_distinct(list_transform(
         |      range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 1, 1)),
         |      i -> array_to_string((regexp_split_to_array(trim(text), '\s+'))[i:i+2], ' '))) AS grams
@@ -2177,13 +2209,16 @@ object SparkEntry {
         |  SELECT len(list_intersect(a.grams, b.grams)) AS inter,
         |    len(list_distinct(list_concat(a.grams, b.grams))) AS uni
         |  FROM g a JOIN g b ON a.lang = b.lang AND a.bucket = b.bucket
-        |    AND a.doc_id < b.doc_id)
+        |    AND a.doc_id < b.doc_id
+        |  WHERE a.bc <= 5000)
         |SELECT (inter * 10) // uni AS jaccard_decile, count(*) AS n_pairs
         |FROM p WHERE uni > 0 GROUP BY 1""".stripMargin,
 
+    // bc replays the capBuckets hot-block guard, as in leakage_safe_split
     "dedup_cluster_reps" ->
       """WITH RECURSIVE g AS (
         |  SELECT doc_id, lang, n_chars // 32 AS bucket,
+        |    count(*) OVER (PARTITION BY lang, n_chars // 32) AS bc,
         |    list_distinct(list_transform(
         |      range(1, greatest(len(regexp_split_to_array(trim(text), '\s+')) - 1, 1)),
         |      i -> array_to_string((regexp_split_to_array(trim(text), '\s+'))[i:i+2], ' '))) AS grams
@@ -2192,7 +2227,8 @@ object SparkEntry {
         |  SELECT a.doc_id AS u, b.doc_id AS v
         |  FROM g a JOIN g b ON a.lang = b.lang AND a.bucket = b.bucket
         |    AND a.doc_id < b.doc_id
-        |  WHERE len(list_distinct(list_concat(a.grams, b.grams))) > 0
+        |  WHERE a.bc <= 5000
+        |    AND len(list_distinct(list_concat(a.grams, b.grams))) > 0
         |    AND (len(list_intersect(a.grams, b.grams)) * 10)
         |        // len(list_distinct(list_concat(a.grams, b.grams))) >= 8),
         |e AS (SELECT u, v FROM p UNION SELECT v AS u, u AS v FROM p),

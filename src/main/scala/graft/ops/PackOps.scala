@@ -24,9 +24,10 @@ import org.apache.spark.sql.functions._
   * and a downstream `groupBy(shard, seq)` reuses the same partitioning
   * (shard alone clusters it), adding NO second exchange.
   *
-  * Determinism contract: `id` must be UNIQUE (duplicate ids make the
-  * within-shard order — hence every later document's offsets —
-  * ambiguous) and the packing is a pure function of the (id, nTokens)
+  * Determinism contract: `id` must be UNIQUE — duplicate ids make the
+  * within-shard order (hence every later document's offsets) ambiguous,
+  * so they REJECT loudly in-plan (an adjacent-key lag over the same
+  * window sort) — and the packing is a pure function of the (id, nTokens)
   * set: reproducible across runs, partitionings, and engines (the gate
   * oracle replays shard hash, cumulative offsets, and span arithmetic
   * in DuckDB integer SQL, bit-for-bit). It is NOT append-stable —
@@ -90,8 +91,23 @@ object PackOps {
     // and filtering first would cost nothing but prove nothing).
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_key"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // duplicate ids REJECT loudly, like null counts: duplicates sort
+    // adjacent, so a lag catches every one — a duplicate would make the
+    // within-shard order (hence every later offset) ambiguous, the same
+    // silent-corruption class the docstring bans, and documentation
+    // alone was not enforcement. Same partitioning AND ordering as the
+    // offset sum, so CollapseWindow fuses both into one Window node
+    // (PlanGuardSpec pins 1 exchange / 1 Window still)
+    val wLag = Window.partitionBy(col("shard")).orderBy(col("doc_key"))
     val withStart = base
       .withColumn("tok_start", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .withColumn("_prev_key", lag(col("doc_key"), 1).over(wLag))
+      .where(assert_true(
+        col("_prev_key").isNull || col("_prev_key") =!= col("doc_key"),
+        lit("PackOps: duplicate id — packing order (hence every later " +
+          "document's sequence offsets in the shard) is ambiguous under " +
+          "duplicate ids; deduplicate or choose a unique key")).isNull)
+      .drop("_prev_key")
       .where(col("n_toks") > 0)
     // exact integral division (SQL div = IntegralDivide): floor since
     // every operand here is non-negative

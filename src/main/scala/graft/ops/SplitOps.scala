@@ -149,12 +149,22 @@ object SplitOps {
     * lower tail: survivors are Binomial with mean margin*n, so
     * P(< n) <= e^-(margin-1-ln margin)n — under e^-1.6n at margin 4):
     * the kept rows are the n smallest hashes,
-    * which survive any threshold that admits >= n rows. Starvation is
-    * REJECTED LOUDLY in-query — a count-over-partition in the same
-    * window pass asserts every group still supplies min(n, total) rows
-    * — never a silently short sample; re-run with a larger margin if it
-    * ever fires. Groups with total <= n skip the prefilter entirely
-    * (threshold = full range) and keep every row.
+    * which survive any threshold that admits >= n rows. Two guarantees
+    * close the starvation hole completely:
+    *
+    *  - every group's MINIMUM-hash row is admitted unconditionally (the
+    *    count pass records min(hash) per group for free), so no group
+    *    can vanish from the output — the min-hash row is rank 1, always
+    *    part of the answer, and n = 1 therefore NEVER starves;
+    *  - partial starvation (1 <= survivors < min(n, total)) is REJECTED
+    *    LOUDLY in-query: a count-over-partition in the same window pass
+    *    asserts every group still supplies min(n, total) rows — never a
+    *    silently short sample; re-run with a larger margin if it fires
+    *    (the admitted min-hash row guarantees the assert has a row to
+    *    run on even when the threshold admits nothing else).
+    *
+    * Groups with total <= n skip the prefilter entirely (threshold =
+    * full range) and keep every row.
     *
     * Group cardinality (distinct groups, not rows) must fit a broadcast
     * — true for source/domain/language-style strata; for million-way
@@ -165,7 +175,8 @@ object SplitOps {
     require(margin >= 1.0, s"margin must be >= 1, got $margin")
     val cols = df.columns
     val totals = df.groupBy(group.as("_graft_g"))
-      .agg(count(lit(1)).as("_graft_total"))
+      .agg(count(lit(1)).as("_graft_total"),
+        min(hashHi(key, seed)).as("_graft_minh"))
     val maxT = lit(1L << 31)
     // null-safe equality: a null group is a group (both groupBy above and
     // the plain form's Window.partitionBy treat it as one) — a plain ===
@@ -175,7 +186,10 @@ object SplitOps {
       .otherwise(least(maxT,
         ceil(lit(margin * n * (1L << 31).toDouble) / col("_graft_total"))
           .cast("long")))
-    val surv = joined.where(hashHi(key, seed) < threshold)
+    // min-hash row admitted unconditionally: no group can vanish, and
+    // the starvation assert below always has a row to evaluate on
+    val surv = joined.where(hashHi(key, seed) < threshold ||
+      hashHi(key, seed) === col("_graft_minh"))
     val w = Window.partitionBy(group)
     val wOrd = w.orderBy(hashHi(key, seed), key)
     surv

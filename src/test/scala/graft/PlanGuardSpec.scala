@@ -66,6 +66,9 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
         ("sessionization", 1, 2), ("sessionization_daybounded", 1, 2),
         ("window_quantile_running", 1, 1),
         ("window_running_distinct", 1, 1),
+        // sequence_packing: the duplicate-id lag guard shares the
+        // running-sum's partitioning AND ordering, so CollapseWindow
+        // fuses both into ONE Window node over one exchange
         ("sequence_packing", 1, 1),
         ("repetition_metrics", 0, 0),
         // source_cap_sample: tiny counts agg (1) + ONE rank-window

@@ -130,6 +130,17 @@ class PackOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("token count"))
   }
 
+  test("duplicate ids reject loudly (ambiguous packing order)") {
+    // same silent-corruption class as a null count: two rows with one id
+    // make every later offset in the shard order-dependent
+    val dupDf = Seq((1L, 5L), (2L, 7L), (1L, 9L)).toDF("id", "n")
+    val e = intercept[Exception] {
+      PackOps.packSpans(dupDf, $"id", $"n", SeqLen, NShards).collect()
+    }
+    assert(e.getMessage.contains("duplicate id"),
+      s"duplicate id must reject loudly, got: ${e.getMessage}")
+  }
+
   test("packSummary keeps ONE exchange (groupBy reuses shard partitioning)") {
     val plan = PackOps.packSummary(corpus, $"id", $"n", SeqLen, NShards)
       .queryExecution.executedPlan.toString

@@ -221,6 +221,24 @@ class SplitOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("capPerGroupBounded n=1 never starves and never drops a group (min-hash admittance)") {
+    import spark.implicits._
+    // at margin 1.0 and n=1 the threshold admits ~1 expected row per
+    // group — without the unconditional min-hash admittance a group
+    // vanishes silently whenever its hash draw admits zero rows
+    // (P ~ e^-margin*n ~ 37% here, the review-found hole); with it the
+    // answer is deterministic and identical to the plain path
+    val df = capCorpus
+    def keyset(out: org.apache.spark.sql.DataFrame) =
+      out.as[(Long, String)].collect().toSet
+    val plain = keyset(SplitOps.capPerGroup(df, col("id"), col("src"), 1))
+    val bounded = keyset(SplitOps.capPerGroupBounded(
+      df, col("id"), col("src"), 1, margin = 1.0))
+    assert(bounded == plain)
+    assert(bounded.map(_._2) == Set("tiny", "small", "mid", "big"),
+      "every group must be represented")
+  }
+
   test("capPerGroupBounded keeps null groups as a group") {
     import spark.implicits._
     val df = Seq((1L, Option("a")), (2L, Option("a")), (3L, None),
