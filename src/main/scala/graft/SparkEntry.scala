@@ -508,6 +508,35 @@ object SparkEntry {
       s.table("graft_stream_dedup").select(col("kept_id"), col("n_dups"))
     }),
 
+    "streaming_decontamination" -> ((s, dir) => {
+      // stream-static join (8th streaming shape): the corpus arrives as
+      // a STREAM while the benchmark/eval gram set is STATIC — ingest-
+      // time decontamination, the continuous form of
+      // benchmark_decontamination. The SAME DedupOps.contamination
+      // operator runs unchanged on the streaming frame: the bench grams
+      // collapse and broadcast once, the stream side is a stateless
+      // map-only explode whose rows die at the join unless contaminated,
+      // and only the per-doc matched-gram count is stateful (update
+      // mode; state is one counter per CONTAMINATED doc, not per doc).
+      // AvailableNow over the single file = one batch, so update mode
+      // emits exactly the batch answer
+      GraftFunctions.registerAll(s)
+      val docs = t(s, dir, "documents")
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .where(pmod(col("doc_id"), lit(97)) =!= 0)
+      val bench = docs.where(pmod(col("doc_id"), lit(97)) === 0)
+      val q = graft.ops.DedupOps.contamination(
+          src, col("doc_id"), col("text"), bench, col("text"), k = 3)
+        .writeStream.format("memory").queryName("graft_stream_decontam")
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_stream_decontam")
+    }),
+
     "streaming_sessionization" -> ((s, dir) => {
       // session windows as a STREAM (7th streaming shape): the continuous
       // form of the batch sessionization operator. The engine keeps one
@@ -1628,6 +1657,23 @@ object SparkEntry {
     // literal replay of the operator: whitespace tokens (the token_counts
     // convention), 3-grams via list slicing, per-doc DISTINCT corpus
     // grams joined to the DISTINCT benchmark gram set, counted per doc
+    // the stream must converge to the batch answer — same replay
+    "streaming_decontamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |grams AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, len(t) - 2),
+        |      i -> array_to_string(t[i:i+2], ' ')) AS gs
+        |  FROM toks WHERE len(t) >= 3),
+        |cg AS (SELECT DISTINCT doc_id, g
+        |       FROM grams, UNNEST(gs) AS u(g) WHERE doc_id % 97 <> 0),
+        |bg AS (SELECT DISTINCT g
+        |       FROM grams, UNNEST(gs) AS u(g) WHERE doc_id % 97 = 0)
+        |SELECT cg.doc_id, count(*) AS matched_grams
+        |FROM cg JOIN bg USING (g) GROUP BY 1""".stripMargin,
+
     "benchmark_decontamination" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
