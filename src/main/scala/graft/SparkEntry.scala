@@ -77,8 +77,9 @@ object SparkEntry {
   private def heavyHittersFromSummary(fact: DataFrame, skN: DataFrame,
       queryName: String, dispose: Option[Column] = None,
       carry: Seq[String] = Nil, keyCol: String = "l_suppkey",
-      outKey: String = "suppkey"): DataFrame = {
-    val K = 15
+      outKey: String = "suppkey", stringKeys: Boolean = false,
+      topK: Int = 15): DataFrame = {
+    val K = topK
     val M = 256
     // materialize the 1-row summary ONCE (the table_profile pattern):
     // it feeds the candidate pool, the cutoff witness, and the carry
@@ -94,8 +95,10 @@ object SparkEntry {
     val cutoff = entries.agg(
       greatest(coalesce(max(when(col("rank") === M, col("e.ub"))), lit(0L)),
         max(col("off"))).as("cutoff"))
+    // string-keyed summaries surface the original key in key_str
+    // (the canonical long is the byte fold — joinable only by hash)
     val candidates = entries.where(col("rank") < M)
-      .select(col("e.key").as(keyCol))
+      .select((if (stringKeys) col("e.key_str") else col("e.key")).as(keyCol))
     val counted = fact.join(broadcast(candidates), Seq(keyCol))
       .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
     // rank-K exact count among candidates == the global rank-K count
@@ -957,6 +960,25 @@ object SparkEntry {
       heavyHittersFromSummary(li, skN, "ss_heavy_hitters")
     }),
 
+    "corpus_top_bigrams" -> ((s, dir) => {
+      // corpus-wide top word-2-grams — the boilerplate-phrase miner, and
+      // the text x sketch composition: STRING-keyed frequent-items
+      // summary over a map-only gram explode (raw grams die into the
+      // partial aggregate — they are never shuffled), then the standard
+      // two-scan exact recheck of the broadcast candidate pool with the
+      // in-query cutoff-below-threshold completeness assert. The answer
+      // (every gram with count >= the rank-15 count, ties kept) is
+      // exact, so the DuckDB oracle replays it with plain counts
+      GraftFunctions.registerAll(s)
+      val docs = t(s, dir, "documents")
+      val grams = docs.select(
+        explode(TextOps.wordShingles(col("text"), 2)).as("gram"))
+      val skN = grams.agg(api.ss_agg(col("gram"), 8192).as("ss"),
+        count(lit(1)).as("n"))
+      heavyHittersFromSummary(grams, skN, "corpus_top_bigrams",
+        keyCol = "gram", outKey = "gram", stringKeys = true)
+    }),
+
     // ---- frequent items: packed-layout parity, asserted in-query ----
     // The packed aggregate must be BYTE-identical to the array aggregate
     // over the same multiset: both buffers live in the same aggregation
@@ -1657,6 +1679,22 @@ object SparkEntry {
     // literal replay of the operator: whitespace tokens (the token_counts
     // convention), 3-grams via list slicing, per-doc DISTINCT corpus
     // grams joined to the DISTINCT benchmark gram set, counted per doc
+    // exact answer semantics of the heavy-hitter pattern: every bigram
+    // whose count reaches the rank-15 count (ties kept; min over all if
+    // fewer than 15 distinct) — the sketch candidate pool + recheck is
+    // the HOW, asserted complete in-query, so the oracle replays plain
+    // exact counts
+    "corpus_top_bigrams" ->
+      """WITH toks AS (SELECT regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE len(trim(text)) > 0),
+        |bg AS (SELECT array_to_string(t[i:i+1], ' ') AS g
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 2),
+        |c AS (SELECT g AS gram, count(*) AS cnt FROM bg GROUP BY 1),
+        |th AS (SELECT min(cnt) AS thresh FROM
+        |  (SELECT cnt FROM c ORDER BY cnt DESC, gram LIMIT 15))
+        |SELECT gram, cnt FROM c, th WHERE cnt >= thresh""".stripMargin,
+
     // the stream must converge to the batch answer — same replay
     "streaming_decontamination" ->
       """WITH toks AS (
