@@ -23,12 +23,13 @@ object OpsScaleCheck {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      // driver heap comes from build.sbt's fork javaOptions (SPARK_DRIVER_MEM
+      // env) — setting spark.driver.memory after JVM launch is a no-op
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftFunctions.registerAll(spark)
 
-    // deterministic doc set: token counts 1..996 (mean ~498), 20 sources
+    // deterministic doc set: token counts 1..997 (mean ~499), 20 sources
     val docs = spark.range(nDocs)
       .select(col("id"),
         (pmod(col("id") * 2654435761L, lit(997L)) + 1L).as("n_toks"),

@@ -77,9 +77,8 @@ object SparkEntry {
   private def heavyHittersFromSummary(fact: DataFrame, skN: DataFrame,
       queryName: String, dispose: Option[Column] = None,
       carry: Seq[String] = Nil, keyCol: String = "l_suppkey",
-      outKey: String = "suppkey", stringKeys: Boolean = false,
-      topK: Int = 15): DataFrame = {
-    val K = topK
+      outKey: String = "suppkey", stringKeys: Boolean = false): DataFrame = {
+    val K = 15
     val M = 256
     // materialize the 1-row summary ONCE (the table_profile pattern):
     // it feeds the candidate pool, the cutoff witness, and the carry
@@ -525,8 +524,7 @@ object SparkEntry {
       // emits exactly the batch answer
       GraftFunctions.registerAll(s)
       val docs = t(s, dir, "documents")
-      val schema = s.read.parquet(s"$dir/documents.parquet").schema
-      val src = s.readStream.schema(schema)
+      val src = s.readStream.schema(docs.schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
         .where(pmod(col("doc_id"), lit(97)) =!= 0)
       val bench = docs.where(pmod(col("doc_id"), lit(97)) === 0)
@@ -968,7 +966,11 @@ object SparkEntry {
       // two-scan exact recheck of the broadcast candidate pool with the
       // in-query cutoff-below-threshold completeness assert. The answer
       // (every gram with count >= the rank-15 count, ties kept) is
-      // exact, so the DuckDB oracle replays it with plain counts
+      // exact — modulo the library-wide 64-bit assumption (see
+      // dedup_exact_fingerprint): the summary keys grams by their
+      // 64-bit byte fold, so two DISTINCT grams colliding (~n²/2^64)
+      // would share a counter and evade the cutoff witness. The DuckDB
+      // oracle replays plain exact counts
       GraftFunctions.registerAll(s)
       val docs = t(s, dir, "documents")
       val grams = docs.select(
@@ -1525,6 +1527,25 @@ object SparkEntry {
       |    i -> array_to_string((regexp_split_to_array(trim(text), '\s+'))[i:i+2], ' '))) AS grams
       |  FROM documents)""".stripMargin
 
+  // ONE replay for both decontamination forms — the streaming query's
+  // whole claim is convergence to the batch answer, so the two gate rows
+  // must share the oracle by construction, not by keeping copies in sync
+  private val decontaminationOracle =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      |  FROM documents WHERE len(trim(text)) > 0),
+      |grams AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(1, len(t) - 2),
+      |      i -> array_to_string(t[i:i+2], ' ')) AS gs
+      |  FROM toks WHERE len(t) >= 3),
+      |cg AS (SELECT DISTINCT doc_id, g
+      |       FROM grams, UNNEST(gs) AS u(g) WHERE doc_id % 97 <> 0),
+      |bg AS (SELECT DISTINCT g
+      |       FROM grams, UNNEST(gs) AS u(g) WHERE doc_id % 97 = 0)
+      |SELECT cg.doc_id, count(*) AS matched_grams
+      |FROM cg JOIN bg USING (g) GROUP BY 1""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "cqf_count_by_flag" ->
       """SELECT l_returnflag, l_suppkey AS suppkey, count(*) AS cnt
@@ -1695,38 +1716,9 @@ object SparkEntry {
         |  (SELECT cnt FROM c ORDER BY cnt DESC, gram LIMIT 15))
         |SELECT gram, cnt FROM c, th WHERE cnt >= thresh""".stripMargin,
 
-    // the stream must converge to the batch answer — same replay
-    "streaming_decontamination" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-        |  FROM documents WHERE len(trim(text)) > 0),
-        |grams AS (
-        |  SELECT doc_id,
-        |    list_transform(generate_series(1, len(t) - 2),
-        |      i -> array_to_string(t[i:i+2], ' ')) AS gs
-        |  FROM toks WHERE len(t) >= 3),
-        |cg AS (SELECT DISTINCT doc_id, g
-        |       FROM grams, UNNEST(gs) AS u(g) WHERE doc_id % 97 <> 0),
-        |bg AS (SELECT DISTINCT g
-        |       FROM grams, UNNEST(gs) AS u(g) WHERE doc_id % 97 = 0)
-        |SELECT cg.doc_id, count(*) AS matched_grams
-        |FROM cg JOIN bg USING (g) GROUP BY 1""".stripMargin,
+    "streaming_decontamination" -> decontaminationOracle,
 
-    "benchmark_decontamination" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-        |  FROM documents WHERE len(trim(text)) > 0),
-        |grams AS (
-        |  SELECT doc_id,
-        |    list_transform(generate_series(1, len(t) - 2),
-        |      i -> array_to_string(t[i:i+2], ' ')) AS gs
-        |  FROM toks WHERE len(t) >= 3),
-        |cg AS (SELECT DISTINCT doc_id, g
-        |       FROM grams, UNNEST(gs) AS u(g) WHERE doc_id % 97 <> 0),
-        |bg AS (SELECT DISTINCT g
-        |       FROM grams, UNNEST(gs) AS u(g) WHERE doc_id % 97 = 0)
-        |SELECT cg.doc_id, count(*) AS matched_grams
-        |FROM cg JOIN bg USING (g) GROUP BY 1""".stripMargin,
+    "benchmark_decontamination" -> decontaminationOracle,
 
     // same Wang replay as train_test_split, seeded: v = wang64(id ^
     // premix(7)) where premix(7) = wang64(7) = 9406415178646722915
