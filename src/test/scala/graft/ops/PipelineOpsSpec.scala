@@ -61,6 +61,33 @@ class PipelineOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.contains((0L, 1L)), s"missed planted near-dup; got ${pairs.take(5)}")
   }
 
+  test("wordShingles expression equals the declarative transform form it replaced") {
+    import org.apache.spark.sql.functions._
+    // the old form re-ran the tokenizer per shingle index (O(n²) chars
+    // per doc); the expression must be a pure speedup — identical output
+    // on every shape incl. the hostile ones (empty, all-space, sub-k,
+    // exactly-k, trailing separators which keep an empty token)
+    val texts = Seq("", "   ", "a", "a b", "a b c", "a  b\tc d ",
+      "one two three four five", "x " * 200).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("id", "text")
+    def oldForm(text: org.apache.spark.sql.Column, k: Int) = {
+      val toks = TextOps.tokens(text)
+      when(size(toks) < k,
+        array().cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)))
+        .otherwise(transform(sequence(lit(1), size(toks) - lit(k - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(k)))))
+    }
+    for (k <- Seq(1, 2, 3, 5)) {
+      val got = df.select($"id", TextOps.wordShingles($"text", k).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val want = df.select($"id", oldForm($"text", k).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(got == want, s"k=$k diverged")
+    }
+  }
+
   test("simhash distance small for near-dups, large for unrelated") {
     val base = doc(2, 300)
     val nearDup = base.split(" ").updated(7, "zulu").mkString(" ")
