@@ -34,6 +34,14 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("cqf_count_by_flag")(spark, "/root/testdata/sf0.001")
 
+  /** Queries that EXECUTE work on construction (multi-batch state
+    * pipelines that ingest into a temp store before returning the
+    * result frame) — like the streaming_ shapes, they cannot be
+    * analyzed without running; ContractSpec's analyze-only loop skips
+    * them (they are covered by the gate + their own specs). */
+  val eagerStateQueries: Set[String] =
+    Set("dedup_incremental")
+
   /** table_profile's sketch pass, pre-materialization: every family's
     * summary for the profiled columns built side by side in ONE fact
     * scan. Exposed (package-private) because the query immediately
@@ -1361,7 +1369,14 @@ object SparkEntry {
           docs.where(pmod(col("doc_id"), lit(3)) === b),
           TextOps.tokens(col("text")), col("doc_id"), state, s"batch_$b", cfg)
       }
-      graft.ops.IncrementalDedup.allPairs(s, state)
+      // materialize the (tiny, near-dup-edge-sized) result and delete the
+      // throwaway state dir: bench reps / plan audits re-execute this
+      // query, and each invocation would otherwise leak a full
+      // signature+pair store under java.io.tmpdir
+      val pairs = graft.ops.IncrementalDedup.allPairs(s, state)
+      val rows = pairs.collect()
+      graft.util.ParquetState.deleteRecursively(new java.io.File(state))
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), pairs.schema)
     }),
 
     "simhash_near_dups" -> ((s, dir) => {

@@ -22,6 +22,15 @@ import org.apache.spark.sql.types._
   *    persistence the reference applies to its filter state
   *    (/root/reference/src/cqf/u64_cqf.rs:46-93: new_file → open_file →
   *    keep inserting), applied to the dedup pipeline's state.
+  *  - `buckets/` — the PERSISTED LSH banding: one compact (id, band,
+  *    bucket) triple per (doc, band), partitioned by batch. Written once
+  *    per batch; a delta then joins against stored triples instead of
+  *    re-reading and re-banding every stored signature — the per-delta
+  *    state scan drops from the full signature store (sig arrays +
+  *    bands×hash recomputation per stored doc) to the triple table, and
+  *    the signature store's heavy columns are only ever read
+  *    partition-pruned (the delta's own partition, plus the partitions
+  *    holding a candidate member for the gram recheck).
   *  - `pairs/` — the exact-verified near-dup pairs, appended per batch.
   *  - `batches/` — one commit-marker row per completed batch (batch id,
   *    doc count, input hash, params), appended AFTER the batch's pairs:
@@ -29,10 +38,10 @@ import org.apache.spark.sql.types._
   *    leaves a state a re-run completes to the identical answer.
   *
   * Per delta the work is: sign the NEW docs (one pass over the delta),
-  * band new + stored signatures, and bucket-join NEW × ALL — old×old
-  * pairs were settled by earlier batches and are never re-proposed. The
-  * exact shingle-Jaccard recheck then disposes candidates exactly as in
-  * the batch pipeline. Connected components over the ACCUMULATED pair set
+  * persist their bucket triples, and bucket-join NEW × ALL over the
+  * triples the delta touches — old×old pairs were settled by earlier
+  * batches and are never re-proposed. The exact shingle-Jaccard recheck
+  * then disposes candidates exactly as in the batch pipeline. Connected components over the ACCUMULATED pair set
   * stay cheap by construction — near-dup edges above a high threshold are
   * a tiny fraction of the corpus, and [[DedupOps.connectedComponents]] is
   * log-round — so "pairs + CC delta" is delta-proportional in the only
@@ -57,7 +66,9 @@ import org.apache.spark.sql.types._
   *  - a kill between the signature append and the pair append resumes by
   *    recomputing the batch's pairs FROM THE STORE (the store, not the
   *    caller's input, is the source of truth; the input must hash-match
-  *    what was signed);
+  *    what was signed); any signed batch missing its bucket partition
+  *    (killed before the bucket append, or a store written before bucket
+  *    tracking) is backfilled from its own signature partition, once;
   *  - a kill between the pair append and the commit marker re-appends the
   *    identical pair rows; [[allPairs]] reads through a (id_a, id_b)
   *    dropDuplicates so the double append is invisible;
@@ -87,6 +98,7 @@ object IncrementalDedup {
   private def sigPath(stateDir: String) = s"$stateDir/signatures"
   private def pairPath(stateDir: String) = s"$stateDir/pairs"
   private def batchPath(stateDir: String) = s"$stateDir/batches"
+  private[ops] def bucketPath(stateDir: String) = s"$stateDir/buckets"
 
   /** Read a state table if the directory holds VISIBLE data entries —
     * the shared resumable-state guard ([[graft.util.ParquetState]]). */
@@ -196,6 +208,28 @@ object IncrementalDedup {
       case None => ()
     }
 
+    def writeMarker(): Unit = {
+      val marker = spark.createDataFrame(
+        java.util.Arrays.asList(Row(batchId, inCount, inHash, params)),
+        StructType(Seq(
+          StructField("batch_id", StringType),
+          StructField("n_docs", LongType),
+          StructField("input_hash", LongType),
+          StructField("dedup_params", StringType))))
+      marker.write.mode(SaveMode.Append).parquet(batchPath(stateDir))
+    }
+
+    // an empty delta (a zero-row day) is a legitimate no-op, not an
+    // error: stage 1 would append NO data files, and on a first batch the
+    // unconditional store read below would then fail with
+    // UNABLE_TO_INFER_SCHEMA — commit the marker (burning the batch id
+    // with hash 0 / count 0 so a later NON-empty reuse of the id rejects)
+    // and skip the pipeline
+    if (inCount == 0L) {
+      writeMarker()
+      return allPairs(spark, stateDir)
+    }
+
     // ---- stage 1: signature append (skipped when resuming past it) ----
     val alreadySigned = existingSigs.exists(
       _.where(col("batch_id") === batchId).take(1).nonEmpty)
@@ -229,47 +263,95 @@ object IncrementalDedup {
         .parquet(sigPath(stateDir))
     }
 
-    // ---- stage 2: NEW × ALL candidate pairs from the store ----
-    // read back through the store so a resume and a straight-through run
-    // band the exact same rows
+    // ---- stage 1b: persist this batch's banded buckets ----
+    // The bucket store holds one compact (id, band, bucket) triple per
+    // (doc, band), partitioned by batch_id — the persisted form of the
+    // LSH banding. Without it every delta re-read and re-banded the WHOLE
+    // signature store (sig arrays + bands×hash per stored doc, every
+    // day); with it a delta scans only the triple table, ~an order of
+    // magnitude fewer bytes and zero re-hashing, and the signature
+    // store's heavy columns (sig, grams) are read only partition-pruned.
+    // Reference analog: reopen-and-continue persistence
+    // (/root/reference/src/cqf/u64_cqf.rs:46-93) — never re-derive what
+    // an earlier run already materialized.
+    //
+    // The loop also covers resume (a kill between the signature and
+    // bucket appends leaves this batch signed but unbucketed) and
+    // migration (a store written before bucket tracking backfills every
+    // batch once, from its own signature partition, then never again).
     val store = spark.read.parquet(sigPath(stateDir))
-    val bandedAll = DedupOps.bandSignatures(
-      store.select(col("id"), col("sig")), cfg.bands, cfg.rowsPerBand)
-    val bandedNew = DedupOps.bandSignatures(
-      store.where(col("batch_id") === batchId).select(col("id"), col("sig")),
-      cfg.bands, cfg.rowsPerBand)
-    // the cap must see FULL bucket sizes (old + new): guard the ALL side
-    // once and semi-join the new side onto the surviving buckets, so a
-    // hot bucket is dropped from both sides of the join consistently
+    val bucketedBatches: Set[String] =
+      readIfAny(spark, bucketPath(stateDir)).map {
+        _.select(col("batch_id")).distinct().collect()
+          .map(_.getString(0)).toSet
+      }.getOrElse(Set.empty)
+    val signedBatches: Set[String] = store.select(col("batch_id")).distinct()
+      .collect().map(_.getString(0)).toSet
+    (signedBatches -- bucketedBatches).toSeq.sorted.foreach { b =>
+      DedupOps.bandSignatures(
+          store.where(col("batch_id") === b).select(col("id"), col("sig")),
+          cfg.bands, cfg.rowsPerBand)
+        .withColumn("batch_id", lit(b))
+        .write.mode(SaveMode.Append).partitionBy("batch_id")
+        .parquet(bucketPath(stateDir))
+    }
+
+    // ---- stage 2: NEW × ALL candidate pairs from the bucket store ----
+    // everything reads back through the persisted state so a resume and
+    // a straight-through run join the exact same rows
+    val buckets = spark.read.parquet(bucketPath(stateDir))
     val keys = Seq("band", "bucket")
-    val guardedAll = DedupOps.capBuckets(bandedAll, keys, cfg.bucketCap)
+    val bandedNew = buckets.where(col("batch_id") === batchId)
+      .select((keys.map(col) :+ col("id")): _*)
+    // only buckets the DELTA touches matter: old×old pairs were settled
+    // by earlier batches, so buckets without a new member cannot produce
+    // a new pair — the semi-join drops them before the (only) count+join
+    val newKeys = bandedNew.select(keys.map(col): _*).distinct()
+    val matchedAll = buckets.join(newKeys, keys, "left_semi")
+    // the cap must see FULL bucket sizes (old + new): the semi-join keeps
+    // whole buckets, so counting matchedAll equals counting the full
+    // banding for every touched bucket; guard the ALL side once and
+    // semi-join the new side onto the surviving buckets, so a hot bucket
+    // is dropped from both sides of the join consistently
+    val guardedAll = DedupOps.capBuckets(matchedAll, keys, cfg.bucketCap)
     val guardedNew = bandedNew.join(
       guardedAll.select(keys.map(col): _*).distinct(), keys, "left_semi")
-    val candidates = guardedNew
+    // keep the old side's batch_id through the join: stage 3 then reads
+    // gram sets only from the signature partitions that actually hold a
+    // candidate (partition pruning), not the whole store
+    val cand0 = guardedNew
       .select(keys.map(col) :+ col("id").as("id_n"): _*)
-      .join(guardedAll.select(keys.map(col) :+ col("id").as("id_o"): _*), keys)
+      .join(guardedAll.select(
+        keys.map(col) :+ col("id").as("id_o") :+ col("batch_id").as("batch_o"): _*),
+        keys)
       .where(col("id_n") =!= col("id_o"))
+      .select(col("id_n"), col("id_o"), col("batch_o"))
+      .distinct() // id_o determines batch_o, so this is the pair distinct
+      // materialized once: the candidate set is delta-proportional (the
+      // LSH-propose contract) and feeds both the touched-batch collect
+      // and the verify join below
+      .localCheckpoint()
+    val candidates = cand0
       // normalize: new-new pairs arrive in both orientations, new-old in one
       .select(least(col("id_n"), col("id_o")).as("id_a"),
         greatest(col("id_n"), col("id_o")).as("id_b"))
       .distinct()
 
     // ---- stage 3: exact shingle-Jaccard recheck + pair append ----
-    val verified = DedupOps.verifyByJaccard(candidates,
-      store.select(col("id"), col("grams")), cfg.threshold)
+    // batches holding a candidate member (plus the delta itself, whose
+    // ids sit on both sides of new×new pairs) — the grams read below
+    // partition-prunes to these
+    val touched = (cand0.select(col("batch_o")).distinct()
+      .collect().map(_.getString(0)).toSet + batchId).toSeq.sorted
+    val gramsSrc = store.where(col("batch_id").isin(touched: _*))
+      .select(col("id"), col("grams"))
+    val verified = DedupOps.verifyByJaccard(candidates, gramsSrc, cfg.threshold)
     verified.withColumn("batch_id", lit(batchId))
       .write.mode(SaveMode.Append).partitionBy("batch_id")
       .parquet(pairPath(stateDir))
 
     // ---- stage 4: commit marker — the batch is now done ----
-    val marker = spark.createDataFrame(
-      java.util.Arrays.asList(Row(batchId, inCount, inHash, params)),
-      StructType(Seq(
-        StructField("batch_id", StringType),
-        StructField("n_docs", LongType),
-        StructField("input_hash", LongType),
-        StructField("dedup_params", StringType))))
-    marker.write.mode(SaveMode.Append).parquet(batchPath(stateDir))
+    writeMarker()
 
     allPairs(spark, stateDir)
   }

@@ -84,9 +84,13 @@ object SessionOps {
     require(gapSeconds < 86400L,
       s"gapSeconds must be under a day for day-bounded sessions, got $gapSeconds")
     val us = unix_micros(ts.cast("timestamp"))
-    // floor division (pmod idiom): integer `/` truncates toward zero,
-    // which would round pre-epoch timestamps into the WRONG day
-    val day = ((us - pmod(us, lit(86400000000L))) / 86400000000L).cast("long")
+    // floor division (pmod idiom): integer `div` truncates toward zero,
+    // which would round pre-epoch timestamps into the WRONG day, so the
+    // positive remainder is subtracted first. Integral `div` (not `/`,
+    // which is double Divide + cast — exact only below 2^53) keeps the
+    // day computation structurally exact over the full epoch-us range.
+    val day = call_function("div",
+      us - pmod(us, lit(86400000000L)), lit(86400000000L))
     // materialize the day ONCE and partition both window passes by the
     // materialized COLUMN: partitioning by the raw expression makes each
     // Window node project its own fresh partition attribute, which

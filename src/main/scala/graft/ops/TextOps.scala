@@ -103,9 +103,13 @@ object TextOps {
     * `length()` semantics, not JVM UTF-16 units). */
   def repetitionMetrics(text: Column): Seq[(String, Column)] = {
     val st = toColumn(RepetitionStatsExpr(expression(text)))
+    // integral `div` (the oracle's `//`), not double Divide + cast: the
+    // double detour is exact only while num*1000 < 2^53 — `div` makes the
+    // integer-permille claim structural rather than magnitude-dependent
     def permille(num: Column, den: Column): Column =
       when(den === 0, 0L)
-        .otherwise((num * 1000L).cast(LongType) / den).cast(LongType)
+        .otherwise(call_function("div", (num * 1000L).cast(LongType), den))
+        .cast(LongType)
     Seq(
       "n_lines" -> st.getField("n_lines"),
       "dup_line_permille" ->

@@ -22,4 +22,12 @@ object ParquetState {
       Some(spark.read.parquet(dir))
     else None
   }
+
+  /** Remove a local throwaway state directory (temp dirs created by
+    * gate queries / specs) — callers materialize results FIRST. */
+  def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete()
+  }
 }

@@ -41,9 +41,12 @@ class ContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     // analyzing them here would run them — they are covered by the gate.
     // Prefix-matched so a NEW streaming shape can't silently turn this
     // analyze-only test into a full stream execution (the enumerated set
-    // this replaced had drifted 4 shapes behind)
+    // this replaced had drifted 4 shapes behind). Eager-state pipelines
+    // (SparkEntry.eagerStateQueries) likewise ingest on construction —
+    // "analyzing" dedup_incremental was 3 full batch cycles per test run.
     SparkEntry.queries.foreach { case (name, fn) =>
-      if (!name.startsWith("streaming_")) {
+      if (!name.startsWith("streaming_") &&
+          !SparkEntry.eagerStateQueries.contains(name)) {
         val df = fn(spark, dir)
         assert(df.schema.fields.nonEmpty, s"$name: empty schema")
         df.queryExecution.assertAnalyzed()
