@@ -792,21 +792,40 @@ private[functions] trait WangBitsChecked { self: BinaryExpression =>
 }
 
 case class WangHashExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback with WangBitsChecked {
+    extends BinaryExpression with WangBitsChecked {
   override def prettyName: String = "wang_hash"
   override def dataType: DataType = LongType
   override def nullSafeEval(k: Any, bits: Any): Any =
     WangHash.hash(keyConv(k), bitsOf(bits))
+  // full whole-stage codegen (NOT a CodegenFallback): this expression is
+  // the per-row hot path of every map-only split/sample/mixture/pack
+  // stage — i.e. the code most likely to run over the entire corpus — and
+  // a fallback would break stage fusion and pay per-row boxing there. The
+  // generated call is one static invoke of ~15 ALU ops; (long) casts
+  // cover all four integral child types (sign-extending, matching
+  // KeyConv.toLong on the interpreted path).
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (k, b) =>
+      s"""${ev.value} = graft.sketch.WangHash.hashChecked((long)$k, $b, "$prettyName");""")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): WangHashExpr =
     copy(left = l, right = r)
 }
 
 case class WangUnhashExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback with WangBitsChecked {
+    extends BinaryExpression with WangBitsChecked {
   override def prettyName: String = "wang_unhash"
   override def dataType: DataType = LongType
   override def nullSafeEval(h: Any, bits: Any): Any =
     WangHash.unhash(keyConv(h), bitsOf(bits))
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (k, b) =>
+      s"""${ev.value} = graft.sketch.WangHash.unhashChecked((long)$k, $b, "$prettyName");""")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): WangUnhashExpr =
     copy(left = l, right = r)
 }

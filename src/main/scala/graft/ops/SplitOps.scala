@@ -18,9 +18,9 @@ import org.apache.spark.sql.functions._
   *
   * At 100 TB this is a map-only operation: one expression per row, no
   * shuffle, no state — the split label is computable at scan time
-  * wherever the row lands. (The Wang mix itself evaluates interpreted —
-  * WangHashExpr is a CodegenFallback — but it is ~15 ALU ops with no
-  * allocation, and each operator evaluates it exactly once per row.)
+  * wherever the row lands, and the Wang mix compiles into whole-stage
+  * codegen (WangHashExpr.doGenCode: one static call of ~15 ALU ops), so
+  * the whole decision fuses into the scan stage with no boxing.
   *
   * Null keys REJECT at runtime (assert_true) rather than silently
   * vanishing: a null key has no stable identity to split on — a

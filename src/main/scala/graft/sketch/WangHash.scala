@@ -65,6 +65,21 @@ object WangHash {
     key
   }
 
+  /** [[hash]]/[[unhash]] behind the [1, 64] bits guard — the codegen
+    * entry points: whole-stage-generated Java calls these static
+    * forwarders directly (one invokestatic, JIT-inlineable), so the
+    * validation and the arithmetic are identical between the interpreted
+    * and compiled paths of WangHashExpr/WangUnhashExpr. */
+  def hashChecked(key: Long, bits: Int, name: String): Long = {
+    require(bits >= 1 && bits <= 64, s"$name: bits must be in [1, 64], got $bits")
+    hash(key, bits)
+  }
+
+  def unhashChecked(key: Long, bits: Int, name: String): Long = {
+    require(bits >= 1 && bits <= 64, s"$name: bits must be in [1, 64], got $bits")
+    unhash(key, bits)
+  }
+
   /** A well-scrambled (non-maskable) 64-bit mix for the sibling sketches
     * (HLL/CMS/Bloom) where invertibility is not needed but avalanche is.
     * This is the classic murmur3-style finalizer with an additive seed.
