@@ -40,7 +40,7 @@ object SparkEntry {
     * analyzed without running; ContractSpec's analyze-only loop skips
     * them (they are covered by the gate + their own specs). */
   val eagerStateQueries: Set[String] =
-    Set("dedup_incremental")
+    Set("dedup_incremental", "ann_ivf_persisted")
 
   /** table_profile's sketch pass, pre-materialization: every family's
     * summary for the profiled columns built side by side in ONE fact
@@ -77,9 +77,14 @@ object SparkEntry {
     * (k too small or a flat distribution must FAIL LOUDLY, not return a
     * silently-divergent answer). The 256 candidates broadcast into the
     * exact recheck — never a distinct-all-keys scan — and the rank-K
-    * count comes from a window over that <=256-row counted table (the
-    * single-partition sort is post-aggregation, constant-size at any
-    * corpus scale). `dispose` is an optional final-stage predicate (the
+    * count comes from a window over that <=256-row counted table. NOTE:
+    * this is the one deliberately UNPARTITIONED Window in the library —
+    * WindowExec logs "No Partition Defined ... single partition" on
+    * every heavy-hitter query, and that is safe BY DESIGN: the window's
+    * input is the post-aggregation candidate-count table, bounded by
+    * the M=256 summary pool at any corpus scale, never the fact table
+    * (PlanGuardSpec pins the shape structurally so the warning needs no
+    * re-audit). `dispose` is an optional final-stage predicate (the
     * CMS variant's overestimate law) over (l_partkey, cnt, thresh) plus
     * any `carry` columns cross-joined from the 1-row skN. */
   private def heavyHittersFromSummary(fact: DataFrame, skN: DataFrame,
@@ -585,6 +590,54 @@ object SparkEntry {
       s.table("graft_stream_sessions")
     }),
 
+    "streaming_dedup_incremental" -> ((s, dir) => {
+      // streaming front end for the growing-corpus dedup (9th streaming
+      // shape): Structured Streaming drives IncrementalDedup from
+      // foreachBatch with the epoch id as the batch id, so the engine's
+      // replay-on-restart contract COMPOSES with the store's commit
+      // markers — a replayed epoch re-runs as a no-op or completes a
+      // half-ingested batch from the store (mid-stream kill/resume
+      // pinned in StreamingIncrementalDedupSpec). Three single-file
+      // micro-batches (maxFilesPerTrigger=1) over a deterministic 3-way
+      // split of the documents table; the accumulated pair store must
+      // hash-match the SAME from-scratch all-pairs oracle as
+      // dedup_incremental — the batch-composition law, now with the
+      // engine choosing the batches.
+      val docs = t(s, dir, "documents")
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_sinc_dedup").toString
+      val src = s"$work/src"
+      new java.io.File(src).mkdirs()
+      (0 until 3).foreach { b =>
+        docs.where(pmod(col("doc_id"), lit(3)) === b)
+          .coalesce(1).write.parquet(s"$work/stage_$b")
+        val part = new java.io.File(s"$work/stage_$b").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(s"$src/batch_$b.parquet"))
+      }
+      val state = s"$work/state"
+      val cfg = graft.ops.IncrementalDedup.Config(
+        k = 3, bands = 16, rowsPerBand = 4, threshold = 0.8)
+      val q = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream
+        .foreachBatch { (df: DataFrame, epochId: Long) =>
+          graft.ops.IncrementalDedup.run(s, df,
+            TextOps.tokens(col("text")), col("doc_id"), state,
+            s"epoch_$epochId", cfg)
+          ()
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val pairs = graft.ops.IncrementalDedup.allPairs(s, state)
+      val rows = pairs.collect()
+      graft.util.ParquetState.deleteRecursively(new java.io.File(work))
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), pairs.schema)
+    }),
+
     "benchmark_decontamination" -> ((s, dir) => {
       // pre-training hygiene: corpus docs sharing any word 3-gram with
       // the (deterministic pseudo) eval set doc_id % 97 == 0. Benchmark
@@ -876,6 +929,44 @@ object SparkEntry {
         api.kll_quantile(kll, lit(0.5)).as("p50"),
         (td >= api.kll_quantile(kll, lit(0.25)) &&
           td <= api.kll_quantile(kll, lit(0.75))).as("td_ok"))
+    }),
+
+    "window_cms_running" -> ((s, dir) => {
+      // count-min over a WINDOW FRAME (the family's frame-path gate,
+      // closing the CQF/KLL/t-digest vs CMS/Bloom asymmetry): a trailing
+      // 100-row CMS of user_id per event_type. Two exact readouts the
+      // DuckDB oracle replays verbatim — cms_total == frame size (cell-
+      // row sums are lossless), and the frame's exact count of the
+      // CURRENT row's user (collect_list + filter, engine-agnostic) —
+      // plus the deterministic never-underestimate law as the bound
+      // check: estimate(current user) >= its exact frame count. Nulls
+      // filtered BEFORE windowing so both engines see identical frames.
+      val ev = t(s, dir, "events")
+        .where(col("event_id") < 3000 && col("user_id").isNotNull)
+      val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+        .rowsBetween(-99, Window.currentRow)
+      val cms = api.cms_agg(col("user_id"), 5, 2048).over(w)
+      val exactCnt = size(filter(collect_list(col("user_id")).over(w),
+        v => v === col("user_id"))).cast("long")
+      ev.select(col("event_type"), col("event_id"),
+        exactCnt.as("exact_cnt"),
+        api.cms_total(cms).as("n_frame"),
+        (api.cms_estimate(cms, col("user_id")) >= exactCnt).as("cms_ge_exact"))
+    }),
+
+    "window_bloom_running" -> ((s, dir) => {
+      // Bloom over the same trailing frame: the current row's user is IN
+      // the frame by construction, so might_contain MUST be true on
+      // every row (the deterministic no-false-negative law, replayed as
+      // a literal TRUE by the oracle); frame size rides along exactly.
+      val ev = t(s, dir, "events")
+        .where(col("event_id") < 3000 && col("user_id").isNotNull)
+      val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+        .rowsBetween(-99, Window.currentRow)
+      val bloom = api.bloom_agg(col("user_id"), 1L << 16, 5).over(w)
+      ev.select(col("event_type"), col("event_id"),
+        count(lit(1)).over(w).as("n_frame"),
+        api.bloom_might_contain(bloom, col("user_id")).as("bloom_hit"))
     }),
 
     "sketch_union_probes" -> ((s, dir) => {
@@ -1389,9 +1480,25 @@ object SparkEntry {
     }),
 
     "embedding_near_dups" -> ((s, dir) => {
-      // multi-band hyperplane LSH prefilter + exact cosine recheck
+      // multi-band hyperplane LSH prefilter + exact cosine recheck.
+      // The SHIPPED fixture has no cos >= 0.8 pair at any gate SF (max
+      // observed 0.60), so the raw query passed vacuously (0 == 0 rows)
+      // — the input is therefore a DERIVED relation that unions
+      // deterministic planted copies, pure functions of (vec_id,
+      // embedding) the DuckDB oracle replays exactly: an identical copy
+      // per vec_id < 8 (cos = 1, MUST match — 8 non-vacuous rows at
+      // every SF) and a negated copy (cos = -1 with its parent, must
+      // NOT match; fixture min cos -0.56 keeps every cross pair far
+      // from the threshold on both sides)
       val emb = t(s, dir, "embeddings")
-      DedupOps.embeddingNearDups(emb, col("embedding"), col("vec_id"),
+      val base = emb.select(col("vec_id"), col("embedding"))
+      val dups = emb.where(col("vec_id") < 8)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+      val negs = emb.where(col("vec_id") < 8)
+        .select((col("vec_id") + 20000000L).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding"))
+      DedupOps.embeddingNearDups(base.unionAll(dups).unionAll(negs),
+        col("embedding"), col("vec_id"),
         minCos = 0.8, bands = 32, planesPerBand = 6)
     }),
 
@@ -1434,6 +1541,32 @@ object SparkEntry {
           emb.where(col("vec_id") < 10), col("vec_id"), col("embedding"),
           k = 3, nCells = 16, nProbe = 16)
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
+    }),
+
+    "ann_ivf_persisted" -> ((s, dir) => {
+      // build-once / serve-many IVF: the index persists (codebook +
+      // cell-PARTITIONED assignments + commit marker — buildIvfIndex),
+      // then serving reads it back and probes every cell (nProbe =
+      // nCells), so the answer must EXACTLY reproduce the brute-force
+      // oracle THROUGH the persisted artifact: codebook round-trip,
+      // partition-pruned assignment read, probe ranking and all. In-query
+      // ivfTopK re-paid the k-means per run; production builds once into
+      // durable storage and serves many query batches (resume/drift
+      // contract in AnnIndexSpec). Throwaway index dir, deleted after
+      // materializing — the dedup_incremental pattern.
+      val emb = t(s, dir, "embeddings")
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_ann_idx").toString
+      AnnOps.buildIvfIndex(s, emb, col("vec_id"), col("embedding"), idx,
+        nCells = 16, kmeansIters = 2)
+      val res = AnnOps.ivfTopKFromIndex(s, idx,
+          emb.where(col("vec_id") < 10), col("vec_id"), col("embedding"),
+          k = 3, nProbe = 16)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"))
+      val rows = res.collect()
+      graft.util.ParquetState.deleteRecursively(new java.io.File(idx))
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
     }),
 
     "ann_lsh_topk" -> ((s, dir) => {
@@ -2205,6 +2338,28 @@ object SparkEntry {
         |  TRUE AS td_ok
         |FROM l""".stripMargin,
 
+    // frame size + the current user's exact frame count replayed
+    // verbatim; the never-underestimate law as a literal TRUE
+    "window_cms_running" ->
+      """WITH f AS (SELECT event_type, event_id, user_id FROM events
+        |           WHERE event_id < 3000 AND user_id IS NOT NULL),
+        |l AS (SELECT event_type, event_id, user_id,
+        |        list(user_id) OVER (PARTITION BY event_type ORDER BY event_id
+        |          ROWS BETWEEN 99 PRECEDING AND CURRENT ROW) AS vals
+        |      FROM f)
+        |SELECT event_type, event_id,
+        |  CAST(len(list_filter(vals, v -> v = user_id)) AS BIGINT) AS exact_cnt,
+        |  CAST(len(vals) AS BIGINT) AS n_frame,
+        |  TRUE AS cms_ge_exact
+        |FROM l""".stripMargin,
+
+    "window_bloom_running" ->
+      """SELECT event_type, event_id,
+        |  CAST(count(*) OVER (PARTITION BY event_type ORDER BY event_id
+        |    ROWS BETWEEN 99 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_frame,
+        |  TRUE AS bloom_hit
+        |FROM events WHERE event_id < 3000 AND user_id IS NOT NULL""".stripMargin,
+
     "td_quantiles_by_event_type" ->
       """SELECT event_type, count(value) AS n,
         |TRUE AS ok50, TRUE AS ok90, TRUE AS ok99
@@ -2341,6 +2496,19 @@ object SparkEntry {
         |    >= 800000 * len(list_distinct(list_concat(a.grams, b.grams)))""".stripMargin),
 
     // identical to minhash_lsh_candidates' all-pairs oracle: the
+    // incremental build driven from Structured Streaming must converge
+    // to the from-scratch answer, with the ENGINE choosing the batches
+    "streaming_dedup_incremental" -> (gramCte +
+      """
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS inter,
+        |CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS BIGINT) AS uni
+        |FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |WHERE len(list_distinct(list_concat(a.grams, b.grams))) > 0
+        |AND len(list_intersect(a.grams, b.grams)) * 1000000
+        |    >= 800000 * len(list_distinct(list_concat(a.grams, b.grams)))""".stripMargin),
+
+    // identical to minhash_lsh_candidates' all-pairs oracle: the
     // incremental build must converge to the from-scratch answer
     "dedup_incremental" -> (gramCte +
       """
@@ -2362,9 +2530,17 @@ object SparkEntry {
         |AND len(list_intersect(a.grams, b.grams)) * 1000000
         |    >= 900000 * len(list_distinct(list_concat(a.grams, b.grams)))""".stripMargin),
 
+    // the derived relation replays the Spark side's planted copies
+    // verbatim (identical copy: cos exactly 1; negated copy: cos -1)
     "embedding_near_dups" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      """WITH e AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id + 10000000, embedding
+        |    FROM embeddings WHERE vec_id < 8
+        |  UNION ALL SELECT vec_id + 20000000, list_transform(embedding, x -> -x)
+        |    FROM embeddings WHERE vec_id < 8)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |  CAST(b.embedding AS DOUBLE[])) >= 0.8""".stripMargin,
 
@@ -2415,6 +2591,18 @@ object SparkEntry {
         |WHERE rank <= 3""".stripMargin,
 
     "ann_ivf_exhaustive" ->
+      """WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+        |      list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos
+        |      FROM q, embeddings c WHERE c.vec_id != q.qid)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+        |WHERE rank <= 3""".stripMargin,
+
+    // the persisted index served exhaustively must reproduce brute force
+    // exactly — same oracle as ann_ivf_exhaustive
+    "ann_ivf_persisted" ->
       """WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 10),
         |s AS (SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
         |      list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos

@@ -159,6 +159,142 @@ object AnnOps {
     rankTopK(scored, k)
   }
 
+  // ------------------------------------------------------------ persisted IVF
+
+  /** Parameter string recorded in the index meta — build/serve drift
+    * rejects loudly (the BuildSketches.paramString pattern). */
+  private[ops] def ivfParamString(nCells: Int, kmeansIters: Int): String =
+    s"ivf;cells=$nCells;iters=$kmeansIters"
+
+  private[ops] def codebookPath(indexDir: String) = s"$indexDir/codebook"
+  private[ops] def assignPath(indexDir: String) = s"$indexDir/assignments"
+  private[ops] def metaPath(indexDir: String) = s"$indexDir/meta"
+
+  /** Build (or resume) a PERSISTED IVF index — production similarity
+    * search builds the index once and serves many query batches, instead
+    * of re-paying the k-means + assignment inside every query the way
+    * [[ivfTopK]] does.
+    *
+    * Layout (the BuildSketches checkpoint pattern, lineage-stamped):
+    *  - `codebook/`    — (cell, centroid), written after the k-means;
+    *  - `assignments/` — (cid, cv) PARTITIONED BY cell, so a serve
+    *    probing p of n cells reads only p/n of the corpus bytes
+    *    (partition pruning — the scale win of IVF made physical);
+    *  - `meta/`        — one commit-marker row (params, order-insensitive
+    *    input hash, n_vecs), written LAST: the index is valid iff the
+    *    marker exists.
+    *
+    * Resume/idempotence: a committed index re-builds as a no-op when the
+    * input hash + params match, and REJECTS on drift (a stale index
+    * silently serving a changed corpus is the production failure mode
+    * this guards). An uncommitted dir (killed build) resumes by reusing
+    * a stored codebook when its params match — the k-means passes are
+    * the expensive stage — and re-deriving assignments from it
+    * (overwrite, so the retry is idempotent). */
+  def buildIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      corpus: DataFrame, corpusId: Column, corpusVec: Column,
+      indexDir: String, nCells: Int = 16, kmeansIters: Int = 2): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val params = ivfParamString(nCells, kmeansIters)
+    val c = nonNullVecs(corpus.select(corpusId.as("cid"), corpusVec.as("cv")), "cv")
+    val fp = c.agg(
+      coalesce(expr("bit_xor(xxhash64(cid, cv))"), lit(0L)).as("h"),
+      count(lit(1)).as("n")).head()
+    val (inHash, nVecs) = (fp.getLong(0), fp.getLong(1))
+    require(nVecs > 0, s"buildIvfIndex: nothing to index at $indexDir — " +
+      "the corpus has no non-null embedding rows")
+
+    graft.util.ParquetState.readIfAny(spark, metaPath(indexDir)).foreach { m =>
+      val r = m.select(col("ann_params"), col("input_hash"), col("n_vecs")).head()
+      require(r.getString(0) == params && r.getLong(1) == inHash &&
+          r.getLong(2) == nVecs,
+        s"index at $indexDir is committed for params '${r.getString(0)}' / " +
+          s"input ${r.getLong(1)}/${r.getLong(2)} but this build uses " +
+          s"'$params' / ${inHash}/${nVecs} — a drifted index must be " +
+          "rebuilt in a fresh dir, never silently overwritten")
+      return // committed + identical: no-op
+    }
+
+    // reuse a stored codebook from a killed build iff its params match
+    val stored = graft.util.ParquetState.readIfAny(spark, codebookPath(indexDir))
+      .filter { cb =>
+        val p = cb.select(col("ann_params")).distinct().collect().map(_.getString(0))
+        require(p.sameElements(Array(params)),
+          s"uncommitted codebook at $indexDir was built with " +
+            s"'${p.mkString(",")}' but this build uses '$params' — " +
+            "rebuild in a fresh dir")
+        true
+      }
+    val codebook: Array[Array[Double]] = stored match {
+      case Some(cb) =>
+        cb.orderBy(col("cell")).collect()
+          .map(r => r.getSeq[Double](1).toArray)
+      case None =>
+        val fresh = ivfCodebook(corpus, corpusVec, corpusId, nCells, kmeansIters)
+        val rows = fresh.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+        spark.createDataFrame(rows).toDF("cell", "centroid")
+          .withColumn("ann_params", lit(params))
+          .write.mode(SaveMode.Overwrite).parquet(codebookPath(indexDir))
+        fresh
+    }
+
+    c.select(nearestCell(col("cv"), codebook).as("cell"), col("cid"), col("cv"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cell")
+      .parquet(assignPath(indexDir))
+
+    val marker = spark.createDataFrame(Seq((params, inHash, nVecs)))
+      .toDF("ann_params", "input_hash", "n_vecs")
+    marker.write.mode(SaveMode.Overwrite).parquet(metaPath(indexDir))
+  }
+
+  /** Serve top-k queries from a PERSISTED index ([[buildIvfIndex]]).
+    * The stored codebook broadcasts into the probe ranking; the
+    * assignment read carries an explicit cell filter, so parquet
+    * partition pruning touches only the probed cells' files. With
+    * nProbe = nCells the answer equals brute force exactly (the gate
+    * query pins this against the brute-force oracle). */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queries: DataFrame, queryId: Column, queryVec: Column,
+      k: Int, nProbe: Int = 4): DataFrame = {
+    val meta = graft.util.ParquetState.readIfAny(spark, metaPath(indexDir))
+      .getOrElse(throw new IllegalStateException(
+        s"no committed index at $indexDir (missing meta marker) — run " +
+          "buildIvfIndex first; a killed build leaves no marker by design"))
+    meta.head() // materialize the marker read so a corrupt file fails here
+    val cb = spark.read.parquet(codebookPath(indexDir))
+      .orderBy(col("cell")).collect()
+    val codebook = cb.map(r => r.getSeq[Double](1).toArray)
+    val centroidDf = spark.createDataFrame(
+      codebook.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq)
+      .toDF("cell", "centroid")
+    val qw = Window.partitionBy(col("query_id"))
+      .orderBy(col("qsim").desc, col("cell").asc)
+    val probes = nonNullVecs(
+        queries.select(queryId.as("query_id"), queryVec.as("qv")), "qv")
+      .crossJoin(broadcast(centroidDf))
+      .select(col("query_id"), col("qv"), col("cell"),
+        cosine(col("qv"), col("centroid")).as("qsim"))
+      .withColumn("rn", row_number().over(qw))
+      .where(col("rn") <= nProbe)
+      .select(col("cell"), col("query_id"), col("qv"))
+    // literal cell filter for partition pruning: the probe set is
+    // query-batch-sized (queries x nProbe), so collecting the distinct
+    // probed cells is a bounded driver read — the join alone would
+    // filter ROWS but still list/scan every cell's files
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    // an empty probe set (empty/all-null query batch) leaves an
+    // always-false isin: the plan prunes every partition and the result
+    // is empty with the regular schema
+    val assigned = spark.read.parquet(assignPath(indexDir))
+      .where(col("cell").isin(probedCells: _*))
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .where(col("cid") =!= col("query_id"))
+      .select(col("query_id"), col("cid").as("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+    rankTopK(scored, k)
+  }
+
   /** LSH-bucketed ANN: queries only scan the corpus vectors sharing a
     * bucket in at least one of `nTables` independent hash tables (the
     * standard OR-construction: per-pair hit probability

@@ -145,6 +145,32 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("heavy-hitter rank window runs over the bounded candidate table only") {
+    // WindowExec warns "No Partition Defined ... single partition" on
+    // these queries — safe BY DESIGN (heavyHittersFromSummary): the
+    // window's input is the post-aggregation candidate-count table,
+    // bounded by the M=256 summary pool at ANY corpus scale. This pins
+    // the bound structurally (so the warning needs no per-round
+    // re-audit): the lone unpartitioned Window must sit ABOVE an
+    // aggregate, which itself sits above the ss_topk candidate explode —
+    // never directly over a fact scan.
+    import org.apache.spark.sql.catalyst.plans.logical
+    for (name <- Seq("cms_heavy_hitters", "ss_heavy_hitters",
+        "corpus_top_bigrams")) {
+      val lp = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.optimizedPlan
+      val wins = lp.collect { case w: logical.Window => w }
+      assert(wins.size == 1, s"$name: want exactly 1 Window, got ${wins.size}")
+      val w = wins.head
+      assert(w.partitionSpec.isEmpty,
+        s"$name: the rank window is expected unpartitioned (global rank)")
+      assert(w.child.collect { case a: logical.Aggregate => a }.nonEmpty,
+        s"$name: window input is not an aggregated (bounded) table:\n$lp")
+      assert(w.child.collect { case g: logical.Generate => g }.nonEmpty,
+        s"$name: no ss_topk candidate explode below the window:\n$lp")
+    }
+  }
+
   test("bound-check queries never plan the distinct-Expand over a sketch aggregate") {
     // countDistinct mixed into the sketch aggregation plans the Expand
     // shape: stage 1 groups by (group, key) and allocates a sketch

@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Persisted IVF index: build once, serve many — the serve path must
+  * reproduce the in-query answer through the stored artifact, a killed
+  * build must resume without re-paying the k-means, and a drifted
+  * (params or corpus) rebuild must reject rather than silently serve a
+  * stale index. */
+class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-annindex-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def emb: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private def queries: DataFrame = emb.where(col("vec_id") < 10)
+
+  private def serveSet(df: DataFrame): Set[(Long, Int, Long)] =
+    df.select(col("query_id"), col("rank"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+  private def codebookFiles(idx: String): Map[String, Long] = {
+    val d = new java.io.File(AnnOps.codebookPath(idx))
+    d.listFiles().filter(_.isFile).map(f => f.getName -> f.lastModified()).toMap
+  }
+
+  test("served-exhaustive == brute force == in-query exhaustive IVF") {
+    val idx = Files.createTempDirectory("ann_idx_exact").toString
+    AnnOps.buildIvfIndex(spark, emb, col("vec_id"), col("embedding"), idx,
+      nCells = 8, kmeansIters = 2)
+    val served = serveSet(AnnOps.ivfTopKFromIndex(spark, idx, queries,
+      col("vec_id"), col("embedding"), k = 3, nProbe = 8))
+    val brute = serveSet(AnnOps.bruteForceTopK(emb, col("vec_id"),
+      col("embedding"), queries, col("vec_id"), col("embedding"), k = 3))
+    assert(served == brute && served.nonEmpty)
+    // serving is stable across reads of the same artifact
+    assert(serveSet(AnnOps.ivfTopKFromIndex(spark, idx, queries,
+      col("vec_id"), col("embedding"), k = 3, nProbe = 8)) == served)
+  }
+
+  test("committed rebuild with identical input is a no-op; drift rejects") {
+    val idx = Files.createTempDirectory("ann_idx_idem").toString
+    AnnOps.buildIvfIndex(spark, emb, col("vec_id"), col("embedding"), idx,
+      nCells = 8, kmeansIters = 2)
+    val before = codebookFiles(idx)
+    AnnOps.buildIvfIndex(spark, emb, col("vec_id"), col("embedding"), idx,
+      nCells = 8, kmeansIters = 2)
+    assert(codebookFiles(idx) == before, "no-op rebuild rewrote the codebook")
+
+    val e1 = intercept[IllegalArgumentException] {
+      AnnOps.buildIvfIndex(spark, emb, col("vec_id"), col("embedding"), idx,
+        nCells = 16, kmeansIters = 2) // params drift
+    }
+    assert(e1.getMessage.contains("fresh dir"))
+    val e2 = intercept[IllegalArgumentException] {
+      AnnOps.buildIvfIndex(spark, emb.where(col("vec_id") >= 100),
+        col("vec_id"), col("embedding"), idx, nCells = 8, kmeansIters = 2)
+    }
+    assert(e2.getMessage.contains("fresh dir"), "corpus drift must reject")
+  }
+
+  test("kill between codebook and marker: resume reuses the codebook") {
+    val idx = Files.createTempDirectory("ann_idx_kill").toString
+    AnnOps.buildIvfIndex(spark, emb, col("vec_id"), col("embedding"), idx,
+      nCells = 8, kmeansIters = 2)
+    val reference = serveSet(AnnOps.ivfTopKFromIndex(spark, idx, queries,
+      col("vec_id"), col("embedding"), k = 3, nProbe = 3))
+    // simulate the kill: marker + assignments gone, codebook survives
+    graft.util.ParquetState.deleteRecursively(
+      new java.io.File(AnnOps.metaPath(idx)))
+    graft.util.ParquetState.deleteRecursively(
+      new java.io.File(AnnOps.assignPath(idx)))
+    // an uncommitted index must refuse to serve
+    val e = intercept[IllegalStateException] {
+      AnnOps.ivfTopKFromIndex(spark, idx, queries,
+        col("vec_id"), col("embedding"), k = 3, nProbe = 3)
+    }
+    assert(e.getMessage.contains("no committed index"))
+
+    val cbBefore = codebookFiles(idx)
+    AnnOps.buildIvfIndex(spark, emb, col("vec_id"), col("embedding"), idx,
+      nCells = 8, kmeansIters = 2)
+    // the k-means was NOT re-paid: stored codebook files untouched
+    assert(codebookFiles(idx) == cbBefore)
+    // and the resumed index serves the identical answer (assignments are
+    // a pure function of the reused codebook)
+    assert(serveSet(AnnOps.ivfTopKFromIndex(spark, idx, queries,
+      col("vec_id"), col("embedding"), k = 3, nProbe = 3)) == reference)
+
+    // a killed build with DRIFTED params rejects instead of mixing
+    graft.util.ParquetState.deleteRecursively(
+      new java.io.File(AnnOps.metaPath(idx)))
+    val e2 = intercept[IllegalArgumentException] {
+      AnnOps.buildIvfIndex(spark, emb, col("vec_id"), col("embedding"), idx,
+        nCells = 8, kmeansIters = 3)
+    }
+    assert(e2.getMessage.contains("uncommitted codebook"))
+  }
+
+  test("empty / all-null corpus rejects loudly") {
+    val idx = Files.createTempDirectory("ann_idx_empty").toString
+    val e = intercept[IllegalArgumentException] {
+      AnnOps.buildIvfIndex(spark, emb.where(lit(false)),
+        col("vec_id"), col("embedding"), idx, nCells = 8)
+    }
+    assert(e.getMessage.contains("nothing to index"))
+  }
+}
