@@ -69,7 +69,10 @@ object SparkEntry {
     * trivially with 0 rows at sf0.1, where per-key counts stay ~flat
     * while n grows 100x).
     *
-    * Shape: ONE summary pass (`skN` must carry `ss`, k=8192) gives the
+    * Shape: ONE summary pass (`skN` must carry `ss`; k=32768 at the
+    * gate call sites — sized for the sf1-class rehearsal domain of 10k
+    * near-uniform suppkeys, where k=8192 correctly tripped this very
+    * assert: offset ~ n/k crossed the flat rank-15 threshold) gives the
     * top-M=256 candidate pool by upper bound; the (M+1)-th entry is
     * fetched only as the completeness WITNESS — every key outside the
     * pool has exact <= cutoff = max(offset, ub_{M+1}), so asserting
@@ -279,7 +282,10 @@ object SparkEntry {
           api.cqf_agg(col("l_partkey"), 12, 64).as("sk_cqf"),
           api.hll_agg(col("l_partkey"), 12).as("sk_hll"),
           api.cms_agg(col("l_partkey"), 5, 2048).as("sk_cms"),
-          api.bloom_agg(col("l_partkey"), 1L << 16, 5).as("sk_bloom"),
+          // 2^22 bits (512 KB): keeps fpp meaningfully inside (0,1) up
+          // to the sf1-class domain (~2M distinct partkeys); 2^16
+          // saturated at sf1 (fpp -> 1.0, err_ok false)
+          api.bloom_agg(col("l_partkey"), 1L << 22, 5).as("sk_bloom"),
           api.td_agg(col("l_quantity"), 100.0).as("sk_td"),
           api.kll_agg(col("l_quantity"), 200).as("sk_kll"),
           api.ss_agg(col("l_partkey"), 4096).as("sk_ss"),
@@ -479,7 +485,7 @@ object SparkEntry {
       val q = s.readStream.schema(schema)
         .option("pathGlobFilter", "lineitem.parquet").parquet(dir)
         .groupBy()
-        .agg(api.ss_agg(col("l_suppkey"), 8192).as("ss"), count(lit(1)).as("n"))
+        .agg(api.ss_agg(col("l_suppkey"), 32768).as("ss"), count(lit(1)).as("n"))
         .writeStream.format("memory").queryName("graft_stream_hh")
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1034,7 +1040,7 @@ object SparkEntry {
     "cms_heavy_hitters" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val skN = li.agg(api.cms_agg(col("l_suppkey"), 5, 8192).as("cms"),
-        api.ss_agg(col("l_suppkey"), 8192).as("ss"),
+        api.ss_agg(col("l_suppkey"), 32768).as("ss"),
         count(lit(1)).as("n"))
       heavyHittersFromSummary(li, skN, "cms_heavy_hitters",
         // CMS as the disposer: its estimate never underestimates, so a
@@ -1052,7 +1058,7 @@ object SparkEntry {
     // scan + k counters; non-empty exact output at every SF.
     "ss_heavy_hitters" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-      val skN = li.agg(api.ss_agg(col("l_suppkey"), 8192).as("ss"),
+      val skN = li.agg(api.ss_agg(col("l_suppkey"), 32768).as("ss"),
         count(lit(1)).as("n"))
       heavyHittersFromSummary(li, skN, "ss_heavy_hitters")
     }),
@@ -1237,15 +1243,17 @@ object SparkEntry {
     }),
 
     "kmv_jaccard_pairs" -> ((s, dir) => {
-      // customer-set resemblance between order priorities. kBig=16384
-      // keeps both sides exact at every gate SF (max per-priority
-      // custkeys ~13k at sf0.1), so jacc_milli reproduces DuckDB's exact
-      // rational; kSmall=256 forces the capacity estimator, bound-checked
-      // against the exact value in the same row (4·sqrt(J(1-J)/k) ≈ 0.11
-      // at the observed J ≈ 0.76). An sf1-class run needs kBig raised.
+      // customer-set resemblance between order priorities. kBig=2^18
+      // keeps both sides exact through the sf1-class rehearsal (max
+      // per-priority custkeys ~130k at sf1, ~13k at sf0.1), so
+      // jacc_milli reproduces DuckDB's exact rational; kSmall=256 forces
+      // the capacity estimator, bound-checked against the exact value in
+      // the same row (4·sqrt(J(1-J)/k) ≈ 0.11 at the observed J ≈ 0.76).
+      // The kSmall row is the 100 TB path — kBig-exact is gate
+      // instrumentation, not the scale design.
       val o = t(s, dir, "orders")
       val sk = o.groupBy(col("o_orderpriority"))
-        .agg(api.kmv_agg(col("o_custkey"), 16384).as("big"),
+        .agg(api.kmv_agg(col("o_custkey"), 262144).as("big"),
           api.kmv_agg(col("o_custkey"), 256).as("small"))
       val a = sk.select(col("o_orderpriority").as("pa"),
         col("big").as("big_a"), col("small").as("small_a"))
