@@ -58,6 +58,10 @@ object PipelineBench {
   private def runOnce(master: String, slots: Int, dir: String): (Double, Double, Long, Long) = {
     val spark = SparkSession.builder()
       .master(master)
+      // see ScalingBench.runOnce: executor heap is NOT the local-cluster
+      // master string's memory field
+      .config("spark.executor.memory",
+        sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "8192") + "m")
       .config("spark.sql.shuffle.partitions", slots.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-graft"))

@@ -145,7 +145,13 @@ object ScalingBench {
     * multi-process pseudo-cluster (n real executor JVMs). */
   def masterFor(n: Int, mode: String): (String, Int) = mode match {
     case "executors" =>
-      val cores = sys.env.getOrElse("SPARK_GRAFT_EXEC_CORES", "8").toInt
+      // default 2 cores/executor: the memMB field below is only the
+      // WORKER's capacity — the executor JVM heap is spark.executor.
+      // memory (set in runOnce from the same env var; default 1g
+      // otherwise), and 8 concurrent tasks in a too-small executor OOM
+      // the 4B-token build (exit 52). 1x2 vs 4x2 is also the recorded
+      // r4-r6 protocol pair.
+      val cores = sys.env.getOrElse("SPARK_GRAFT_EXEC_CORES", "2").toInt
       val memMb = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "8192").toInt
       (s"local-cluster[$n,$cores,$memMb]", n * cores)
     case "threads" => (s"local[$n]", n)
@@ -180,6 +186,11 @@ object ScalingBench {
       warmup: Boolean): (Double, Long) = {
     val spark = SparkSession.builder()
       .master(master)
+      // executor JVM heap — NOT taken from the local-cluster master
+      // string (that field is worker capacity); without this the
+      // executors silently run the 1g default regardless of launcher
+      .config("spark.executor.memory",
+        sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "8192") + "m")
       .config("spark.sql.shuffle.partitions", slots.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "false")

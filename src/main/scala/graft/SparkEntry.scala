@@ -38,9 +38,23 @@ object SparkEntry {
     * pipelines that ingest into a temp store before returning the
     * result frame) — like the streaming_ shapes, they cannot be
     * analyzed without running; ContractSpec's analyze-only loop skips
-    * them (they are covered by the gate + their own specs). */
-  val eagerStateQueries: Set[String] =
-    Set("dedup_incremental", "ann_ivf_persisted")
+    * them (they are covered by the gate + their own specs).
+    *
+    * Membership is declared AT THE QUERY DEFINITION SITE via the
+    * [[eager]] wrapper, never in a separate hand-kept list — a separate
+    * list drifts exactly the way the pre-r5 streaming enumeration
+    * drifted 4 shapes behind, silently turning the analyze-only
+    * contract test into full state-building runs. */
+  lazy val eagerStateQueries: Set[String] = {
+    require(queries.nonEmpty) // force the map so every eager() has registered
+    eagerNames.toSet
+  }
+  private val eagerNames = scala.collection.mutable.Set[String]()
+  private def eager(name: String)(fn: (SparkSession, String) => DataFrame)
+      : (String, (SparkSession, String) => DataFrame) = {
+    eagerNames += name
+    name -> fn
+  }
 
   /** table_profile's sketch pass, pre-materialization: every family's
     * summary for the profiled columns built side by side in ONE fact
@@ -1447,7 +1461,7 @@ object SparkEntry {
         col("doc_id"), k = 3, bands = 16, rowsPerBand = 4, threshold = 0.8)
     }),
 
-    "dedup_incremental" -> ((s, dir) => {
+    eager("dedup_incremental")((s, dir) => {
       // the GROWING-corpus near-dup pipeline: three ingest batches
       // (doc_id mod 3) into a fresh signature/pair store, each paying
       // only its NEW x ALL LSH join — old x old pairs are never
@@ -1551,7 +1565,7 @@ object SparkEntry {
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
     }),
 
-    "ann_ivf_persisted" -> ((s, dir) => {
+    eager("ann_ivf_persisted")((s, dir) => {
       // build-once / serve-many IVF: the index persists (codebook +
       // cell-PARTITIONED assignments + commit marker — buildIvfIndex),
       // then serving reads it back and probes every cell (nProbe =

@@ -215,7 +215,13 @@ object AnnOps {
       return // committed + identical: no-op
     }
 
-    // reuse a stored codebook from a killed build iff its params match
+    // reuse a stored codebook from a killed build iff BOTH its params
+    // and its corpus fingerprint match this build's: the codebook is the
+    // trained quantizer, so a corpus that drifted between the kill and
+    // the retry must retrain — silently reusing an old-corpus codebook
+    // would commit an index whose marker claims the NEW corpus while
+    // recall at nProbe < nCells degrades unboundedly (exactly the stale-
+    // index failure mode the meta marker guards against)
     val stored = graft.util.ParquetState.readIfAny(spark, codebookPath(indexDir))
       .filter { cb =>
         val p = cb.select(col("ann_params")).distinct().collect().map(_.getString(0))
@@ -223,7 +229,13 @@ object AnnOps {
           s"uncommitted codebook at $indexDir was built with " +
             s"'${p.mkString(",")}' but this build uses '$params' — " +
             "rebuild in a fresh dir")
-        true
+        // a fingerprint-mismatched (or pre-fingerprint) codebook is
+        // stale, not an error: the kill happened, the corpus moved on —
+        // retrain from scratch
+        cb.columns.contains("input_hash") && {
+          val h = cb.select(col("input_hash")).distinct().collect().map(_.getLong(0))
+          h.sameElements(Array(inHash))
+        }
       }
     val codebook: Array[Array[Double]] = stored match {
       case Some(cb) =>
@@ -234,6 +246,7 @@ object AnnOps {
         val rows = fresh.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
         spark.createDataFrame(rows).toDF("cell", "centroid")
           .withColumn("ann_params", lit(params))
+          .withColumn("input_hash", lit(inHash))
           .write.mode(SaveMode.Overwrite).parquet(codebookPath(indexDir))
         fresh
     }
@@ -269,7 +282,13 @@ object AnnOps {
       .toDF("cell", "centroid")
     val qw = Window.partitionBy(col("query_id"))
       .orderBy(col("qsim").desc, col("cell").asc)
-    val probes = nonNullVecs(
+    // the probe set is query-batch-sized (queries x nProbe) by the serve
+    // contract, so materialize it ONCE on the driver and serve both
+    // consumers (the literal cell filter and the broadcast join side)
+    // from the local rows — leaving it lazy would execute the query-side
+    // scan + centroid ranking twice, once for the collect and once
+    // inside the join
+    val probePlan = nonNullVecs(
         queries.select(queryId.as("query_id"), queryVec.as("qv")), "qv")
       .crossJoin(broadcast(centroidDf))
       .select(col("query_id"), col("qv"), col("cell"),
@@ -277,12 +296,12 @@ object AnnOps {
       .withColumn("rn", row_number().over(qw))
       .where(col("rn") <= nProbe)
       .select(col("cell"), col("query_id"), col("qv"))
-    // literal cell filter for partition pruning: the probe set is
-    // query-batch-sized (queries x nProbe), so collecting the distinct
-    // probed cells is a bounded driver read — the join alone would
+    val probeRows = probePlan.collect()
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probePlan.schema)
+    // literal cell filter for partition pruning — the join alone would
     // filter ROWS but still list/scan every cell's files
-    val probedCells = probes.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+    val probedCells = probeRows.map(_.getInt(0)).distinct.toSeq
     // an empty probe set (empty/all-null query batch) leaves an
     // always-false isin: the plan prunes every partition and the result
     // is empty with the regular schema

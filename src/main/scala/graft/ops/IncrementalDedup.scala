@@ -280,19 +280,33 @@ object IncrementalDedup {
     // migration (a store written before bucket tracking backfills every
     // batch once, from its own signature partition, then never again).
     val store = spark.read.parquet(sigPath(stateDir))
-    val bucketedBatches: Set[String] =
+    // presence alone is NOT completeness: a kill mid-commit of a bucket
+    // append can leave a PARTIAL batch partition whose files are visible
+    // — treating it as done would silently drop its docs from every
+    // later NEW × ALL join (pairs lost forever, no error). The banding
+    // is exactly `bands` triples per signed doc, so per-batch triple
+    // counts give a cheap structural completeness check; an incomplete
+    // partition is rebuilt by overwriting JUST that partition
+    // (dynamic partitionOverwriteMode), which is idempotent under
+    // repeated kills.
+    val signedCounts: Map[String, Long] = store.groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bucketCounts: Map[String, Long] =
       readIfAny(spark, bucketPath(stateDir)).map {
-        _.select(col("batch_id")).distinct().collect()
-          .map(_.getString(0)).toSet
-      }.getOrElse(Set.empty)
-    val signedBatches: Set[String] = store.select(col("batch_id")).distinct()
-      .collect().map(_.getString(0)).toSet
-    (signedBatches -- bucketedBatches).toSeq.sorted.foreach { b =>
+        _.groupBy(col("batch_id")).agg(count(lit(1)).as("n")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      }.getOrElse(Map.empty)
+    val incomplete = signedCounts.filter { case (b, n) =>
+      bucketCounts.getOrElse(b, 0L) != n * cfg.bands }
+    incomplete.keys.toSeq.sorted.foreach { b =>
       DedupOps.bandSignatures(
           store.where(col("batch_id") === b).select(col("id"), col("sig")),
           cfg.bands, cfg.rowsPerBand)
         .withColumn("batch_id", lit(b))
-        .write.mode(SaveMode.Append).partitionBy("batch_id")
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
         .parquet(bucketPath(stateDir))
     }
 

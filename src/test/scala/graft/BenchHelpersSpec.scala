@@ -16,7 +16,7 @@ class BenchHelpersSpec extends AnyFunSuite {
     // cores/mem come from env (forked tests inherit the shell's), so
     // assert the STRUCTURE against whatever is in effect rather than
     // hard-coding the defaults and flaking under an exported override
-    val cores = sys.env.getOrElse("SPARK_GRAFT_EXEC_CORES", "8").toInt
+    val cores = sys.env.getOrElse("SPARK_GRAFT_EXEC_CORES", "2").toInt
     val memMb = sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM_MB", "8192").toInt
     val (master, slots) = ScalingBench.masterFor(4, "executors")
     assert(master === s"local-cluster[4,$cores,$memMb]")

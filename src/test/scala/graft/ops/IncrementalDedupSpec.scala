@@ -97,6 +97,48 @@ class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairSet(resumed) == pairSet(straight))
   }
 
+  test("PARTIAL bucket partition (kill mid-commit) is detected and rebuilt, not trusted") {
+    // presence-based skip would silently drop the missing triples from
+    // every later NEW x ALL join — the resume loop must treat an
+    // incomplete batch partition (count != n_docs * bands) as unbucketed
+    // and rebuild it by overwrite
+    val state = Files.createTempDirectory("inc_dedup_partial").toString
+    IncrementalDedup.run(spark, batch(0),
+      TextOps.tokens(col("text")), col("doc_id"), state, "b0", cfg)
+    // sign b1 as run() would, then write only HALF its bucket triples
+    // (bands 0..7 of 16) — the visible-but-incomplete partition a kill
+    // during the bucket append's job commit can leave behind
+    val toks = TextOps.tokens(col("text"))
+    val signed = batch(1).select(col("doc_id").as("id"),
+        DedupOps.shingleMinhashSig(toks, cfg.k, cfg.bands * cfg.rowsPerBand).as("sig"),
+        DedupOps.shingleHashSet(toks, cfg.k).as("grams"))
+    signed
+      .withColumn("batch_id", lit("b1"))
+      .withColumn("dedup_params", lit(IncrementalDedup.paramString(cfg)))
+      .write.mode(SaveMode.Append).partitionBy("batch_id")
+      .parquet(s"$state/signatures")
+    DedupOps.bandSignatures(signed.select(col("id"), col("sig")),
+        cfg.bands, cfg.rowsPerBand)
+      .where(col("band") < cfg.bands / 2)
+      .withColumn("batch_id", lit("b1"))
+      .write.mode(SaveMode.Append).partitionBy("batch_id")
+      .parquet(IncrementalDedup.bucketPath(state))
+
+    val resumed = IncrementalDedup.run(spark, batch(1),
+      TextOps.tokens(col("text")), col("doc_id"), state, "b1", cfg)
+    // the partition was REBUILT (exact count — overwrite, not append)
+    val b1Buckets = spark.read.parquet(IncrementalDedup.bucketPath(state))
+      .where(col("batch_id") === "b1").count()
+    assert(b1Buckets == batch(1).count() * cfg.bands)
+    // and the pair set equals the straight-through two-batch build
+    val ref = Files.createTempDirectory("inc_dedup_partial_ref").toString
+    IncrementalDedup.run(spark, batch(0),
+      TextOps.tokens(col("text")), col("doc_id"), ref, "b0", cfg)
+    val straight = IncrementalDedup.run(spark, batch(1),
+      TextOps.tokens(col("text")), col("doc_id"), ref, "b1", cfg)
+    assert(pairSet(resumed) == pairSet(straight))
+  }
+
   test("kill after pair append (marker lost): resume double-appends invisibly") {
     val state = Files.createTempDirectory("inc_dedup_pair").toString
     val done = IncrementalDedup.run(spark, batch(0),

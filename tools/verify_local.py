@@ -9,7 +9,9 @@ out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
 con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
-    # driver fixtures are single files; SfScaleGen output is a Spark dir
+    # every supported table set (driver fixtures, SfScaleGen output) is a
+    # single plain file; the dir branch is defensive, for hand-pointed
+    # Spark part-file directories only
     p = f"{sf_dir}/{t}.parquet"
     src = f"{p}/*.parquet" if os.path.isdir(p) else p
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
