@@ -1591,6 +1591,34 @@ object SparkEntry {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
     }),
 
+    eager("ann_ivf_incremental")((s, dir) => {
+      // the GROWING-corpus similarity index: base build on a third of
+      // the vectors, then two appendIvfBatch deltas quantized against
+      // the stored codebook (no k-means re-pay, batch-lineage commit
+      // markers — the IncrementalDedup pattern applied to the IVF
+      // index). Served at nProbe = nCells the grown index must EXACTLY
+      // reproduce the brute-force oracle over the FULL corpus — every
+      // cell is probed, so quantizer staleness cannot hide a lost or
+      // double-counted vector (kill/resume + id-contract edges in
+      // AnnIndexSpec).
+      val emb = t(s, dir, "embeddings")
+      def part(b: Int) = emb.where(pmod(col("vec_id"), lit(3)) === b)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_ann_idx_inc").toString
+      AnnOps.buildIvfIndex(s, part(0), col("vec_id"), col("embedding"), idx,
+        nCells = 16, kmeansIters = 2)
+      AnnOps.appendIvfBatch(s, part(1), col("vec_id"), col("embedding"), idx, "d1")
+      AnnOps.appendIvfBatch(s, part(2), col("vec_id"), col("embedding"), idx, "d2")
+      val res = AnnOps.ivfTopKFromIndex(s, idx,
+          emb.where(col("vec_id") < 10), col("vec_id"), col("embedding"),
+          k = 3, nProbe = 16)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"))
+      val rows = res.collect()
+      graft.util.ParquetState.deleteRecursively(new java.io.File(idx))
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+    }),
+
     "ann_lsh_topk" -> ((s, dir) => {
       // multi-table (OR-construction) LSH, oracled via the same recall
       // bound-check: recall@3 >= 700 permille (observed 867-900 at all
@@ -2625,6 +2653,19 @@ object SparkEntry {
     // the persisted index served exhaustively must reproduce brute force
     // exactly — same oracle as ann_ivf_exhaustive
     "ann_ivf_persisted" ->
+      """WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+        |      list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos
+        |      FROM q, embeddings c WHERE c.vec_id != q.qid)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+        |WHERE rank <= 3""".stripMargin,
+
+    // incrementally grown index, served exhaustively == the same
+    // full-corpus brute-force answer (the index construction path is
+    // invisible to the oracle by design: growth must not change answers)
+    "ann_ivf_incremental" ->
       """WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 10),
         |s AS (SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
         |      list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos

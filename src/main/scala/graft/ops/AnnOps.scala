@@ -205,14 +205,15 @@ object AnnOps {
       "the corpus has no non-null embedding rows")
 
     graft.util.ParquetState.readIfAny(spark, metaPath(indexDir)).foreach { m =>
-      val r = m.select(col("ann_params"), col("input_hash"), col("n_vecs")).head()
+      val r = m.where(col("batch_id") === BaseBatch)
+        .select(col("ann_params"), col("input_hash"), col("n_vecs")).head()
       require(r.getString(0) == params && r.getLong(1) == inHash &&
           r.getLong(2) == nVecs,
         s"index at $indexDir is committed for params '${r.getString(0)}' / " +
           s"input ${r.getLong(1)}/${r.getLong(2)} but this build uses " +
           s"'$params' / ${inHash}/${nVecs} — a drifted index must be " +
           "rebuilt in a fresh dir, never silently overwritten")
-      return // committed + identical: no-op
+      return // committed + identical: no-op (appended batches preserved)
     }
 
     // reuse a stored codebook from a killed build iff BOTH its params
@@ -252,12 +253,105 @@ object AnnOps {
     }
 
     c.select(nearestCell(col("cv"), codebook).as("cell"), col("cid"), col("cv"))
-      .write.mode(SaveMode.Overwrite).partitionBy("cell")
+      .withColumn("batch_id", lit(BaseBatch))
+      .write.mode(SaveMode.Overwrite).partitionBy("batch_id", "cell")
       .parquet(assignPath(indexDir))
 
-    val marker = spark.createDataFrame(Seq((params, inHash, nVecs)))
-      .toDF("ann_params", "input_hash", "n_vecs")
+    val marker = spark.createDataFrame(Seq((BaseBatch, params, inHash, nVecs)))
+      .toDF("batch_id", "ann_params", "input_hash", "n_vecs")
     marker.write.mode(SaveMode.Overwrite).parquet(metaPath(indexDir))
+  }
+
+  /** The initial build's reserved batch id. */
+  private[ops] val BaseBatch = "base"
+
+  /** Append a DELTA of new vectors to a committed index — the growing-
+    * corpus path: production similarity corpora gain a shard per day,
+    * and re-running the k-means + full re-assignment per shard is the
+    * same economics bug the persisted index fixed for serving
+    * (IncrementalDedup's batch-lineage pattern, applied here).
+    *
+    * The delta is quantized against the EXISTING codebook (no retrain):
+    * with nProbe = nCells serving stays exact over the grown corpus
+    * regardless (every cell is probed), and at nProbe < nCells recall
+    * over the delta degrades only as far as the base-trained centroids
+    * misfit it — the standard IVF trade; retrain by rebuilding in a
+    * fresh dir when the drift observable (per-batch counts in `meta/`)
+    * says the appended mass rivals the base.
+    *
+    * Layout/commit contract (mirrors IncrementalDedup):
+    *  - assignments append as a (batch_id, cell)-partitioned write;
+    *  - one meta marker row per batch, appended AFTER the assignment
+    *    write: a batch is part of the index iff its marker exists, and
+    *    the serve path reads ONLY committed batches — a kill between
+    *    the two writes leaves an invisible partial partition that the
+    *    re-run overwrites (dynamic partition overwrite, idempotent);
+    *  - a committed batchId re-runs as a no-op (input-hash checked:
+    *    same id + different input rejects loudly);
+    *  - params come from the stored meta, never from the caller —
+    *    there is nothing the caller could drift;
+    *  - delta ids must be new: an id already assigned (any batch)
+    *    rejects loudly (the pair-op/global-id contract). */
+  def appendIvfBatch(spark: org.apache.spark.sql.SparkSession,
+      delta: DataFrame, deltaId: Column, deltaVec: Column,
+      indexDir: String, batchId: String): Unit = {
+    import org.apache.spark.sql.SaveMode
+    require(batchId.matches("[A-Za-z][A-Za-z0-9_.-]*") && batchId != BaseBatch,
+      s"batchId must match [A-Za-z][A-Za-z0-9_.-]* and not '$BaseBatch' " +
+        s"(got '$batchId'): it becomes a partition directory name")
+    val meta = graft.util.ParquetState.readIfAny(spark, metaPath(indexDir))
+      .getOrElse(throw new IllegalStateException(
+        s"no committed index at $indexDir — run buildIvfIndex before " +
+          "appending deltas"))
+    val committed = meta.select(col("batch_id"), col("input_hash"), col("n_vecs"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    require(committed.contains(BaseBatch),
+      s"index at $indexDir has no committed base build")
+    val params = meta.where(col("batch_id") === BaseBatch)
+      .select(col("ann_params")).head().getString(0)
+
+    val d = nonNullVecs(delta.select(deltaId.as("cid"), deltaVec.as("cv")), "cv")
+    val fp = d.agg(
+      coalesce(expr("bit_xor(xxhash64(cid, cv))"), lit(0L)).as("h"),
+      count(lit(1)).as("n"), countDistinct(col("cid")).as("nd")).head()
+    val (inHash, nVecs) = (fp.getLong(0), fp.getLong(1))
+    require(nVecs > 0, s"appendIvfBatch: delta '$batchId' has no non-null " +
+      "embedding rows — an empty shard is not an index batch")
+    require(fp.getLong(2) == nVecs,
+      s"delta '$batchId' carries duplicated vector id(s) — ids must be unique")
+
+    committed.get(batchId) match {
+      case Some((h, n)) =>
+        require(h == inHash && n == nVecs,
+          s"batch '$batchId' is already committed in $indexDir with a " +
+            s"DIFFERENT input (hash/count ${h}/${n} vs ${inHash}/${nVecs}) " +
+            "— batch ids must be stable per input shard")
+        return // idempotent re-run
+      case None => ()
+    }
+    // global id uniqueness across committed batches (column-pruned scan
+    // of the id column only; uncommitted partials excluded so a killed
+    // append does not block its own retry)
+    val assigned = spark.read.parquet(assignPath(indexDir))
+      .where(col("batch_id").isin(committed.keys.toSeq: _*))
+    val clash = assigned.select(col("cid"))
+      .join(d.select(col("cid")), Seq("cid"), "left_semi").take(1)
+    require(clash.isEmpty,
+      s"delta '$batchId' carries vector id ${clash.headOption.map(_.get(0))} " +
+        s"already indexed at $indexDir — ids must be globally unique")
+
+    val codebook = spark.read.parquet(codebookPath(indexDir))
+      .orderBy(col("cell")).collect().map(_.getSeq[Double](1).toArray)
+    d.select(nearestCell(col("cv"), codebook).as("cell"), col("cid"), col("cv"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "cell")
+      .parquet(assignPath(indexDir))
+
+    spark.createDataFrame(Seq((batchId, params, inHash, nVecs)))
+      .toDF("batch_id", "ann_params", "input_hash", "n_vecs")
+      .write.mode(SaveMode.Append).parquet(metaPath(indexDir))
   }
 
   /** Serve top-k queries from a PERSISTED index ([[buildIvfIndex]]).
@@ -273,7 +367,13 @@ object AnnOps {
       .getOrElse(throw new IllegalStateException(
         s"no committed index at $indexDir (missing meta marker) — run " +
           "buildIvfIndex first; a killed build leaves no marker by design"))
-    meta.head() // materialize the marker read so a corrupt file fails here
+    // the index = the COMMITTED batches (base build + appended deltas):
+    // a killed append leaves assignment files without a marker row, and
+    // reading them would serve uncommitted, possibly-partial data
+    val committedBatches = meta.select(col("batch_id")).collect()
+      .map(_.getString(0)).toSeq
+    require(committedBatches.contains(BaseBatch),
+      s"index at $indexDir has no committed base build")
     val cb = spark.read.parquet(codebookPath(indexDir))
       .orderBy(col("cell")).collect()
     val codebook = cb.map(r => r.getSeq[Double](1).toArray)
@@ -306,7 +406,8 @@ object AnnOps {
     // always-false isin: the plan prunes every partition and the result
     // is empty with the regular schema
     val assigned = spark.read.parquet(assignPath(indexDir))
-      .where(col("cell").isin(probedCells: _*))
+      .where(col("batch_id").isin(committedBatches: _*) &&
+        col("cell").isin(probedCells: _*))
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .where(col("cid") =!= col("query_id"))
       .select(col("query_id"), col("cid").as("neighbor_id"),

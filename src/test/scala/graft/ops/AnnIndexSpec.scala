@@ -112,6 +112,85 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e2.getMessage.contains("uncommitted codebook"))
   }
 
+  test("incremental append: base + two deltas serve the full-corpus brute answer exactly") {
+    val idx = Files.createTempDirectory("ann_idx_inc").toString
+    def part(b: Int) = emb.where(pmod(col("vec_id"), lit(3)) === b)
+    AnnOps.buildIvfIndex(spark, part(0), col("vec_id"), col("embedding"), idx,
+      nCells = 8, kmeansIters = 2)
+    AnnOps.appendIvfBatch(spark, part(1), col("vec_id"), col("embedding"), idx, "d1")
+    AnnOps.appendIvfBatch(spark, part(2), col("vec_id"), col("embedding"), idx, "d2")
+    // nProbe = nCells probes every cell, so the incrementally-grown index
+    // must reproduce brute force over the FULL corpus exactly — codebook
+    // staleness cannot hide here
+    val served = serveSet(AnnOps.ivfTopKFromIndex(spark, idx, queries,
+      col("vec_id"), col("embedding"), k = 3, nProbe = 8))
+    val brute = serveSet(AnnOps.bruteForceTopK(emb, col("vec_id"),
+      col("embedding"), queries, col("vec_id"), col("embedding"), k = 3))
+    assert(served == brute && served.nonEmpty)
+
+    // committed delta re-runs as a no-op; same id + different input rejects
+    AnnOps.appendIvfBatch(spark, part(1), col("vec_id"), col("embedding"), idx, "d1")
+    val e1 = intercept[IllegalArgumentException] {
+      AnnOps.appendIvfBatch(spark, part(2), col("vec_id"), col("embedding"), idx, "d1")
+    }
+    assert(e1.getMessage.contains("DIFFERENT input"))
+    // already-indexed ids reject (global id contract)
+    val e2 = intercept[IllegalArgumentException] {
+      AnnOps.appendIvfBatch(spark, part(0), col("vec_id"), col("embedding"), idx, "d3")
+    }
+    assert(e2.getMessage.contains("globally unique"))
+    // the reserved base id rejects
+    val e3 = intercept[IllegalArgumentException] {
+      AnnOps.appendIvfBatch(spark, part(1), col("vec_id"), col("embedding"), idx, "base")
+    }
+    assert(e3.getMessage.contains("base"))
+  }
+
+  test("append to a non-index rejects; uncommitted append is invisible until completed") {
+    val idx = Files.createTempDirectory("ann_idx_inc_kill").toString
+    val e0 = intercept[IllegalStateException] {
+      AnnOps.appendIvfBatch(spark,
+        emb.where(pmod(col("vec_id"), lit(3)) === 1),
+        col("vec_id"), col("embedding"), idx, "d1")
+    }
+    assert(e0.getMessage.contains("no committed index"))
+
+    def part(b: Int) = emb.where(pmod(col("vec_id"), lit(3)) === b)
+    AnnOps.buildIvfIndex(spark, part(0), col("vec_id"), col("embedding"), idx,
+      nCells = 8, kmeansIters = 2)
+    val baseAnswer = serveSet(AnnOps.ivfTopKFromIndex(spark, idx, queries,
+      col("vec_id"), col("embedding"), k = 3, nProbe = 8))
+
+    // simulate the kill between the assignment append and the marker:
+    // write d1's assignment partition exactly as appendIvfBatch would,
+    // with no meta row
+    val codebook = spark.read.parquet(AnnOps.codebookPath(idx))
+      .orderBy(col("cell")).collect().map(_.getSeq[Double](1).toArray)
+    part(1).select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .select(AnnOps.nearestCell(col("cv"), codebook).as("cell"),
+        col("cid"), col("cv"))
+      .withColumn("batch_id", lit("d1"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("batch_id", "cell")
+      .parquet(AnnOps.assignPath(idx))
+    // uncommitted batch must NOT serve
+    assert(serveSet(AnnOps.ivfTopKFromIndex(spark, idx, queries,
+      col("vec_id"), col("embedding"), k = 3, nProbe = 8)) == baseAnswer)
+
+    // the re-run completes the batch (overwriting the orphan partition,
+    // not doubling it) and the grown index serves the grown answer
+    AnnOps.appendIvfBatch(spark, part(1), col("vec_id"), col("embedding"), idx, "d1")
+    val n = spark.read.parquet(AnnOps.assignPath(idx))
+      .where(col("batch_id") === "d1").count()
+    assert(n == part(1).count())
+    val grown = serveSet(AnnOps.ivfTopKFromIndex(spark, idx, queries,
+      col("vec_id"), col("embedding"), k = 3, nProbe = 8))
+    val bruteGrown = serveSet(AnnOps.bruteForceTopK(
+      part(0).unionAll(part(1)), col("vec_id"), col("embedding"),
+      queries, col("vec_id"), col("embedding"), k = 3))
+    assert(grown == bruteGrown && grown != baseAnswer)
+  }
+
   test("empty / all-null corpus rejects loudly") {
     val idx = Files.createTempDirectory("ann_idx_empty").toString
     val e = intercept[IllegalArgumentException] {
