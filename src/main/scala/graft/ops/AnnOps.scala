@@ -205,7 +205,12 @@ object AnnOps {
       "the corpus has no non-null embedding rows")
 
     graft.util.ParquetState.readIfAny(spark, metaPath(indexDir)).foreach { m =>
-      val r = m.where(col("batch_id") === BaseBatch)
+      // pre-batch-layout indexes carry a single unlabeled meta row; the
+      // base row IS that row (appendIvfBatch rejects the old layout, so
+      // no other batches can exist)
+      val base = if (m.columns.contains("batch_id"))
+        m.where(col("batch_id") === BaseBatch) else m
+      val r = base
         .select(col("ann_params"), col("input_hash"), col("n_vecs")).head()
       require(r.getString(0) == params && r.getLong(1) == inHash &&
           r.getLong(2) == nVecs,
@@ -303,12 +308,19 @@ object AnnOps {
       .getOrElse(throw new IllegalStateException(
         s"no committed index at $indexDir — run buildIvfIndex before " +
           "appending deltas"))
-    val committed = meta.select(col("batch_id"), col("input_hash"), col("n_vecs"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    require(meta.columns.contains("batch_id"),
+      s"index at $indexDir was committed by the pre-batch layout (no " +
+        "batch lineage in meta/) — rebuild it in a fresh dir to enable " +
+        "incremental appends; mixing layouts would serve unlabeled rows")
+    // ONE driver read of the (tiny) meta log serves the committed map
+    // AND the stored params
+    val metaRows = meta.select(col("batch_id"), col("input_hash"),
+      col("n_vecs"), col("ann_params")).collect()
+    val committed = metaRows
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     require(committed.contains(BaseBatch),
       s"index at $indexDir has no committed base build")
-    val params = meta.where(col("batch_id") === BaseBatch)
-      .select(col("ann_params")).head().getString(0)
+    val params = metaRows.find(_.getString(0) == BaseBatch).get.getString(3)
 
     val d = nonNullVecs(delta.select(deltaId.as("cid"), deltaVec.as("cv")), "cv")
     val fp = d.agg(
@@ -337,8 +349,20 @@ object AnnOps {
     val clash = assigned.select(col("cid"))
       .join(d.select(col("cid")), Seq("cid"), "left_semi").take(1)
     require(clash.isEmpty,
-      s"delta '$batchId' carries vector id ${clash.headOption.map(_.get(0))} " +
+      s"delta '$batchId' carries vector id ${clash.headOption.map(_.get(0)).getOrElse("?")} " +
         s"already indexed at $indexDir — ids must be globally unique")
+
+    // a killed earlier attempt may have left visible files under this
+    // (uncommitted) batch partition. If the shard was regenerated with
+    // DIFFERENT content since, dynamic overwrite would replace only the
+    // cells the NEW delta touches and ghost rows from the old attempt
+    // would be committed under this batch's marker — wipe the whole
+    // uncommitted partition first, statically, so the write below is the
+    // partition's only content no matter what the first attempt wrote
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"${assignPath(indexDir)}/batch_id=$batchId"), true)
 
     val codebook = spark.read.parquet(codebookPath(indexDir))
       .orderBy(col("cell")).collect().map(_.getSeq[Double](1).toArray)
@@ -369,10 +393,15 @@ object AnnOps {
           "buildIvfIndex first; a killed build leaves no marker by design"))
     // the index = the COMMITTED batches (base build + appended deltas):
     // a killed append leaves assignment files without a marker row, and
-    // reading them would serve uncommitted, possibly-partial data
-    val committedBatches = meta.select(col("batch_id")).collect()
-      .map(_.getString(0)).toSeq
-    require(committedBatches.contains(BaseBatch),
+    // reading them would serve uncommitted, possibly-partial data.
+    // Pre-batch-layout indexes (single unlabeled meta row, cell-only
+    // assignment partitioning) have no appends by construction — serve
+    // them whole (empty filter below).
+    val batchAware = meta.columns.contains("batch_id")
+    val committedBatches = if (batchAware)
+      meta.select(col("batch_id")).collect().map(_.getString(0)).toSeq
+    else Seq.empty
+    require(!batchAware || committedBatches.contains(BaseBatch),
       s"index at $indexDir has no committed base build")
     val cb = spark.read.parquet(codebookPath(indexDir))
       .orderBy(col("cell")).collect()
@@ -406,8 +435,8 @@ object AnnOps {
     // always-false isin: the plan prunes every partition and the result
     // is empty with the regular schema
     val assigned = spark.read.parquet(assignPath(indexDir))
-      .where(col("batch_id").isin(committedBatches: _*) &&
-        col("cell").isin(probedCells: _*))
+      .where((if (batchAware) col("batch_id").isin(committedBatches: _*)
+        else lit(true)) && col("cell").isin(probedCells: _*))
     val scored = assigned.join(broadcast(probes), Seq("cell"))
       .where(col("cid") =!= col("query_id"))
       .select(col("query_id"), col("cid").as("neighbor_id"),

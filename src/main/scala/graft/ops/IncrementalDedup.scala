@@ -65,10 +65,15 @@ import org.apache.spark.sql.types._
   *    reusing a batch id for DIFFERENT input rejects loudly);
   *  - a kill between the signature append and the pair append resumes by
   *    recomputing the batch's pairs FROM THE STORE (the store, not the
-  *    caller's input, is the source of truth; the input must hash-match
-  *    what was signed); any signed batch missing its bucket partition
-  *    (killed before the bucket append, or a store written before bucket
-  *    tracking) is backfilled from its own signature partition, once;
+  *    caller's input, is the source of truth; once the batch's pairs
+  *    exist the input must hash-match what was signed — before that, a
+  *    hash-mismatched signature partition is treated as a PARTIAL left
+  *    by a kill mid-commit and is wiped + re-signed from the current
+  *    input, since nothing downstream depends on it yet); any signed
+  *    batch whose bucket partition is missing OR structurally incomplete
+  *    (triple count != docs × bands — a kill mid-commit of the bucket
+  *    append) is rebuilt from its own signature partition by dynamic
+  *    partition overwrite;
   *  - a kill between the pair append and the commit marker re-appends the
   *    identical pair rows; [[allPairs]] reads through a (id_a, id_b)
   *    dropDuplicates so the double append is invisible;
@@ -233,26 +238,51 @@ object IncrementalDedup {
     // ---- stage 1: signature append (skipped when resuming past it) ----
     val alreadySigned = existingSigs.exists(
       _.where(col("batch_id") === batchId).take(1).nonEmpty)
-    if (alreadySigned) {
+    val signedMatches = alreadySigned && {
       // killed between the signature append and the pair append: the
       // STORE is the source of truth for this batch's members — require
-      // the caller's input to be the same shard that was signed
+      // the caller's input to be the same shard that was signed. A
+      // MISMATCH has two possible causes, distinguished by whether the
+      // batch's pairs exist: pairs present ⇒ the signature partition was
+      // complete when stage 3 ran, so the CALLER's input changed —
+      // reject; no pairs ⇒ the partition may itself be a PARTIAL from a
+      // kill mid-commit of the signature append (visible subset of task
+      // files) — nothing downstream depends on it, so wipe this batch's
+      // signature + bucket partitions and re-sign from the current
+      // input (presence-based skip would wedge the batch forever behind
+      // a misleading 'input shard changed' error)
       val st = existingSigs.get.where(col("batch_id") === batchId)
       val r = st.agg(coalesce(expr("bit_xor(xxhash64(id, grams))"), lit(0L)),
         count(lit(1))).head()
-      require(r.getLong(0) == inHash && r.getLong(1) == inCount,
-        s"resuming batch '$batchId' in $stateDir: the signed state " +
-          s"(hash/count ${r.getLong(0)}/${r.getLong(1)}) does not match " +
-          s"this run's input (${inHash}/${inCount}) — the input shard " +
-          "changed between the kill and the resume")
-    } else {
+      val ok = r.getLong(0) == inHash && r.getLong(1) == inCount
+      if (!ok) {
+        val pairsForBatch = readIfAny(spark, pairPath(stateDir)).exists(
+          _.where(col("batch_id") === batchId).take(1).nonEmpty)
+        require(!pairsForBatch,
+          s"resuming batch '$batchId' in $stateDir: the signed state " +
+            s"(hash/count ${r.getLong(0)}/${r.getLong(1)}) does not match " +
+            s"this run's input (${inHash}/${inCount}) and the batch's " +
+            "pairs already exist — the input shard changed between the " +
+            "kill and the resume")
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(stateDir), spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"${sigPath(stateDir)}/batch_id=$batchId"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"${bucketPath(stateDir)}/batch_id=$batchId"), true)
+      }
+      ok
+    }
+    if (!signedMatches) {
       // id-uniqueness guard (the pair-op contract): a duplicated id would
-      // silently fan pairs out through the payload re-joins
-      existingSigs.foreach { st =>
-        val clash = st.select(col("id"))
+      // silently fan pairs out through the payload re-joins. Re-read the
+      // store here (existingSigs' file listing predates a possible
+      // partial-partition wipe above) and exclude this batch's own rows
+      readIfAny(spark, sigPath(stateDir)).foreach { st =>
+        val clash = st.where(col("batch_id") =!= batchId).select(col("id"))
           .join(newBase.select(col("id")), Seq("id"), "left_semi").take(1)
         require(clash.isEmpty,
-          s"batch '$batchId' carries document id ${clash.headOption.map(_.get(0))} " +
+          s"batch '$batchId' carries document id ${clash.headOption.map(_.get(0)).getOrElse("?")} " +
             s"already present in $stateDir — ids must be globally unique " +
             "across batches")
       }

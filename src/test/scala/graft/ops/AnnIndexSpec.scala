@@ -191,6 +191,40 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(grown == bruteGrown && grown != baseAnswer)
   }
 
+  test("killed append + regenerated shard: no ghost rows from the first attempt") {
+    val idx = Files.createTempDirectory("ann_idx_ghost").toString
+    def part(b: Int) = emb.where(pmod(col("vec_id"), lit(3)) === b)
+    AnnOps.buildIvfIndex(spark, part(0), col("vec_id"), col("embedding"), idx,
+      nCells = 8, kmeansIters = 2)
+    // first attempt at 'd1' writes its assignment partition (delta = D)
+    // and dies before the marker
+    val codebook = spark.read.parquet(AnnOps.codebookPath(idx))
+      .orderBy(col("cell")).collect().map(_.getSeq[Double](1).toArray)
+    part(1).select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .select(AnnOps.nearestCell(col("cv"), codebook).as("cell"),
+        col("cid"), col("cv"))
+      .withColumn("batch_id", lit("d1"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("batch_id", "cell")
+      .parquet(AnnOps.assignPath(idx))
+    // the shard is REGENERATED with different content (delta = D'),
+    // mapping to (potentially) different cells — the retry must wipe the
+    // orphan partition, not merge with it
+    AnnOps.appendIvfBatch(spark, part(2), col("vec_id"), col("embedding"), idx, "d1")
+    val d1Ids = spark.read.parquet(AnnOps.assignPath(idx))
+      .where(col("batch_id") === "d1").select(col("cid")).collect()
+      .map(_.getLong(0)).toSet
+    val want = part(2).select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(d1Ids == want, "ghost rows from the killed attempt survived the retry")
+    // and serving the committed index equals brute force over base + D'
+    val served = serveSet(AnnOps.ivfTopKFromIndex(spark, idx, queries,
+      col("vec_id"), col("embedding"), k = 3, nProbe = 8))
+    val brute = serveSet(AnnOps.bruteForceTopK(
+      part(0).unionAll(part(2)), col("vec_id"), col("embedding"),
+      queries, col("vec_id"), col("embedding"), k = 3))
+    assert(served == brute)
+  }
+
   test("empty / all-null corpus rejects loudly") {
     val idx = Files.createTempDirectory("ann_idx_empty").toString
     val e = intercept[IllegalArgumentException] {

@@ -139,6 +139,70 @@ class IncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairSet(resumed) == pairSet(straight))
   }
 
+  test("PARTIAL signature partition (kill mid-commit, no pairs yet) rebuilds; with pairs it rejects") {
+    val state = Files.createTempDirectory("inc_dedup_sigpartial").toString
+    IncrementalDedup.run(spark, batch(0),
+      TextOps.tokens(col("text")), col("doc_id"), state, "b0", cfg)
+    // simulate a kill mid-commit of b1's signature append: only HALF the
+    // batch's rows are visible, no pairs, no marker
+    val toks = TextOps.tokens(col("text"))
+    batch(1).where(pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("doc_id").as("id"),
+        DedupOps.shingleMinhashSig(toks, cfg.k, cfg.bands * cfg.rowsPerBand).as("sig"),
+        DedupOps.shingleHashSet(toks, cfg.k).as("grams"))
+      .withColumn("batch_id", lit("b1"))
+      .withColumn("dedup_params", lit(IncrementalDedup.paramString(cfg)))
+      .write.mode(SaveMode.Append).partitionBy("batch_id")
+      .parquet(s"$state/signatures")
+
+    // the resume must NOT wedge on 'input shard changed' — it rebuilds
+    // the partition from the (unchanged) input and completes the batch
+    val resumed = IncrementalDedup.run(spark, batch(1),
+      TextOps.tokens(col("text")), col("doc_id"), state, "b1", cfg)
+    val b1Sigs = spark.read.parquet(s"$state/signatures")
+      .where(col("batch_id") === "b1").count()
+    assert(b1Sigs == batch(1).count())
+    val ref = Files.createTempDirectory("inc_dedup_sigpartial_ref").toString
+    IncrementalDedup.run(spark, batch(0),
+      TextOps.tokens(col("text")), col("doc_id"), ref, "b0", cfg)
+    val straight = IncrementalDedup.run(spark, batch(1),
+      TextOps.tokens(col("text")), col("doc_id"), ref, "b1", cfg)
+    assert(pairSet(resumed) == pairSet(straight))
+
+    // but once a batch's PAIRS exist, a hash-mismatched input still
+    // rejects (the store is pinned; only the pre-pair window is free)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalDedup.run(spark, batch(1).where(pmod(col("doc_id"), lit(2)) === 0),
+        TextOps.tokens(col("text")), col("doc_id"), state, "b1", cfg)
+    }
+    // b1 is now COMMITTED, so the committed-batch check fires first —
+    // either message proves the store rejects the drifted input
+    assert(e.getMessage.contains("DIFFERENT input") ||
+      e.getMessage.contains("pairs already exist"))
+
+    // and the exact kill-after-pairs window (complete signatures + pairs
+    // on disk, marker lost) pins the INNER guard: a drifted input must
+    // hit 'pairs already exist', never the partial-partition rebuild
+    val st3 = Files.createTempDirectory("inc_dedup_pairpin").toString
+    IncrementalDedup.run(spark, batch(0),
+      TextOps.tokens(col("text")), col("doc_id"), st3, "b0", cfg)
+    batch(1).select(col("doc_id").as("id"),
+        DedupOps.shingleMinhashSig(toks, cfg.k, cfg.bands * cfg.rowsPerBand).as("sig"),
+        DedupOps.shingleHashSet(toks, cfg.k).as("grams"))
+      .withColumn("batch_id", lit("b1"))
+      .withColumn("dedup_params", lit(IncrementalDedup.paramString(cfg)))
+      .write.mode(SaveMode.Append).partitionBy("batch_id")
+      .parquet(s"$st3/signatures")
+    spark.read.parquet(s"$ref/pairs").where(col("batch_id") === "b1")
+      .write.mode(SaveMode.Append).partitionBy("batch_id")
+      .parquet(s"$st3/pairs")
+    val e2 = intercept[IllegalArgumentException] {
+      IncrementalDedup.run(spark, batch(1).where(pmod(col("doc_id"), lit(2)) === 0),
+        TextOps.tokens(col("text")), col("doc_id"), st3, "b1", cfg)
+    }
+    assert(e2.getMessage.contains("pairs already exist"))
+  }
+
   test("kill after pair append (marker lost): resume double-appends invisibly") {
     val state = Files.createTempDirectory("inc_dedup_pair").toString
     val done = IncrementalDedup.run(spark, batch(0),
