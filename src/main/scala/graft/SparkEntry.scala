@@ -1619,6 +1619,54 @@ object SparkEntry {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
     }),
 
+    "streaming_ann_ingest" -> ((s, dir) => {
+      // 10th streaming shape: the growing similarity index fed by the
+      // engine — foreachBatch drives appendIvfBatch with epoch-keyed
+      // batch ids over a committed base build (the streaming analog of
+      // streaming_dedup_incremental, composing the engine's
+      // replay-on-restart with the index's per-batch commit markers;
+      // kill/resume pinned in StreamingAnnIngestSpec). Served
+      // exhaustively, the streamed-in index must reproduce the SAME
+      // full-corpus brute-force oracle as ann_ivf_incremental — the
+      // ingestion path (batch or stream) must be invisible in answers.
+      val emb = t(s, dir, "embeddings")
+      def part(b: Int) = emb.where(pmod(col("vec_id"), lit(3)) === b)
+      val work = java.nio.file.Files
+        .createTempDirectory("graft_sann_ingest").toString
+      val src = s"$work/src"
+      new java.io.File(src).mkdirs()
+      (1 until 3).foreach { b =>
+        part(b).coalesce(1).write.parquet(s"$work/stage_$b")
+        val f = new java.io.File(s"$work/stage_$b").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(f.toPath,
+          java.nio.file.Paths.get(s"$src/batch_$b.parquet"))
+      }
+      val idx = s"$work/idx"
+      AnnOps.buildIvfIndex(s, part(0), col("vec_id"), col("embedding"), idx,
+        nCells = 16, kmeansIters = 2)
+      val q = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream
+        .foreachBatch { (df: DataFrame, epochId: Long) =>
+          if (!df.isEmpty)
+            AnnOps.appendIvfBatch(s, df, col("vec_id"), col("embedding"),
+              idx, s"epoch_$epochId")
+        }
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val res = AnnOps.ivfTopKFromIndex(s, idx,
+          emb.where(col("vec_id") < 10), col("vec_id"), col("embedding"),
+          k = 3, nProbe = 16)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"))
+      val rows = res.collect()
+      graft.util.ParquetState.deleteRecursively(new java.io.File(work))
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+    }),
+
     "ann_lsh_topk" -> ((s, dir) => {
       // multi-table (OR-construction) LSH, oracled via the same recall
       // bound-check: recall@3 >= 700 permille (observed 867-900 at all
@@ -2666,6 +2714,17 @@ object SparkEntry {
     // full-corpus brute-force answer (the index construction path is
     // invisible to the oracle by design: growth must not change answers)
     "ann_ivf_incremental" ->
+      """WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 10),
+        |s AS (SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+        |      list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos
+        |      FROM q, embeddings c WHERE c.vec_id != q.qid)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+        |WHERE rank <= 3""".stripMargin,
+
+    // the stream-ingested index serves the identical full-corpus answer
+    "streaming_ann_ingest" ->
       """WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 10),
         |s AS (SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
         |      list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos

@@ -444,6 +444,43 @@ object AnnOps {
     rankTopK(scored, k)
   }
 
+  /** Size hyperplane-LSH parameters for a corpus: the sf1-class bench
+    * showed WHY this matters — with planesPerBand fixed at 6, bucket
+    * occupancy is n/2^6 and the candidate volume grows QUADRATICALLY in
+    * n through random collisions (the 38× wall at a mere 10× corpus).
+    * Planes must scale with log2(n) to hold occupancy flat; bands then
+    * buy the recall back (each extra plane halves a band's match
+    * probability at the threshold).
+    *
+    * Closed forms (standard random-hyperplane analysis): per-plane
+    * collision probability at cosine c is p = 1 − acos(c)/π; a band of
+    * r planes matches with p^r; b bands (OR-construction) recall
+    * 1 − (1 − p^r)^b. Random far pairs collide per band with ~2^-r, so
+    * expected occupancy per band-bucket is n/2^r.
+    *
+    * @return (bands, planesPerBand) with planesPerBand =
+    *         max(1, ceil(log2(n / maxOccupancy))) and bands the
+    *         smallest b reaching targetRecall at minCos. */
+  def lshParamsFor(n: Long, minCos: Double, targetRecall: Double = 0.999,
+      maxOccupancy: Long = 1000L): (Int, Int) = {
+    require(n > 0 && maxOccupancy > 0)
+    require(minCos > -1.0 && minCos < 1.0,
+      s"minCos must be in (-1, 1), got $minCos")
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall must be in (0, 1), got $targetRecall")
+    val r = math.max(1,
+      math.ceil(math.log(n.toDouble / maxOccupancy) / math.log(2.0)).toInt)
+    val p = 1.0 - math.acos(minCos) / math.Pi
+    val pBand = math.pow(p, r)
+    require(pBand > 1e-12,
+      s"a band of $r planes matches a cos=$minCos pair with probability " +
+        f"$pBand%.2e — no realistic band count reaches recall " +
+        s"$targetRecall; raise maxOccupancy or minCos")
+    val b = math.max(1,
+      math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - pBand)).toInt)
+    (b, r)
+  }
+
   /** LSH-bucketed ANN: queries only scan the corpus vectors sharing a
     * bucket in at least one of `nTables` independent hash tables (the
     * standard OR-construction: per-pair hit probability

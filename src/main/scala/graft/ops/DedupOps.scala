@@ -439,7 +439,14 @@ object DedupOps {
     * cos >= minCos is 1-(1-p^r)^b, p = 1-acos(cos)/pi; 32x6 gives ~1-1e-4
     * at 0.8) + exact cosine recheck. Bare id pairs are deduplicated before
     * vectors are re-joined, so embeddings never ride through the bucket
-    * join. Output: id_a, id_b (ordered, distinct, cos >= minCos). */
+    * join. Output: id_a, id_b (ordered, distinct, cos >= minCos).
+    *
+    * SIZE planesPerBand FOR THE CORPUS ([[AnnOps.lshParamsFor]]): random
+    * far pairs collide per band-bucket at ~n/2^planes, so a fixed plane
+    * count makes candidate volume quadratic in n (measured: 38× wall at
+    * 10× corpus with planes=6) — planes must track log2(n/occupancy),
+    * with bands buying the recall back. The defaults fit the gate-sized
+    * corpora; `bucketCap` is the backstop, not the sizing mechanism. */
   def embeddingNearDups(df: DataFrame, vec: Column, id: Column,
       minCos: Double, bands: Int = 32, planesPerBand: Int = 6,
       seed: Long = 42L, bucketCap: Int = 5000): DataFrame = {

@@ -225,6 +225,35 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(served == brute)
   }
 
+  test("lshParamsFor: occupancy bounded, recall reached, scales with corpus") {
+    // closed-form recall of the returned params must clear the target
+    def recallOf(b: Int, r: Int, cos: Double): Double = {
+      val p = 1.0 - math.acos(cos) / math.Pi
+      1.0 - math.pow(1.0 - math.pow(p, r), b)
+    }
+    for (n <- Seq(20000L, 2000000L, 200000000L, 20000000000L)) {
+      val (b, r) = AnnOps.lshParamsFor(n, minCos = 0.8)
+      // expected random occupancy per band-bucket stays under the cap
+      assert(n.toDouble / math.pow(2.0, r) <= 1000.0 + 1e-9, s"n=$n r=$r")
+      assert(recallOf(b, r, 0.8) >= 0.999, s"n=$n b=$b r=$r")
+    }
+    // planes grow with the corpus (the sf1 lesson: fixed planes -> the
+    // candidate volume grows quadratically through random collisions)
+    val (_, rSmall) = AnnOps.lshParamsFor(20000L, 0.8)
+    val (_, rBig) = AnnOps.lshParamsFor(20000000000L, 0.8)
+    assert(rBig > rSmall)
+    // the shipped gate parameterization (32x6) is what the formula gives
+    // for the gate-sized corpus at recall ~1-1e-4
+    val (b6, r6) = AnnOps.lshParamsFor(64000L, 0.8, targetRecall = 0.9999)
+    assert(r6 == 6 && b6 <= 40, s"got ($b6, $r6)")
+    // an unreachable combination rejects loudly instead of returning a
+    // band count in the millions
+    val e = intercept[IllegalArgumentException] {
+      AnnOps.lshParamsFor(1L << 60, minCos = 0.05, maxOccupancy = 1L)
+    }
+    assert(e.getMessage.contains("band"))
+  }
+
   test("empty / all-null corpus rejects loudly") {
     val idx = Files.createTempDirectory("ann_idx_empty").toString
     val e = intercept[IllegalArgumentException] {
