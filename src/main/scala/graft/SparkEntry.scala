@@ -629,12 +629,9 @@ object SparkEntry {
       val src = s"$work/src"
       new java.io.File(src).mkdirs()
       (0 until 3).foreach { b =>
-        docs.where(pmod(col("doc_id"), lit(3)) === b)
-          .coalesce(1).write.parquet(s"$work/stage_$b")
-        val part = new java.io.File(s"$work/stage_$b").listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        java.nio.file.Files.move(part.toPath,
-          java.nio.file.Paths.get(s"$src/batch_$b.parquet"))
+        graft.util.ParquetState.writeSingleFile(
+          docs.where(pmod(col("doc_id"), lit(3)) === b),
+          s"$src/batch_$b.parquet")
       }
       val state = s"$work/state"
       val cfg = graft.ops.IncrementalDedup.Config(
@@ -1636,11 +1633,7 @@ object SparkEntry {
       val src = s"$work/src"
       new java.io.File(src).mkdirs()
       (1 until 3).foreach { b =>
-        part(b).coalesce(1).write.parquet(s"$work/stage_$b")
-        val f = new java.io.File(s"$work/stage_$b").listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        java.nio.file.Files.move(f.toPath,
-          java.nio.file.Paths.get(s"$src/batch_$b.parquet"))
+        graft.util.ParquetState.writeSingleFile(part(b), s"$src/batch_$b.parquet")
       }
       val idx = s"$work/idx"
       AnnOps.buildIvfIndex(s, part(0), col("vec_id"), col("embedding"), idx,

@@ -133,16 +133,9 @@ object SfScaleGen {
       // `<table>.parquet` (the streaming gate queries' pathGlobFilter
       // and DuckDB's single-file reads both assume a leaf file, not a
       // Spark part-file directory)
-      val tmp = s"$out/_tmp_$table"
-      scaled.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val tmpDir = new java.io.File(tmp)
-      val part = tmpDir.listFiles().find(_.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no part file written for $table"))
-      val dest = new java.io.File(s"$out/$table.parquet")
-      if (dest.exists()) graft.util.ParquetState.deleteRecursively(dest)
-      require(part.renameTo(dest), s"rename failed for $table")
-      graft.util.ParquetState.deleteRecursively(tmpDir)
-      println(s"[sfgen] $table: ${df.count()} -> ${spark.read.parquet(dest.getPath).count()}")
+      val dest = s"$out/$table.parquet"
+      graft.util.ParquetState.writeSingleFile(scaled, dest)
+      println(s"[sfgen] $table: ${df.count()} -> ${spark.read.parquet(dest).count()}")
     }
   }
 }

@@ -472,13 +472,19 @@ object AnnOps {
       math.ceil(math.log(n.toDouble / maxOccupancy) / math.log(2.0)).toInt)
     val p = 1.0 - math.acos(minCos) / math.Pi
     val pBand = math.pow(p, r)
-    require(pBand > 1e-12,
-      s"a band of $r planes matches a cos=$minCos pair with probability " +
-        f"$pBand%.2e — no realistic band count reaches recall " +
-        s"$targetRecall; raise maxOccupancy or minCos")
-    val b = math.max(1,
-      math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - pBand)).toInt)
-    (b, r)
+    val bDouble =
+      math.ceil(math.log1p(-targetRecall) / math.log1p(-pBand))
+    // reject the whole infeasible regime loudly — a huge-but-finite band
+    // count is as useless as an overflowed one (each band is a full
+    // explode+join pass over the corpus), and Double→Int silently
+    // saturates at Int.MaxValue
+    val MaxBands = 4096
+    require(bDouble.isFinite && bDouble <= MaxBands,
+      s"reaching recall $targetRecall at cos=$minCos with $r planes/band " +
+        f"(band match probability $pBand%.2e) needs ${bDouble}%.0f bands " +
+        s"(> $MaxBands) — no realistic band count works; raise " +
+        "maxOccupancy or minCos, or lower targetRecall")
+    (math.max(1, bDouble.toInt), r)
   }
 
   /** LSH-bucketed ANN: queries only scan the corpus vectors sharing a

@@ -23,6 +23,28 @@ object ParquetState {
     else None
   }
 
+  /** Write `df` as ONE plain parquet FILE at `dest` (local paths) —
+    * the driver-fixture layout that single-file readers (streaming
+    * pathGlobFilter sources, DuckDB single-file scans) assume. Spark
+    * can only emit part-file directories, so this writes a one-part
+    * temp dir next to `dest` and moves the part file into place.
+    * Single-sourced here because the gate's engine-fed-batch staging,
+    * the streaming specs, and SfScaleGen all need the identical
+    * contract. */
+  def writeSingleFile(df: DataFrame, dest: String): Unit = {
+    val destFile = new java.io.File(dest)
+    val tmp = s"${dest}_tmp_part"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val tmpDir = new java.io.File(tmp)
+    val part = tmpDir.listFiles().find(_.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file written for $dest"))
+    if (destFile.exists()) deleteRecursively(destFile)
+    val parent = destFile.getParentFile
+    if (parent != null) parent.mkdirs()
+    require(part.renameTo(destFile), s"rename failed for $dest")
+    deleteRecursively(tmpDir)
+  }
+
   /** Remove a local throwaway state directory (temp dirs created by
     * gate queries / specs) — callers materialize results FIRST. */
   def deleteRecursively(f: java.io.File): Unit = {

@@ -252,6 +252,17 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       AnnOps.lshParamsFor(1L << 60, minCos = 0.05, maxOccupancy = 1L)
     }
     assert(e.getMessage.contains("band"))
+    // ... including the regime where ceil() exceeds Int range and a
+    // naive toInt would SILENTLY saturate to Int.MaxValue
+    val e2 = intercept[IllegalArgumentException] {
+      AnnOps.lshParamsFor(1L << 40, minCos = 0.3, maxOccupancy = 1L)
+    }
+    assert(e2.getMessage.contains("band"))
+    // and a merely-huge-but-finite band requirement also rejects
+    val e3 = intercept[IllegalArgumentException] {
+      AnnOps.lshParamsFor(1000000000000L, minCos = 0.7)
+    }
+    assert(e3.getMessage.contains("band"))
   }
 
   test("empty / all-null corpus rejects loudly") {

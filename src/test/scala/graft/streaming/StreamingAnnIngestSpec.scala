@@ -12,8 +12,11 @@ import java.nio.file.{Files, Paths}
   * appendIvfBatch with epoch-keyed batch ids over a committed base
   * build. The engine's replay-on-restart semantics must COMPOSE with the
   * index's per-batch commit markers — a mid-stream kill landing AFTER a
-  * delta committed but before the engine recorded its offset restarts to
-  * the identical index (no double ingestion, no ghost rows). */
+  * delta committed but before the engine wrote its COMMIT-log entry
+  * (the offset WAL is written BEFORE the batch executes, so every
+  * restart re-runs the last offset-logged-but-uncommitted epoch with
+  * the same epochId) restarts to the identical index (no double
+  * ingestion, no ghost rows). */
 class StreamingAnnIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   @transient lazy val spark: SparkSession = {
@@ -40,10 +43,7 @@ class StreamingAnnIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     val src = s"$dir/src"
     new java.io.File(src).mkdirs()
     (1 until 3).foreach { b =>
-      part(b).coalesce(1).write.parquet(s"$dir/stage_$b")
-      val f = new java.io.File(s"$dir/stage_$b").listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      Files.move(f.toPath, Paths.get(s"$src/batch_$b.parquet"))
+      graft.util.ParquetState.writeSingleFile(part(b), s"$src/batch_$b.parquet")
     }
     src
   }
@@ -112,7 +112,8 @@ class StreamingAnnIngestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(s"$idx/meta").count() == 2)
 
     // restart from the SAME checkpoint: the engine replays epoch 0
-    // (offset never recorded) — the commit marker turns it into a no-op,
+    // (offset WAL written before execution, commit-log entry never
+    // written) — the commit marker turns it into a no-op,
     // then epoch 1 ingests normally
     runStream(src, idx, ckpt)(ingest(idx))
     assert(serveSet(idx) == bruteFull)

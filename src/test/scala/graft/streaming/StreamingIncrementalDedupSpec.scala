@@ -40,11 +40,9 @@ class StreamingIncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     val src = s"$dir/src"
     new java.io.File(src).mkdirs()
     (0 until 3).foreach { b =>
-      docs.where(pmod(col("doc_id"), lit(3)) === b)
-        .coalesce(1).write.parquet(s"$dir/stage_$b")
-      val part = new java.io.File(s"$dir/stage_$b").listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      Files.move(part.toPath, Paths.get(s"$src/batch_$b.parquet"))
+      graft.util.ParquetState.writeSingleFile(
+        docs.where(pmod(col("doc_id"), lit(3)) === b),
+        s"$src/batch_$b.parquet")
     }
     src
   }
@@ -109,7 +107,9 @@ class StreamingIncrementalDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(s"$state/batches").count() == 2)
 
     // restart from the SAME checkpoint: the engine replays epoch 1
-    // (offset never recorded) — the commit marker turns it into a no-op,
+    // (its offset WAL was written before execution; what the kill
+    // prevented is the COMMIT-log entry) — the marker turns it into a
+    // no-op,
     // then epoch 2 ingests normally
     runStream(src, state, ckpt)(ingest(state))
     assert(pairSet(IncrementalDedup.allPairs(spark, state)) == fromScratch)
