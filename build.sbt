@@ -28,5 +28,18 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
+// Scratch I/O on fast local storage (optimization guide §6): everything
+// that goes through java.io.tmpdir — the query-local state dirs
+// (dedup/ANN incremental stores), Structured Streaming's temporary
+// checkpoint locations, and parquet commit staging — was landing on the
+// disk-backed /tmp while spark.local.dir already pointed at tmpfs.
+// Parameterised (SPARK_GRAFT_TMPDIR); on a real cluster this is the
+// node-local NVMe scratch volume. Falls back to the stock tmpdir when
+// no tmpfs exists.
+javaOptions ++= {
+  val fast = sys.env.get("SPARK_GRAFT_TMPDIR")
+    .orElse(if (file("/dev/shm").isDirectory) Some("/dev/shm/graft-tmp") else None)
+  fast.toSeq.map { d => IO.createDirectory(file(d)); s"-Djava.io.tmpdir=$d" }
+}
 // extra JVM flags for forked run/test (e.g. GC tuning during benches)
 javaOptions ++= sys.env.get("GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

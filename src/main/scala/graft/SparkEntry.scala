@@ -30,6 +30,25 @@ object SparkEntry {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Rebalanced fixture read for EXPRESSION-HEAVY map sides only
+    * (optimization guide §2.5, "unsplittable input — repartition right
+    * after the read"): the gate fixtures are single-file
+    * single-ROW-GROUP parquet, so a scan plans as ONE task and every
+    * map-side pass ran single-threaded regardless of core count. For
+    * operators whose per-row work dwarfs a row's shuffle cost (shingle
+    * hashing, 64-hash minhash signatures, simhash, hyperplane LSH
+    * banding, per-doc text metrics) [[graft.ops.TextOps.rebalanced]]
+    * round-robins the rows across the cluster once — measured 1.5-2x
+    * per query here. Deliberately NOT the default: for cheap-agg
+    * queries (sketch partials over lineitem) the partial-agg-in-scan-
+    * stage is cheaper than shuffling the raw rows (measured 0.3 s ->
+    * 0.7 s on cqf_count_by_flag), and multi-action state pipelines
+    * (IVF build/append) would pay the extra shuffle once per driver
+    * action. At production scale the scan has >= slots splits and
+    * rebalanced() adds nothing (no exchange). */
+  private def tb(spark: SparkSession, dir: String, name: String): DataFrame =
+    graft.ops.TextOps.rebalanced(t(spark, dir, name))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("cqf_count_by_flag")(spark, "/root/testdata/sf0.001")
@@ -610,7 +629,7 @@ object SparkEntry {
       s.table("graft_stream_sessions")
     }),
 
-    "streaming_dedup_incremental" -> ((s, dir) => {
+    "streaming_dedup_incremental" -> ((s, dir) => graft.util.Adaptive.withCoalescedShuffles(s) {
       // streaming front end for the growing-corpus dedup (9th streaming
       // shape): Structured Streaming drives IncrementalDedup from
       // foreachBatch with the epoch id as the batch id, so the engine's
@@ -734,7 +753,7 @@ object SparkEntry {
       // component labels themselves replay engine-exact, not just the
       // per-doc assignment
       GraftFunctions.registerAll(s)
-      val docs = t(s, dir, "documents")
+      val docs = tb(s, dir, "documents")
       val pairs = DedupOps.ngramJaccardPairs(docs, col("text"), col("doc_id"),
           Seq(col("lang"), expr("n_chars div 32")), k = 3)
         .where(col("uni") > 0 && expr("(inter * 10) div uni") >= 8)
@@ -790,7 +809,7 @@ object SparkEntry {
       // wide 64-bit no-collision assumption documented at
       // dedup_exact_fingerprint applies)
       GraftFunctions.registerAll(s)
-      val docs = t(s, dir, "documents")
+      val docs = tb(s, dir, "documents")
       val qm = TextOps.qualityMetrics(col("text")).toMap
       val rm = TextOps.repetitionMetrics(col("text")).toMap
       val filtered = docs
@@ -1423,7 +1442,7 @@ object SparkEntry {
     }),
 
     "ngram_jaccard_hist" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tb(s, dir, "documents")
       val pairs = DedupOps.ngramJaccardPairs(docs, col("text"), col("doc_id"),
         Seq(col("lang"), expr("n_chars div 32")), k = 3)
       pairs.where(col("uni") > 0)
@@ -1435,7 +1454,7 @@ object SparkEntry {
     "dedup_cluster_reps" -> ((s, dir) => {
       // full near-dup dedup: exact jaccard pairs (>= 0.8) -> connected
       // components (large-star/small-star) -> one representative per cluster
-      val docs = t(s, dir, "documents")
+      val docs = tb(s, dir, "documents")
       val pairs = DedupOps.ngramJaccardPairs(docs, col("text"), col("doc_id"),
           Seq(col("lang"), expr("n_chars div 32")), k = 3)
         .where(col("uni") > 0 && expr("(inter * 10) div uni") >= 8)
@@ -1453,12 +1472,12 @@ object SparkEntry {
       // sf0.1): bands are sized so the per-pair miss probability at the
       // threshold is ~2e-4 and no bucket approaches the cap there; on
       // arbitrary data LSH recall is probabilistic by design.
-      val docs = t(s, dir, "documents")
+      val docs = tb(s, dir, "documents")
       DedupOps.minhashVerifiedPairs(docs, TextOps.tokens(col("text")),
         col("doc_id"), k = 3, bands = 16, rowsPerBand = 4, threshold = 0.8)
     }),
 
-    eager("dedup_incremental")((s, dir) => {
+    eager("dedup_incremental")((s, dir) => graft.util.Adaptive.withCoalescedShuffles(s) {
       // the GROWING-corpus near-dup pipeline: three ingest batches
       // (doc_id mod 3) into a fresh signature/pair store, each paying
       // only its NEW x ALL LSH join — old x old pairs are never
@@ -1493,7 +1512,7 @@ object SparkEntry {
       // simhash 16-bit-band prefilter (guaranteed Hamming<=3) ensembled
       // with a minhash proposer for the short-doc regime, exact
       // shingle-Jaccard recheck — both proposers keep buckets ~ n
-      val docs = t(s, dir, "documents")
+      val docs = tb(s, dir, "documents")
       DedupOps.nearDupVerifiedPairs(docs, col("text"), col("doc_id"),
         k = 3, threshold = 0.9)
     }),
@@ -1509,7 +1528,7 @@ object SparkEntry {
       // every SF) and a negated copy (cos = -1 with its parent, must
       // NOT match; fixture min cos -0.56 keeps every cross pair far
       // from the threshold on both sides)
-      val emb = t(s, dir, "embeddings")
+      val emb = tb(s, dir, "embeddings")
       val base = emb.select(col("vec_id"), col("embedding"))
       val dups = emb.where(col("vec_id") < 8)
         .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
@@ -1562,7 +1581,7 @@ object SparkEntry {
         .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"))
     }),
 
-    eager("ann_ivf_persisted")((s, dir) => {
+    eager("ann_ivf_persisted")((s, dir) => graft.util.Adaptive.withCoalescedShuffles(s) {
       // build-once / serve-many IVF: the index persists (codebook +
       // cell-PARTITIONED assignments + commit marker — buildIvfIndex),
       // then serving reads it back and probes every cell (nProbe =
@@ -1588,7 +1607,7 @@ object SparkEntry {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
     }),
 
-    eager("ann_ivf_incremental")((s, dir) => {
+    eager("ann_ivf_incremental")((s, dir) => graft.util.Adaptive.withCoalescedShuffles(s) {
       // the GROWING-corpus similarity index: base build on a third of
       // the vectors, then two appendIvfBatch deltas quantized against
       // the stored codebook (no k-means re-pay, batch-lineage commit
@@ -1616,7 +1635,7 @@ object SparkEntry {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
     }),
 
-    "streaming_ann_ingest" -> ((s, dir) => {
+    "streaming_ann_ingest" -> ((s, dir) => graft.util.Adaptive.withCoalescedShuffles(s) {
       // 10th streaming shape: the growing similarity index fed by the
       // engine — foreachBatch drives appendIvfBatch with epoch-keyed
       // batch ids over a committed base build (the streaming analog of

@@ -84,7 +84,16 @@ object AnnOps {
     * driver-side collect of the nCells new centroids. Cells that lose all
     * members keep their previous centroid. */
   def ivfCodebook(corpus: DataFrame, vec: Column, id: Column,
-      nCells: Int, kmeansIters: Int = 2): Array[Array[Double]] = {
+      nCells: Int, kmeansIters: Int = 2): Array[Array[Double]] =
+    // the sample + per-iteration mean aggregations shuffle nCells x
+    // (dim+1) doubles — KB-sized; coalesced post-shuffle stages (guide
+    // §2.2) cut the fixed 32-task overhead per k-means round
+    graft.util.Adaptive.withCoalescedShuffles(corpus.sparkSession) {
+      ivfCodebookImpl(corpus, vec, id, nCells, kmeansIters)
+    }
+
+  private def ivfCodebookImpl(corpus: DataFrame, vec: Column, id: Column,
+      nCells: Int, kmeansIters: Int): Array[Array[Double]] = {
     // one dirty row (null embedding) must not kill the job: nulls can
     // neither seed the codebook (rowToVec NPE) nor form a null
     // nearest-cell group (getInt on null)
@@ -193,7 +202,13 @@ object AnnOps {
     * (overwrite, so the retry is idempotent). */
   def buildIvfIndex(spark: org.apache.spark.sql.SparkSession,
       corpus: DataFrame, corpusId: Column, corpusVec: Column,
-      indexDir: String, nCells: Int = 16, kmeansIters: Int = 2): Unit = {
+      indexDir: String, nCells: Int = 16, kmeansIters: Int = 2): Unit =
+    // coalesced shuffles: the build is a chain of small control queries
+    // (fingerprint agg, codebook sample, k-means partials) whose fixed
+    // 32-task post-shuffle stages are pure scheduling overhead at any
+    // realistic codebook size (guide §2.2); scale-neutral — AQE only
+    // merges below the advisory size, never splits
+    graft.util.Adaptive.withCoalescedShuffles(spark) {
     import org.apache.spark.sql.SaveMode
     val params = ivfParamString(nCells, kmeansIters)
     val c = nonNullVecs(corpus.select(corpusId.as("cid"), corpusVec.as("cv")), "cv")
@@ -265,7 +280,7 @@ object AnnOps {
     val marker = spark.createDataFrame(Seq((BaseBatch, params, inHash, nVecs)))
       .toDF("batch_id", "ann_params", "input_hash", "n_vecs")
     marker.write.mode(SaveMode.Overwrite).parquet(metaPath(indexDir))
-  }
+    }
 
   /** The initial build's reserved batch id. */
   private[ops] val BaseBatch = "base"
@@ -299,7 +314,9 @@ object AnnOps {
     *    rejects loudly (the pair-op/global-id contract). */
   def appendIvfBatch(spark: org.apache.spark.sql.SparkSession,
       delta: DataFrame, deltaId: Column, deltaVec: Column,
-      indexDir: String, batchId: String): Unit = {
+      indexDir: String, batchId: String): Unit =
+    // coalesced shuffles — same rationale as buildIvfIndex
+    graft.util.Adaptive.withCoalescedShuffles(spark) {
     import org.apache.spark.sql.SaveMode
     require(batchId.matches("[A-Za-z][A-Za-z0-9_.-]*") && batchId != BaseBatch,
       s"batchId must match [A-Za-z][A-Za-z0-9_.-]* and not '$BaseBatch' " +
@@ -376,7 +393,7 @@ object AnnOps {
     spark.createDataFrame(Seq((batchId, params, inHash, nVecs)))
       .toDF("batch_id", "ann_params", "input_hash", "n_vecs")
       .write.mode(SaveMode.Append).parquet(metaPath(indexDir))
-  }
+    }
 
   /** Serve top-k queries from a PERSISTED index ([[buildIvfIndex]]).
     * The stored codebook broadcasts into the probe ranking; the

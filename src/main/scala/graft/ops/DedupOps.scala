@@ -333,7 +333,17 @@ object DedupOps {
     * union-find path) — the scale-rehearsal observable: round counts
     * must stay ~log(diameter) as the corpus grows. */
   def connectedComponentsWithRounds(nodes: DataFrame, pairs: DataFrame,
-      maxRounds: Int = 30, localEdgeThreshold: Long = 1L << 17): (DataFrame, Int) = {
+      maxRounds: Int = 30, localEdgeThreshold: Long = 1L << 17): (DataFrame, Int) =
+    // near-dup edge sets are tiny relative to the corpus, so every
+    // per-round shuffle here is KB-to-MB-sized: coalesced post-shuffle
+    // stages (guide §2.2) cut the fixed per-round task overhead; at a
+    // genuinely large edge set AQE keeps full parallelism
+    graft.util.Adaptive.withCoalescedShuffles(nodes.sparkSession) {
+      ccWithRoundsImpl(nodes, pairs, maxRounds, localEdgeThreshold)
+    }
+
+  private def ccWithRoundsImpl(nodes: DataFrame, pairs: DataFrame,
+      maxRounds: Int, localEdgeThreshold: Long): (DataFrame, Int) = {
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.select(col("u"), col("v"))
         .union(e.select(col("v").as("u"), col("u").as("v")))
@@ -445,15 +455,27 @@ object DedupOps {
     * far pairs collide per band-bucket at ~n/2^planes, so a fixed plane
     * count makes candidate volume quadratic in n (measured: 38× wall at
     * 10× corpus with planes=6) — planes must track log2(n/occupancy),
-    * with bands buying the recall back. The defaults fit the gate-sized
-    * corpora; `bucketCap` is the backstop, not the sizing mechanism. */
+    * with bands buying the recall back. DEFAULT SIZING (bands =
+    * planesPerBand = 0) therefore derives (bands, planes) from a count
+    * of the corpus via the closed form — one cheap id-column pass —
+    * so the production path cannot ship the quadratic
+    * parameterization by omission; explicit values are for replayable
+    * gates/specs. `bucketCap` is the backstop, not the sizing
+    * mechanism. */
   def embeddingNearDups(df: DataFrame, vec: Column, id: Column,
-      minCos: Double, bands: Int = 32, planesPerBand: Int = 6,
+      minCos: Double, bands: Int = 0, planesPerBand: Int = 0,
       seed: Long = 42L, bucketCap: Int = 5000): DataFrame = {
+    require((bands > 0) == (planesPerBand > 0),
+      "pass bands and planesPerBand together (both > 0), or neither " +
+        "(corpus-sized via AnnOps.lshParamsFor)")
+    val (nBands, nPlanes) =
+      if (bands > 0) (bands, planesPerBand)
+      else AnnOps.lshParamsFor(
+        math.max(1L, df.select(id.as("id")).count()), minCos)
     val vecs = df.select(id.as("id"), vec.as("v"))
     val banded = df.select(id.as("id"),
-      posexplode(array((0 until bands).map(b =>
-        AnnOps.lshBucket(vec, planesPerBand, seed + 1000L * b)): _*))
+      posexplode(array((0 until nBands).map(b =>
+        AnnOps.lshBucket(vec, nPlanes, seed + 1000L * b)): _*))
         .as(Seq("band", "bucket")))
     val pairs = bucketPairs(banded, Seq("band", "bucket"), bucketCap)
     joinPairPayload(pairs, vecs, Seq("v"))

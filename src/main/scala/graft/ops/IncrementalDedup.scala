@@ -153,7 +153,13 @@ object IncrementalDedup {
     *                (and leading-zero names would not even round-trip)
     */
   def run(spark: SparkSession, df: DataFrame, tokens: Column, id: Column,
-      stateDir: String, batchId: String, cfg: Config = Config()): DataFrame = {
+      stateDir: String, batchId: String, cfg: Config = Config()): DataFrame =
+    graft.util.Adaptive.withCoalescedShuffles(spark) {
+      runImpl(spark, df, tokens, id, stateDir, batchId, cfg)
+    }
+
+  private def runImpl(spark: SparkSession, df: DataFrame, tokens: Column,
+      id: Column, stateDir: String, batchId: String, cfg: Config): DataFrame = {
     require(batchId.matches("[A-Za-z][A-Za-z0-9_.-]*"),
       s"batchId must match [A-Za-z][A-Za-z0-9_.-]* (got '$batchId'): it " +
         "becomes a partition directory name, where numeric-looking values " +
@@ -163,16 +169,30 @@ object IncrementalDedup {
     val nHashes = cfg.bands * cfg.rowsPerBand
 
     // ---- validate stored state against this run's config ----
+    // ONE control pass over the signature store serves three consumers
+    // that each paid their own job (guide §1.2): the params validation,
+    // the already-signed probe, and the per-batch signed counts the
+    // bucket completeness check needs (this batch's own count is known
+    // from the fingerprint agg below, so the pre-write read stays
+    // correct after the signature append).
+    def label(stage: String): Unit =
+      spark.sparkContext.setJobDescription(s"incdedup[$batchId] $stage")
+    label("control: signature stats")
     val existingSigs = readIfAny(spark, sigPath(stateDir))
-    existingSigs.foreach { st =>
-      val stored = st.select(col("dedup_params")).distinct()
-        .collect().map(_.getString(0))
+    val sigStats: Seq[(String, String, Long)] = existingSigs.map {
+      _.groupBy(col("batch_id"), col("dedup_params"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    }.getOrElse(Seq.empty)
+    locally {
+      val stored = sigStats.map(_._2).distinct
       require(stored.forall(_ == params),
         s"state at $stateDir was built with parameters " +
           s"'${stored.mkString(",")}' but this run uses '$params' — " +
           "mixed-parameter signatures are not comparable; resume with " +
           "the original config or rebuild from a fresh state dir")
     }
+    label("control: commit markers")
     val committed: Map[String, (Long, Long)] =
       readIfAny(spark, batchPath(stateDir)).map {
         _.select(col("batch_id"), col("input_hash"), col("n_docs"))
@@ -186,9 +206,23 @@ object IncrementalDedup {
     // text + k): an id-only hash would let a regenerated shard with the
     // same ids but different text silently no-op against its old commit
     // marker (or resume onto stale signatures) instead of rejecting
-    val newBase = df.select(id.as("id"),
+    // ONE materialization of the delta's derived columns (guide §1.2
+    // "don't compute things twice"): the fingerprint agg, the signature
+    // append, the id-clash check, and the delta's own bucket banding
+    // each consumed this projection — re-tokenizing and re-hashing the
+    // delta once per consumer. Delta-sized by contract (never the
+    // corpus); MEMORY_AND_DISK spills rather than OOMs on a fat delta;
+    // released in the finally at the end of run().
+    // A daily delta often arrives as ONE file (the streaming front end
+    // feeds literal single-file micro-batches) — an unsplittable scan
+    // would serialize the whole signing pass on one core; rebalanced()
+    // is a no-op whenever the delta already has >= slots splits.
+    val newBase = TextOps.rebalanced(df).select(id.as("id"),
       DedupOps.shingleMinhashSig(tokens, cfg.k, nHashes).as("sig"),
       DedupOps.shingleHashSet(tokens, cfg.k).as("grams"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    label("sign: fingerprint+materialize")
     val fpRow = newBase.agg(
       coalesce(expr("bit_xor(xxhash64(id, grams))"), lit(0L)).as("h"),
       count(lit(1)).as("n"),
@@ -236,8 +270,7 @@ object IncrementalDedup {
     }
 
     // ---- stage 1: signature append (skipped when resuming past it) ----
-    val alreadySigned = existingSigs.exists(
-      _.where(col("batch_id") === batchId).take(1).nonEmpty)
+    val alreadySigned = sigStats.exists(_._1 == batchId)
     val signedMatches = alreadySigned && {
       // killed between the signature append and the pair append: the
       // STORE is the source of truth for this batch's members — require
@@ -278,6 +311,7 @@ object IncrementalDedup {
       // silently fan pairs out through the payload re-joins. Re-read the
       // store here (existingSigs' file listing predates a possible
       // partial-partition wipe above) and exclude this batch's own rows
+      label("sign: id-clash check")
       readIfAny(spark, sigPath(stateDir)).foreach { st =>
         val clash = st.where(col("batch_id") =!= batchId).select(col("id"))
           .join(newBase.select(col("id")), Seq("id"), "left_semi").take(1)
@@ -286,6 +320,7 @@ object IncrementalDedup {
             s"already present in $stateDir — ids must be globally unique " +
             "across batches")
       }
+      label("sign: append")
       newBase
         .withColumn("batch_id", lit(batchId))
         .withColumn("dedup_params", lit(params))
@@ -319,9 +354,14 @@ object IncrementalDedup {
     // partition is rebuilt by overwriting JUST that partition
     // (dynamic partitionOverwriteMode), which is idempotent under
     // repeated kills.
-    val signedCounts: Map[String, Long] = store.groupBy(col("batch_id"))
-      .agg(count(lit(1)).as("n")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // per-batch counts from the pre-write control pass (sigStats): the
+    // signature append above touched ONLY this batch's partition, whose
+    // post-write count is inCount by construction (freshly written from
+    // newBase, or hash+count-verified equal to it) — no re-scan needed
+    val signedCounts: Map[String, Long] =
+      sigStats.groupBy(_._1).map { case (b, rows) => b -> rows.map(_._3).sum } ++
+        Map(batchId -> inCount)
+    label("buckets: counts")
     val bucketCounts: Map[String, Long] =
       readIfAny(spark, bucketPath(stateDir)).map {
         _.groupBy(col("batch_id")).agg(count(lit(1)).as("n")).collect()
@@ -329,9 +369,18 @@ object IncrementalDedup {
       }.getOrElse(Map.empty)
     val incomplete = signedCounts.filter { case (b, n) =>
       bucketCounts.getOrElse(b, 0L) != n * cfg.bands }
+    label("buckets: append")
     incomplete.keys.toSeq.sorted.foreach { b =>
+      // the delta's own partition bands from the persisted newBase
+      // instead of a parquet read-back: its content is PROVABLY the
+      // stored partition's (either written from newBase above, or
+      // hash+count-verified equal in the resume check — and sig is a
+      // pure function of the gram set the hash covers). Other batches
+      // (resume/migration backfill) keep the store as source of truth.
       DedupOps.bandSignatures(
-          store.where(col("batch_id") === b).select(col("id"), col("sig")),
+          (if (b == batchId) newBase.select(col("id"), col("sig"))
+           else store.where(col("batch_id") === b)
+             .select(col("id"), col("sig"))),
           cfg.bands, cfg.rowsPerBand)
         .withColumn("batch_id", lit(b))
         .write.mode(SaveMode.Overwrite)
@@ -345,24 +394,28 @@ object IncrementalDedup {
     // a straight-through run join the exact same rows
     val buckets = spark.read.parquet(bucketPath(stateDir))
     val keys = Seq("band", "bucket")
-    val bandedNew = buckets.where(col("batch_id") === batchId)
-      .select((keys.map(col) :+ col("id")): _*)
     // only buckets the DELTA touches matter: old×old pairs were settled
     // by earlier batches, so buckets without a new member cannot produce
     // a new pair — the semi-join drops them before the (only) count+join
-    val newKeys = bandedNew.select(keys.map(col): _*).distinct()
+    val newKeys = buckets.where(col("batch_id") === batchId)
+      .select(keys.map(col): _*).distinct()
     val matchedAll = buckets.join(newKeys, keys, "left_semi")
     // the cap must see FULL bucket sizes (old + new): the semi-join keeps
     // whole buckets, so counting matchedAll equals counting the full
-    // banding for every touched bucket; guard the ALL side once and
-    // semi-join the new side onto the surviving buckets, so a hot bucket
-    // is dropped from both sides of the join consistently
+    // banding for every touched bucket; the cap guards the ALL side once,
+    // and because capBuckets keeps or drops WHOLE buckets and the new
+    // batch's rows are a subset of matchedAll (their buckets are in
+    // newKeys by construction), the capped NEW side is exactly
+    // guardedAll filtered to this batch — the former bandedNew semi-join
+    // + distinct re-derived that same set through two more exchanges
+    // (round-7 plan diet; hot buckets still drop from both sides
+    // consistently)
     val guardedAll = DedupOps.capBuckets(matchedAll, keys, cfg.bucketCap)
-    val guardedNew = bandedNew.join(
-      guardedAll.select(keys.map(col): _*).distinct(), keys, "left_semi")
+    val guardedNew = guardedAll.where(col("batch_id") === batchId)
     // keep the old side's batch_id through the join: stage 3 then reads
     // gram sets only from the signature partitions that actually hold a
     // candidate (partition pruning), not the whole store
+    label("candidates: NEWxALL bucket join")
     val cand0 = guardedNew
       .select(keys.map(col) :+ col("id").as("id_n"): _*)
       .join(guardedAll.select(
@@ -385,18 +438,26 @@ object IncrementalDedup {
     // batches holding a candidate member (plus the delta itself, whose
     // ids sit on both sides of new×new pairs) — the grams read below
     // partition-prunes to these
+    label("verify: touched batches")
     val touched = (cand0.select(col("batch_o")).distinct()
       .collect().map(_.getString(0)).toSet + batchId).toSeq.sorted
     val gramsSrc = store.where(col("batch_id").isin(touched: _*))
       .select(col("id"), col("grams"))
+    label("verify: jaccard recheck + pair append")
     val verified = DedupOps.verifyByJaccard(candidates, gramsSrc, cfg.threshold)
     verified.withColumn("batch_id", lit(batchId))
       .write.mode(SaveMode.Append).partitionBy("batch_id")
       .parquet(pairPath(stateDir))
 
     // ---- stage 4: commit marker — the batch is now done ----
+    label("commit marker")
     writeMarker()
 
     allPairs(spark, stateDir)
+    } finally {
+      newBase.unpersist(false)
+      // thread-local: don't leak the last stage label onto caller jobs
+      spark.sparkContext.setJobDescription(null)
+    }
   }
 }

@@ -18,6 +18,22 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextOps {
 
+  /** Round-robin rebalance a frame whose scan carries fewer splits than
+    * the cluster has slots (optimization guide §2.5: an unsplittable
+    * single-file/single-row-group input scans as ONE task, serializing
+    * every map-side expression pass no matter the core count). A no-op
+    * — no exchange added — whenever the scan already has >= slots
+    * partitions, i.e. on any production-scale input; deterministic
+    * under retries (sortBeforeRepartition) and result-invariant for
+    * the partitioning-insensitive operators of this library. Reserve
+    * it for EXPRESSION-HEAVY map sides: for cheap partial aggregations
+    * the in-scan-stage partial agg beats shuffling raw rows (measured
+    * round 7). */
+  def rebalanced(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df
+  }
+
   /** Whitespace tokens of trimmed text; empty text gives an empty array.
     * Matches DuckDB `regexp_split_to_array(trim(text), '\s+')`. */
   def tokens(text: Column): Column =

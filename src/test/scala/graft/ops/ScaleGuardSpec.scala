@@ -208,6 +208,40 @@ class ScaleGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("embedding LSH default sizing derives corpus-scaled params and keeps recall") {
+    // round-7: the production default must route through lshParamsFor
+    // (fixed planes = quadratic candidate volume at scale). Same planted
+    // construction as above, but with the params DERIVED from the count.
+    val rnd = new scala.util.Random(13)
+    val base = (0L until 200L).map { i =>
+      i -> Array.fill(16)(rnd.nextGaussian())
+    }
+    val planted = (0 until 20).map { j =>
+      val (_, v) = base(j * 7)
+      (1000L + j) -> v.map(x => x + rnd.nextGaussian() * 0.05)
+    }
+    val df = (base ++ planted).map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+    // defaults (bands = planesPerBand = 0) must behave exactly like an
+    // explicit call with the closed-form parameters for n = 220
+    val (b, r) = AnnOps.lshParamsFor(220L, minCos = 0.8)
+    val auto = DedupOps.embeddingNearDups(df, $"embedding", $"vec_id", minCos = 0.8)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val explicit = DedupOps.embeddingNearDups(df, $"embedding", $"vec_id",
+        minCos = 0.8, bands = b, planesPerBand = r)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(auto == explicit, "auto-sized call must equal the closed-form params")
+    (0 until 20).foreach { j =>
+      assert(auto.contains(((j * 7).toLong, 1000L + j)),
+        s"planted near-dup ${(j * 7, 1000 + j)} missed by auto-sized LSH")
+    }
+    // half-open parameterization must reject loudly
+    intercept[IllegalArgumentException] {
+      DedupOps.embeddingNearDups(df, $"embedding", $"vec_id",
+        minCos = 0.8, bands = 8)
+    }
+  }
+
   test("bpe-ish token count: words + digit runs + punctuation runs") {
     val df = Seq(
       (0L, "hello world"),            // 2 words, no digits/punct
