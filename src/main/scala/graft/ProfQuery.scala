@@ -17,7 +17,17 @@ object ProfQuery {
     fn(spark, sfDir).collect() // warm-up: codegen + JIT
     val jobs = new scala.collection.mutable.ArrayBuffer[(Int, Long, Long, String)]
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val stages = new scala.collection.mutable.ArrayBuffer[(Int, Long, Int, String)]
     val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val ms = (for {s <- si.submissionTime; c <- si.completionTime} yield c - s)
+          .getOrElse(-1L)
+        stages.synchronized {
+          stages += ((si.stageId, ms, si.numTasks, si.name.take(90)))
+        }
+      }
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
         starts.put(js.jobId, (System.nanoTime(),
           Option(js.properties.getProperty("spark.job.description"))
@@ -41,6 +51,9 @@ object ProfQuery {
       val gap = (st - prevEnd) / 1e9 // driver-side time before this job
       prevEnd = st + d
       println(f"[prof] job $id%3d gap=$gap%6.3f run=${d / 1e9}%7.3f  $cs")
+    }
+    stages.sortBy(_._1).foreach { case (id, ms, nt, nm) =>
+      println(f"[pstage] $id%4d ${ms / 1e3}%7.3f s tasks=$nt%3d  $nm")
     }
     println(f"[prof] $name wall=$wall%.3f jobs=${sorted.size} " +
       f"jobsum=${sorted.map(_._3).sum / 1e9}%.3f " +

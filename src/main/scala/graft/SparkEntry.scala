@@ -681,7 +681,7 @@ object SparkEntry {
       // at the join unless contaminated — the only shuffle carries
       // matched grams. Grams compare as STRINGS (no hashing), so the
       // DuckDB oracle replays the operator exactly
-      val docs = t(s, dir, "documents")
+      val docs = tb(s, dir, "documents")
       graft.ops.DedupOps.contamination(
         docs.where(pmod(col("doc_id"), lit(97)) =!= 0),
         col("doc_id"), col("text"),
@@ -1107,7 +1107,7 @@ object SparkEntry {
       // would share a counter and evade the cutoff witness. The DuckDB
       // oracle replays plain exact counts
       GraftFunctions.registerAll(s)
-      val docs = t(s, dir, "documents")
+      val docs = tb(s, dir, "documents")
       val grams = docs.select(
         explode(TextOps.wordShingles(col("text"), 2)).as("gram"))
       val skN = grams.agg(api.ss_agg(col("gram"), 8192).as("ss"),

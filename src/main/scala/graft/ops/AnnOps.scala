@@ -86,9 +86,9 @@ object AnnOps {
   def ivfCodebook(corpus: DataFrame, vec: Column, id: Column,
       nCells: Int, kmeansIters: Int = 2): Array[Array[Double]] =
     // the sample + per-iteration mean aggregations shuffle nCells x
-    // (dim+1) doubles — KB-sized; coalesced post-shuffle stages (guide
-    // §2.2) cut the fixed 32-task overhead per k-means round
-    graft.util.Adaptive.withCoalescedShuffles(corpus.sparkSession) {
+    // (dim+1) doubles — KB-sized at any corpus scale, no joins: AQE off
+    // removes the re-planning job per k-means round (guide §2.2)
+    graft.util.Adaptive.withoutAqe(corpus.sparkSession) {
       ivfCodebookImpl(corpus, vec, id, nCells, kmeansIters)
     }
 
@@ -203,12 +203,13 @@ object AnnOps {
   def buildIvfIndex(spark: org.apache.spark.sql.SparkSession,
       corpus: DataFrame, corpusId: Column, corpusVec: Column,
       indexDir: String, nCells: Int = 16, kmeansIters: Int = 2): Unit =
-    // coalesced shuffles: the build is a chain of small control queries
-    // (fingerprint agg, codebook sample, k-means partials) whose fixed
-    // 32-task post-shuffle stages are pure scheduling overhead at any
-    // realistic codebook size (guide §2.2); scale-neutral — AQE only
-    // merges below the advisory size, never splits
-    graft.util.Adaptive.withCoalescedShuffles(spark) {
+    // AQE off for the whole build (guide §2.2/§1.2 job diet): every
+    // action here is control-sized at ANY corpus scale — fingerprint
+    // agg, codebook sample, k-means partials of nCells x (dim+1)
+    // doubles, commit-marker I/O — and none contains a join whose
+    // strategy AQE could improve, so adaptive execution only adds a
+    // re-planning job per exchange
+    graft.util.Adaptive.withoutAqe(spark) {
     import org.apache.spark.sql.SaveMode
     val params = ivfParamString(nCells, kmeansIters)
     val c = nonNullVecs(corpus.select(corpusId.as("cid"), corpusVec.as("cv")), "cv")
@@ -315,8 +316,9 @@ object AnnOps {
   def appendIvfBatch(spark: org.apache.spark.sql.SparkSession,
       delta: DataFrame, deltaId: Column, deltaVec: Column,
       indexDir: String, batchId: String): Unit =
-    // coalesced shuffles — same rationale as buildIvfIndex
-    graft.util.Adaptive.withCoalescedShuffles(spark) {
+    // AQE off — same rationale as buildIvfIndex (the id-clash semi-join
+    // is an ids-only column join whose static plan is fine at scale)
+    graft.util.Adaptive.withoutAqe(spark) {
     import org.apache.spark.sql.SaveMode
     require(batchId.matches("[A-Za-z][A-Za-z0-9_.-]*") && batchId != BaseBatch,
       s"batchId must match [A-Za-z][A-Za-z0-9_.-]* and not '$BaseBatch' " +
@@ -442,7 +444,10 @@ object AnnOps {
       .withColumn("rn", row_number().over(qw))
       .where(col("rn") <= nProbe)
       .select(col("cell"), col("query_id"), col("qv"))
-    val probeRows = probePlan.collect()
+    // control action: query-batch-sized by the serve contract — AQE off
+    // saves its re-planning jobs; the serve join itself stays lazy and
+    // runs under the caller's conf
+    val probeRows = graft.util.Adaptive.withoutAqe(spark) { probePlan.collect() }
     val probes = spark.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), probePlan.schema)
     // literal cell filter for partition pruning — the join alone would

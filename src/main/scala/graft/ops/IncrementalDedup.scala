@@ -179,10 +179,12 @@ object IncrementalDedup {
       spark.sparkContext.setJobDescription(s"incdedup[$batchId] $stage")
     label("control: signature stats")
     val existingSigs = readIfAny(spark, sigPath(stateDir))
-    val sigStats: Seq[(String, String, Long)] = existingSigs.map {
-      _.groupBy(col("batch_id"), col("dedup_params"))
-        .agg(count(lit(1)).as("n")).collect()
-        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val sigStats: Seq[(String, String, Long)] = existingSigs.map { st =>
+      graft.util.Adaptive.withoutAqe(spark) {
+        st.groupBy(col("batch_id"), col("dedup_params"))
+          .agg(count(lit(1)).as("n")).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      }
     }.getOrElse(Seq.empty)
     locally {
       val stored = sigStats.map(_._2).distinct
@@ -194,10 +196,12 @@ object IncrementalDedup {
     }
     label("control: commit markers")
     val committed: Map[String, (Long, Long)] =
-      readIfAny(spark, batchPath(stateDir)).map {
-        _.select(col("batch_id"), col("input_hash"), col("n_docs"))
-          .collect()
-          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      readIfAny(spark, batchPath(stateDir)).map { m =>
+        graft.util.Adaptive.withoutAqe(spark) {
+          m.select(col("batch_id"), col("input_hash"), col("n_docs"))
+            .collect()
+            .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+        }
       }.getOrElse(Map.empty)
 
     // the delta's fingerprint — needed for the commit marker and every
@@ -223,10 +227,10 @@ object IncrementalDedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
     label("sign: fingerprint+materialize")
-    val fpRow = newBase.agg(
+    val fpRow = graft.util.Adaptive.withoutAqe(spark) { newBase.agg(
       coalesce(expr("bit_xor(xxhash64(id, grams))"), lit(0L)).as("h"),
       count(lit(1)).as("n"),
-      countDistinct(col("id")).as("nd")).head()
+      countDistinct(col("id")).as("nd")).head() }
     val (inHash, inCount) = (fpRow.getLong(0), fpRow.getLong(1))
     // within-batch id uniqueness (the cross-batch check below cannot see
     // it, and the FIRST batch has no store to check against): duplicate
@@ -312,13 +316,17 @@ object IncrementalDedup {
       // store here (existingSigs' file listing predates a possible
       // partial-partition wipe above) and exclude this batch's own rows
       label("sign: id-clash check")
+      // ids-only semi-join probe — static plan is fine at any scale
+      // (column-pruned id scan, no skew decision AQE could improve)
       readIfAny(spark, sigPath(stateDir)).foreach { st =>
+        graft.util.Adaptive.withoutAqe(spark) {
         val clash = st.where(col("batch_id") =!= batchId).select(col("id"))
           .join(newBase.select(col("id")), Seq("id"), "left_semi").take(1)
         require(clash.isEmpty,
           s"batch '$batchId' carries document id ${clash.headOption.map(_.get(0)).getOrElse("?")} " +
             s"already present in $stateDir — ids must be globally unique " +
             "across batches")
+        }
       }
       label("sign: append")
       newBase
@@ -363,9 +371,11 @@ object IncrementalDedup {
         Map(batchId -> inCount)
     label("buckets: counts")
     val bucketCounts: Map[String, Long] =
-      readIfAny(spark, bucketPath(stateDir)).map {
-        _.groupBy(col("batch_id")).agg(count(lit(1)).as("n")).collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      readIfAny(spark, bucketPath(stateDir)).map { b =>
+        graft.util.Adaptive.withoutAqe(spark) {
+          b.groupBy(col("batch_id")).agg(count(lit(1)).as("n")).collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+        }
       }.getOrElse(Map.empty)
     val incomplete = signedCounts.filter { case (b, n) =>
       bucketCounts.getOrElse(b, 0L) != n * cfg.bands }
@@ -439,8 +449,10 @@ object IncrementalDedup {
     // ids sit on both sides of new×new pairs) — the grams read below
     // partition-prunes to these
     label("verify: touched batches")
-    val touched = (cand0.select(col("batch_o")).distinct()
-      .collect().map(_.getString(0)).toSet + batchId).toSeq.sorted
+    val touched = (graft.util.Adaptive.withoutAqe(spark) {
+      cand0.select(col("batch_o")).distinct()
+        .collect().map(_.getString(0)).toSet
+    } + batchId).toSeq.sorted
     val gramsSrc = store.where(col("batch_id").isin(touched: _*))
       .select(col("id"), col("grams"))
     label("verify: jaccard recheck + pair append")

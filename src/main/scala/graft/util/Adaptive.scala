@@ -17,6 +17,24 @@ object Adaptive {
     * never splits, only merges). Restores the caller's setting after —
     * the bench session keeps coalescing OFF globally so the frozen
     * headline-build plan stays byte-comparable across rounds. */
+  /** Run `f` with AQE OFF — for CONTROL actions only: commit-marker and
+    * stats reads, delta fingerprint aggs, tiny collects. These are
+    * metadata- or delta-aggregate-sized BY CONSTRUCTION at any corpus
+    * scale and contain no joins whose strategy AQE could improve, so
+    * adaptive execution only adds a re-planning round (a separate job
+    * with its own scheduling latency) per exchange. Data-bearing stages
+    * (candidate joins, verifies, writes) stay under AQE for runtime
+    * skew/strategy handling at scale. Restores the caller's setting. */
+  def withoutAqe[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try f finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   def withCoalescedShuffles[T](spark: SparkSession)(f: => T): T = {
     val key = "spark.sql.adaptive.coalescePartitions.enabled"
     val old = spark.conf.getOption(key)
