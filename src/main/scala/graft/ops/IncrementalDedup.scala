@@ -426,23 +426,34 @@ object IncrementalDedup {
     // gram sets only from the signature partitions that actually hold a
     // candidate (partition pruning), not the whole store
     label("candidates: NEWxALL bucket join")
-    val cand0 = guardedNew
+    // normalize the pair orientation BEFORE the distinct (round 7): a
+    // new-new pair arrives in both orientations but normalizes to one
+    // row, and a new-old pair exists only as (new, old) — so a single
+    // distinct on (id_a, id_b, batch_o) is the pair distinct (batch_o
+    // is determined by the pair: batchId for new-new, the old side's
+    // batch otherwise). The former two-step (orientation distinct, then
+    // normalized distinct) paid a second full exchange for the same set.
+    // AQE off for the propose/dispose joins as well (measured): their
+    // skew is BOUNDED BY CONSTRUCTION (capBuckets caps every bucket, so
+    // no post-shuffle partition can exceed cap x bands rows) and both
+    // sides are delta-proportional — the two properties AQE's runtime
+    // re-planning exists to discover. Static planning saves one
+    // re-planning job per exchange across the hottest stage of the
+    // pipeline.
+    val cand0 = graft.util.Adaptive.withoutAqe(spark) { guardedNew
       .select(keys.map(col) :+ col("id").as("id_n"): _*)
       .join(guardedAll.select(
         keys.map(col) :+ col("id").as("id_o") :+ col("batch_id").as("batch_o"): _*),
         keys)
       .where(col("id_n") =!= col("id_o"))
-      .select(col("id_n"), col("id_o"), col("batch_o"))
-      .distinct() // id_o determines batch_o, so this is the pair distinct
+      .select(least(col("id_n"), col("id_o")).as("id_a"),
+        greatest(col("id_n"), col("id_o")).as("id_b"), col("batch_o"))
+      .distinct()
       // materialized once: the candidate set is delta-proportional (the
       // LSH-propose contract) and feeds both the touched-batch collect
       // and the verify join below
-      .localCheckpoint()
-    val candidates = cand0
-      // normalize: new-new pairs arrive in both orientations, new-old in one
-      .select(least(col("id_n"), col("id_o")).as("id_a"),
-        greatest(col("id_n"), col("id_o")).as("id_b"))
-      .distinct()
+      .localCheckpoint() }
+    val candidates = cand0.select(col("id_a"), col("id_b"))
 
     // ---- stage 3: exact shingle-Jaccard recheck + pair append ----
     // batches holding a candidate member (plus the delta itself, whose
@@ -456,10 +467,13 @@ object IncrementalDedup {
     val gramsSrc = store.where(col("batch_id").isin(touched: _*))
       .select(col("id"), col("grams"))
     label("verify: jaccard recheck + pair append")
-    val verified = DedupOps.verifyByJaccard(candidates, gramsSrc, cfg.threshold)
-    verified.withColumn("batch_id", lit(batchId))
-      .write.mode(SaveMode.Append).partitionBy("batch_id")
-      .parquet(pairPath(stateDir))
+    // same bounded-skew/static-plan argument as cand0 above
+    graft.util.Adaptive.withoutAqe(spark) {
+      val verified = DedupOps.verifyByJaccard(candidates, gramsSrc, cfg.threshold)
+      verified.withColumn("batch_id", lit(batchId))
+        .write.mode(SaveMode.Append).partitionBy("batch_id")
+        .parquet(pairPath(stateDir))
+    }
 
     // ---- stage 4: commit marker — the batch is now done ----
     label("commit marker")
