@@ -39,7 +39,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 javaOptions ++= {
   val fast = sys.env.get("SPARK_GRAFT_TMPDIR")
     .orElse(if (file("/dev/shm").isDirectory) Some("/dev/shm/graft-tmp") else None)
-  fast.toSeq.map { d => IO.createDirectory(file(d)); s"-Djava.io.tmpdir=$d" }
+  // fail-safe: a tmpdir we cannot create must fall back to the stock
+  // java.io.tmpdir, never break the build load
+  fast.flatMap { d =>
+    try { IO.createDirectory(file(d)); Some(s"-Djava.io.tmpdir=$d") }
+    catch { case _: Exception => None }
+  }.toSeq
 }
 // extra JVM flags for forked run/test (e.g. GC tuning during benches)
 javaOptions ++= sys.env.get("GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))
